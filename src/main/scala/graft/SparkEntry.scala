@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Q, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` / `oracleSql` are assembled from the per-module registries so
+  * each module (relational parity, text ops, dedup, similarity, streaming,
+  * ml) owns its own query list next to its implementation.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All registered queries across modules. */
+  def registry: Seq[Q] =
+    Relational.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * scan → join → agg → join → top-k (SURVEY.md §7 build order step 1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q04(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (sketch-based dedup, LSH ANN) → driver records a rows-only check;
+    * those are covered by ScalaTest instead.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Dev-only emulation of the driver's correctness gate (NOT part of the
+shipped library). Runs each oracle_sql.json query in DuckDB over the same
+testdata parquet tables, loads the corresponding Spark result parquet dumped
+by graft.Verify, and compares: column names (sorted), row counts, and exact
+values after sorting rows. Usage:
+
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                str(type(v)).endswith("ndarray'>") else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            want = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                          check_exact=True)
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: values differ:\n{str(e)[:2000]}")
+            first = (got != want)
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
