@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Q, Relational}
+import graft.queries.{Aggregates, Joins, Q, Relational, Shaping, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered queries across modules. */
   def registry: Seq[Q] =
-    Relational.all
+    Relational.all ++ Aggregates.all ++ Joins.all ++ Windows.all ++ Shaping.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * scan → join → agg → join → top-k (SURVEY.md §7 build order step 1).

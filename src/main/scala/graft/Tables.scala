@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver testdata tables (TESTDATA.md).
   *
@@ -20,7 +21,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read it as raw nanos (legacy conf) and rebuild a
+    * microsecond timestamp with exact integer division (a double division
+    * would lose precision above 2^53 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Exact._
+
+/** Aggregation coverage (SURVEY.md §2.4): grand totals, multi-key group-by,
+  * distinct, weekly rollup, rollup-with-subtotals, conditional aggregates.
+  */
+object Aggregates {
+
+  /** q02 — full-table grand totals (A2/A3: app/routes/data.py:95-114).
+    * Single-stage partial+final agg, no group keys → one row; at scale the
+    * partial agg reduces each task to one row before the 1-row exchange.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      dsum($"l_quantity").as("sum_qty"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      // dates emitted as ISO strings: the one representation every engine
+      // and the driver's hash agree on (parquet date32 vs duckdb DATE differ
+      // once they reach pandas)
+      date_format(min($"l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+      date_format(max($"l_shipdate"), "yyyy-MM-dd").as("max_ship"),
+    )
+  }
+
+  val q02Oracle: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+      |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+      |FROM lineitem""".stripMargin
+
+  /** q10 — yearly rollup with ratio-of-counts and conditional sum
+    * (A11: README.md:16-24 CFR = deaths/cases×100; F11 arithmetic).
+    */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("total_price"),
+        count(when($"o_orderpriority" === "1-URGENT", lit(1))).as("n_urgent"),
+        sum(when($"o_orderpriority" === "1-URGENT", $"o_totalprice".cast("decimal(18,4)")))
+          .cast("double").as("urgent_price"),
+      )
+      .withColumn("pct_urgent", lit(100.0) * $"n_urgent" / $"n_orders")
+      .orderBy($"yr")
+  }
+
+  val q10Oracle: String =
+    """SELECT year(o_orderdate) AS yr,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS urgent_price,
+      |  100.0 * COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) / COUNT(*) AS pct_urgent
+      |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin
+
+  /** q11 — per-group average / min / max (A10: README.md:9-12). */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        davg($"c_acctbal").as("avg_bal"),
+        min($"c_acctbal").as("min_bal"),
+        max($"c_acctbal").as("max_bal"),
+        count(lit(1)).as("n_customers"),
+      )
+      .orderBy($"c_mktsegment")
+  }
+
+  val q11Oracle: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+      |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+      |  COUNT(*) AS n_customers
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q12 — distinct projection for dimension dedup (A13: app/etl.py:80,95). */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_nationkey")
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  val q12Oracle: String =
+    """SELECT DISTINCT c_mktsegment, c_nationkey
+      |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** q18 — weekly tumbling rollup on event time (A1/F2: app/etl.py:111-117
+    * `date_trunc('week')` Monday-start). The batch twin of the streaming
+    * version in [[graft.streaming.Streams]].
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("week", $"ts"), "yyyy-MM-dd").as("week_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("total_value"),
+        countDistinct($"user_id").as("n_users"),
+      )
+      .orderBy($"week_start")
+  }
+
+  val q18Oracle: String =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY week_start""".stripMargin
+
+  /** q25 — ROLLUP with subtotal rows (beyond-reference completeness; Spark
+    * `rollup` ≡ DuckDB GROUP BY ROLLUP). Subtotal nulls are recoded to 'ALL'
+    * so the output is deterministic and engine-comparable.
+    */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup(year($"o_orderdate").as("yr"), $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+      .select(
+        coalesce($"yr".cast("string"), lit("ALL")).as("yr_label"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status_label"),
+        $"n_orders", $"total_price",
+      )
+      .orderBy($"yr_label", $"status_label")
+  }
+
+  val q25Oracle: String =
+    """SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr_label,
+      |  COALESCE(o_orderstatus, 'ALL') AS status_label,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+      |ORDER BY yr_label, status_label""".stripMargin
+
+  /** q26 — JSON field extraction + agg over it (events.props is a JSON blob;
+    * the reference's JSON surface is its REST serializer, data.py:14-48 —
+    * here re-expressed as an engine-side JSON path read).
+    */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(lsum($"k").as("sum_k"), count($"k").as("n_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q26Oracle: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q02_global_totals", q02, Some(q02Oracle)),
+    Q("q10_yearly_rollup", q10, Some(q10Oracle)),
+    Q("q11_avg_by_segment", q11, Some(q11Oracle)),
+    Q("q12_distinct_dims", q12, Some(q12Oracle)),
+    Q("q18_weekly_rollup", q18, Some(q18Oracle)),
+    Q("q25_rollup_subtotals", q25, Some(q25Oracle)),
+    Q("q26_json_extract_agg", q26, Some(q26Oracle)),
+  )
+}

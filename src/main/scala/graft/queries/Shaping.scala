@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.util.Exact._
+
+/** Row-shaping coverage (SURVEY.md §2.2/2.3/2.7): projection+filter, top-k,
+  * pagination, union, explode, null-guard arithmetic.
+  */
+object Shaping {
+
+  /** q03 — filter + projection + aliasing + date formatting (P1-P5, F14,
+    * F16). All three predicates and the 4-column projection reach the
+    * parquet scan (PushedFilters / ReadSchema) — the scan never materializes
+    * untouched columns.
+    */
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R" && $"l_quantity" >= 45.0 &&
+        $"l_shipdate" >= lit("2000-01-01").cast("timestamp"))
+      .select(
+        $"l_orderkey".as("orderkey"),
+        $"l_linenumber".as("linenumber"),
+        $"l_quantity".as("qty"),
+        $"l_extendedprice".as("price"),
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_day"),
+      )
+      .orderBy($"orderkey", $"linenumber")
+  }
+
+  val q03Oracle: String =
+    """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+      |  l_quantity AS qty, l_extendedprice AS price,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_quantity >= 45.0
+      |  AND l_shipdate >= TIMESTAMP '2000-01-01'
+      |ORDER BY orderkey, linenumber""".stripMargin
+
+  /** q13 — top-k by measure (O2: ORDER BY … DESC LIMIT at
+    * app/routes/data.py:273-298 → TakeOrderedAndProject: each task keeps a
+    * k-row heap, driver merges k×tasks rows — no global sort at any scale).
+    */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  val q13Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** q14 — keyset-free pagination (O3: LIMIT/OFFSET, app/routes/data.py:110-121).
+    * OFFSET over a total order; fine for UI pages — at deep offsets on huge
+    * data prefer keyset pagination (WHERE key > last_seen LIMIT n), which this
+    * plan shape also supports via the q03 filter path.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_totalprice")
+      .orderBy($"o_orderkey")
+      .offset(100)
+      .limit(20)
+  }
+
+  val q14Oracle: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+      |FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin
+
+  /** q15 — unionByName of two branch projections (O6: app/etl.py:108). */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val building = c.filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_name", lit("segment_building").as("src"))
+    val negative = c.filter($"c_acctbal" < 0.0)
+      .select(lit("negative_balance").as("src"), $"c_name", $"c_custkey")
+    building.unionByName(negative)
+      .orderBy($"src", $"c_custkey")
+  }
+
+  val q15Oracle: String =
+    """SELECT c_custkey, c_name, 'segment_building' AS src
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION ALL
+      |SELECT c_custkey, c_name, 'negative_balance' AS src
+      |FROM customer WHERE c_acctbal < 0.0
+      |ORDER BY src, c_custkey""".stripMargin
+
+  /** q16 — split + explode + count (G1/F5: the VACCINES_USED
+    * split/explode at app/etl.py:135-137). Generator output feeds a
+    * partial+final agg, so the exploded rows never shuffle — only the
+    * (token, partial count) pairs do.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select(explode(split($"p_name", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(10)
+  }
+
+  val q16Oracle: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin
+
+  /** q19 — null-guard arithmetic: COALESCE / NULLIF / ROUND / casts
+    * (F9-F13: Grafana panel 6/10 SQL, app/routes/data.py:357-358).
+    * Division happens in double (identical IEEE both engines), rounding in
+    * decimal (identical HALF_UP both engines for positive values).
+    */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val discNonZero = when($"l_discount" =!= 0.0, $"l_discount") // NULLIF(l_discount, 0)
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(round(($"l_extendedprice".cast(DecimalType(18, 4)) *
+          (lit(1) - $"l_discount").cast(DecimalType(18, 4))), 2))
+          .cast("double").as("sum_disc_price_2dp"),
+        count(when($"l_discount" === 0.0, lit(1))).as("n_zero_disc"),
+        sum(($"l_extendedprice" / discNonZero).cast(DecimalType(28, 4)))
+          .cast("double").as("price_per_disc"),
+        coalesce(max(when($"l_discount" === 0.0, $"l_extendedprice")), lit(0.0))
+          .as("max_nodisc_price"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  val q19Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)), 2)) AS DOUBLE) AS sum_disc_price_2dp,
+      |  COUNT(CASE WHEN l_discount = 0.0 THEN 1 END) AS n_zero_disc,
+      |  CAST(SUM(CAST(l_extendedprice / NULLIF(l_discount, 0) AS DECIMAL(28,4))) AS DOUBLE) AS price_per_disc,
+      |  COALESCE(MAX(CASE WHEN l_discount = 0.0 THEN l_extendedprice END), 0.0) AS max_nodisc_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q03_filter_project", q03, Some(q03Oracle)),
+    Q("q13_topk_orders", q13, Some(q13Oracle)),
+    Q("q14_pagination", q14, Some(q14Oracle)),
+    Q("q15_union_branches", q15, Some(q15Oracle)),
+    Q("q16_explode_tokens", q16, Some(q16Oracle)),
+    Q("q19_null_guards", q19, Some(q19Oracle)),
+  )
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.util.Exact._
+
+/** Window-function coverage (SURVEY.md §2.6): lag deltas, last-row-per-group
+  * (DISTINCT ON), max_by, lead / rank / running-sum frames, per-group
+  * min-max scaling. Every window is PARTITIONED — no global
+  * `Window.orderBy` without partitioning anywhere (the reference's
+  * single-partition W1 window, app/etl.py:101, is explicitly NOT reproduced;
+  * at 100 TB a global window funnels the whole table through one task).
+  */
+object Windows {
+
+  /** q07 — per-partition lag delta (W2: app/etl.py:122-124 lag of
+    * TOTAL_VACCINATIONS per country; W4: Grafana per-region yearly delta).
+    * Agg to (event_type, day) grain first, then lag within event_type.
+    */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(dsum($"value").as("day_value"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("prev_value", lag($"day_value", 1).over(w))
+      .withColumn("delta", $"day_value" - $"prev_value")
+      .orderBy($"event_type", $"day")
+  }
+
+  val q07Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, day_value,
+      |  lag(day_value, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_value,
+      |  day_value - lag(day_value, 1) OVER (PARTITION BY event_type ORDER BY day) AS delta
+      |FROM daily ORDER BY event_type, day""".stripMargin
+
+  /** q08 — latest-row-per-group via row_number (A8/W5: the Postgres
+    * `DISTINCT ON (country) … ORDER BY year DESC` at app/routes/data.py:344-349,
+    * rewritten as the reference-independent window idiom). Total order inside
+    * the window (orderdate DESC, orderkey DESC) makes ties deterministic.
+    */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("latest_date"), $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  val q08Oracle: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date, o_totalprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** q09 — last-value-per-group then re-aggregate (A9: README.md:1-3 "sum of
+    * last Cumulative_cases per country"), implemented with `max_by` over a
+    * (date, key) struct — one agg pass, no window sort, no shuffle beyond the
+    * two group-bys. The oracle expresses the same semantics via row_number,
+    * proving implementation-independence.
+    */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val latest = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(max_by($"o_totalprice", struct($"o_orderdate", $"o_orderkey")).as("latest_price"))
+    latest
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(dsum($"latest_price").as("sum_latest_price"), count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q09Oracle: String =
+    """WITH latest AS (
+      |  SELECT o_custkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_latest_price,
+      |  COUNT(*) AS n_customers
+      |FROM latest JOIN customer ON o_custkey = c_custkey
+      |WHERE rn = 1 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q23 — analytic suite: row_number, lead, rank-with-ties, running sum over
+    * a ROWS frame (W3 + beyond-reference lead/rank; the running sum is the
+    * scaled analog of the ML sliding lookback W6). Running sum is exact
+    * decimal inside the frame, cast to double at the end.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wTotal = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wTies  = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 50)
+      .withColumn("rn", row_number().over(wTotal))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(wTotal))
+      .withColumn("date_rank", rank().over(wTies))
+      .withColumn("running_total",
+        sum($"o_totalprice".cast(DecimalType(18, 4)))
+          .over(wTotal.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_totalprice", $"rn", $"next_price", $"date_rank", $"running_total")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q23Oracle: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+      |  row_number() OVER w AS rn,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS date_rank,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** q24 — per-group min-max scaling (the reference's per-country
+    * MinMaxScaler, predict_france_with_model.py:68-69, §2.9 — as a window,
+    * no MLlib fit needed, fully distributed). Same double formula in both
+    * engines → bit-identical.
+    */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+    Tables.events(s, dir)
+      .withColumn("min_v", min($"value").over(w))
+      .withColumn("max_v", max($"value").over(w))
+      .withColumn("scaled",
+        when($"max_v" === $"min_v", lit(0.0))
+          .otherwise(($"value" - $"min_v") / ($"max_v" - $"min_v")))
+      .select($"event_id", $"event_type", $"value", $"scaled")
+      .orderBy($"event_id")
+  }
+
+  val q24Oracle: String =
+    """SELECT event_id, event_type, value,
+      |  CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+      |       ELSE (value - MIN(value) OVER w) / (MAX(value) OVER w - MIN(value) OVER w)
+      |  END AS scaled
+      |FROM events WINDOW w AS (PARTITION BY event_type)
+      |ORDER BY event_id""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q07_window_lag_delta", q07, Some(q07Oracle)),
+    Q("q08_latest_per_group", q08, Some(q08Oracle)),
+    Q("q09_maxby_lastvalue", q09, Some(q09Oracle)),
+    Q("q23_analytic_suite", q23, Some(q23Oracle)),
+    Q("q24_minmax_scale", q24, Some(q24Oracle)),
+  )
+}
