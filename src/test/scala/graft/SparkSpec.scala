@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all suites (getOrCreate dedups across
+  * suites in the forked test JVM).
+  */
+trait SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val referenceDataDir = "/root/reference/app/data/data_covid"
+  val sfSmoke = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.etl.EtlJob
+
+/** Serving-layer queries over the real ETL output: cross-checked invariants
+  * (totals consistent between endpoints, rankings ordered, CFR bounded).
+  */
+class ServingQueriesSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  lazy val star = EtlJob.run(spark, referenceDataDir)
+  lazy val covid = EtlJob.prepareCovid(
+    EtlJob.readWhoCovid(spark, s"$referenceDataDir/WHO-COVID-19-global-data.csv"))
+
+  test("total_cases endpoint equals the evolution series' grand total") {
+    val total = ServingQueries.totalCases(star).collect()(0).getLong(0)
+    val evolution = ServingQueries.covidCasesEvolution(star)
+      .agg(sum("total_cases")).collect()(0).getLong(0)
+    assert(total == evolution)
+    assert(total > 700000000L) // ~777M global reported cases in the snapshot
+  }
+
+  test("top5 rankings are 5 rows, strictly ordered") {
+    val deaths = ServingQueries.top5Deaths(star).collect()
+    assert(deaths.length == 5)
+    val vals = deaths.map(_.getLong(1)).toSeq
+    assert(vals == vals.sortBy(-_))
+    val cases = ServingQueries.top5Cases(star).collect()
+    assert(cases.length == 5)
+  }
+
+  test("weekly pagination: page partitions the ordered stream exactly") {
+    val p1 = ServingQueries.weeklyStatisticsTotal(star, page = 1, limit = 50).collect()
+    val p2 = ServingQueries.weeklyStatisticsTotal(star, page = 2, limit = 50).collect()
+    assert(p1.length == 50 && p2.length == 50)
+    assert(p1.toSet.intersect(p2.toSet).isEmpty)
+    val totalRows = ServingQueries.weeklyStatisticsTotalRows(star)
+    assert(totalRows == star.weeklyStatistics.count())
+  }
+
+  test("weekly_statistics_by_country returns a dated series for FR") {
+    val fr = ServingQueries.weeklyStatisticsByCountry(star, "FR").collect()
+    assert(fr.length == 261) // every weekly bucket
+    assert(fr.forall(_.getAs[String]("country") == "France"))
+  }
+
+  test("country_covid_rates: rate formula and ordering") {
+    val population = Seq(
+      ("FR", 2020, 67000000L), ("FR", 2023, 68000000L), ("DE", 2023, 83000000L),
+    ).toDF("country_code", "year", "population")
+    val rates = ServingQueries.countryCovidRates(star, population).collect()
+    assert(rates.length == 2)
+    val byCode = rates.map(r => r.getString(0) -> r).toMap
+    // latest population picked (68M not 67M)
+    assert(byCode("FR").getAs[Long]("population") == 68000000L)
+    val rate = byCode("FR").getAs[java.math.BigDecimal]("case_rate_percent")
+    assert(rate.doubleValue > 0 && rate.doubleValue < 100)
+  }
+
+  test("region yearly summary + Grafana panels") {
+    val regionYearly = DerivedTables.covidRegionYearlySummary(covid).cache()
+    assert(regionYearly.select("Year").distinct().count() == 5) // 2020..2024
+    val latest = DerivedTables.panelRegionCasesLatestYear(regionYearly).collect()
+    assert(latest.nonEmpty && latest.length <= 8)
+    val cfr = DerivedTables.panelGlobalYearlyCfr(regionYearly).collect()
+    assert(cfr.length == 5)
+    // NOTE: the reference's panel-6 SQL lags yearly TOTALS as if they were
+    // cumulative, so year-over-year "CFR" can leave [0,100] (it's faithfully
+    // reproduced, not fixed) — only finiteness is asserted
+    val ratios = cfr.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Double]))
+    assert(ratios.forall(r => !r.isNaN && !r.isInfinite))
+    val deltas = DerivedTables.panelRegionYearlyDelta(regionYearly, "deaths").collect()
+    assert(deltas.length == regionYearly.count())
+  }
+
+  test("README derived tables: global last-value totals consistent") {
+    val globalTotal = DerivedTables.globalTotalCumulativeCases(covid)
+      .collect()(0).getLong(0)
+    assert(globalTotal > 700000000L)
+    val stats = DerivedTables.globalStatistics(covid,
+      EtlJob.readVaccinationData(spark, s"$referenceDataDir/vaccination-data.csv"))
+    assert(stats.count() == 240)
+    // Σ per-country last cumulative == the single-row global total
+    val sumOfLast = stats.agg(sum("total_cumulative_cases")).collect()(0).getLong(0)
+    assert(sumOfLast == globalTotal)
+  }
+
+  test("worldmap + graph intended semantics") {
+    val cases = ServingQueries.worldmapCases(star)
+    assert(cases.count() == 240)
+    val fr = ServingQueries.graphCountry(star, "FR", "cases").collect()
+    assert(fr.length == 261)
+    intercept[IllegalArgumentException] {
+      ServingQueries.graphCountry(star, "FR", "nope")
+    }
+  }
+}
