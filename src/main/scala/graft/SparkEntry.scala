@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ops.{Dedup, TextAnalysis}
 import graft.queries.{Aggregates, Joins, Q, Relational, Shaping, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +15,8 @@ object SparkEntry {
 
   /** All registered queries across modules. */
   def registry: Seq[Q] =
-    Relational.all ++ Aggregates.all ++ Joins.all ++ Windows.all ++ Shaping.all
+    Relational.all ++ Aggregates.all ++ Joins.all ++ Windows.all ++ Shaping.all ++
+      TextAnalysis.all ++ Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * scan → join → agg → join → top-k (SURVEY.md §7 build order step 1).

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Deduplication operators over `documents` (BASELINE.json north star:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale design: every stage is a standard shuffle-bounded pipeline —
+  *  - exact: one groupBy on a 128-bit content hash (no text comparison ever
+  *    crosses the wire, only (hash, id) pairs).
+  *  - MinHash LSH: shingle explode → one groupBy(doc) for signatures →
+  *    band explode → one groupBy(band-bucket) → pair join. Candidate count
+  *    is governed by band geometry (16 bands × 4 rows ≈ s-curve @ J≈0.6),
+  *    never by |docs|²; the only quadratic work happens INSIDE a bucket.
+  *  - SimHash: one groupBy(doc) for the 64-bit signature; pairing via
+  *    16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+  *  - All hashing is xxhash64 (codegen'd Catalyst expression, no UDF).
+  */
+object Dedup {
+
+  val NumPerms = 64
+  val Bands = 16
+  val RowsPerBand = 4 // NumPerms / Bands
+  val ShingleSize = 3
+
+  import TextAnalysis.normalize
+
+  /** Word n-gram shingle set (distinct) of the canonical text. */
+  def shingleArray(text: Column, n: Int = ShingleSize): Column = {
+    val words = split(normalize(text), " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Exact-dedup groups: canonical-text MD5 → keep lowest doc_id per group. */
+  def d01Groups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(normalize(col("text"))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** d01 — exact dedup over the documents table. */
+  def d01(s: SparkSession, dir: String): DataFrame =
+    d01Groups(Tables.documents(s, dir))
+
+  val d01Oracle: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** MinHash signatures: 64 permutations approximated by seeded xxhash64
+    * mins over the shingle set. One shuffle (groupBy doc_id).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val mins = (0 until NumPerms).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    docs
+      .select(col("doc_id"), explode(shingleArray(col("text"))).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: equal band-hash in ≥1 of the 16 bands; estimated
+    * Jaccard = matching signature positions / 64.
+    */
+  def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val bandHashes = transform(
+      sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandHashes).as(Seq("band", "bucket")))
+    val pairs = bands.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val estEq = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    pairs
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
+      .select(col("a"), col("b"), (estEq.cast("double") / NumPerms).as("est_jaccard"))
+  }
+
+  /** d02 — MinHash LSH near-dup candidates (no SQL oracle: seeded-hash
+    * pipelines aren't expressible in DuckDB; covered by TextDedupSpec with
+    * planted near-duplicates).
+    */
+  def d02(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(s, dir))
+    minhashCandidates(sigs).orderBy(col("a"), col("b"))
+  }
+
+  /** SimHash (64-bit) per document: per-bit ±1 votes over word hashes. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val assembled = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(normalize(col("text")), " "))).as("word"))
+      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** Near-dup pairs by Hamming distance ≤ maxHamming, bucketed on the four
+    * 16-bit chunks (complete for maxHamming ≤ 3; a recall/cost dial above).
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = array((0 until 4).map(k =>
+      shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val byChunk = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    val pairs = byChunk.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("m1"), col("members"))
+      .select(col("m1"), explode(col("members")).as("m2"))
+      .filter(col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("a"), col("m1.simhash").as("sh_a"),
+        col("m2.doc_id").as("b"), col("m2.simhash").as("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** d03 — per-document SimHash signature + chunk keys (deterministic,
+    * always non-empty; the pair-finding path is exercised in TextDedupSpec
+    * where near-dups are planted).
+    */
+  def d03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashSignatures(Tables.documents(s, dir))
+      .select($"doc_id", conv($"simhash", 10, 16).as("simhash_hex"),
+        shiftrightunsigned($"simhash", 48).bitwiseAND(lit(0xFFFFL)).as("chunk3"),
+        shiftrightunsigned($"simhash", 32).bitwiseAND(lit(0xFFFFL)).as("chunk2"),
+        shiftrightunsigned($"simhash", 16).bitwiseAND(lit(0xFFFFL)).as("chunk1"),
+        $"simhash".bitwiseAND(lit(0xFFFFL)).as("chunk0"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact word-n-gram Jaccard for a pair table (a, b) — set intersection /
+    * union over shingle arrays. Used on LSH candidates: the expensive exact
+    * measure only ever runs on the candidate set, never all pairs.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleArray(col("text")).as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** d04 — exact n-gram Jaccard over the MinHash candidate pairs (the
+    * verify stage of the near-dup pipeline). No SQL oracle (inherits d02's
+    * seeded hashing); validated in TextDedupSpec.
+    */
+  def d04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val candidates = minhashCandidates(minhashSignatures(docs)).select("a", "b")
+    ngramJaccard(docs, candidates).orderBy(col("a"), col("b"))
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("d01_exact_dedup", d01, Some(d01Oracle)),
+    Q("d02_minhash_lsh_candidates", d02, None),
+    Q("d03_simhash_signatures", d03, None),
+    Q("d04_ngram_jaccard_verify", d04, None),
+  )
+}

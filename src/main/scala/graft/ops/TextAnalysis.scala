@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (beyond the reference surface — BASELINE.json north star): token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All four are pure per-row scalar pipelines: no shuffle except the final
+  * presentation ORDER BY — they scale embarrassingly (predicate/column
+  * pruning reaches the scan; at 100 TB each task streams its split).
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, lower-cased canonical text. */
+  def normalize(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** t01 — token count: non-empty whitespace tokens + char length. */
+  def t01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(filter(split($"text", "\\s+"), x => x =!= "")).as("n_tokens"),
+        length($"text").as("n_chars_computed"),
+        $"n_chars",
+      )
+      .orderBy($"doc_id")
+  }
+
+  val t01Oracle: String =
+    """SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+      |  length(text) AS n_chars_computed,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t02 — quality scoring: word/char stats, punctuation and digit ratios,
+    * length bucket (the length/punct/stopword-ratio heuristics of web-scale
+    * corpus filtering).
+    */
+  def t02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chars = length($"text")
+    val words = size(filter(split($"text", " "), x => x =!= ""))
+    val letters = length(regexp_replace($"text", " ", ""))
+    val punct = chars - length(regexp_replace($"text", "[.,;:!?]", ""))
+    val digits = chars - length(regexp_replace($"text", "[0-9]", ""))
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        chars.as("n_chars_q"),
+        words.as("n_words"),
+        (letters.cast("double") / words).as("avg_word_len"),
+        punct.as("n_punct"),
+        (digits.cast("double") / chars).as("digit_ratio"),
+        when(words < 20, "short").when(words < 60, "medium").otherwise("long")
+          .as("len_bucket"),
+      )
+      .orderBy($"doc_id")
+  }
+
+  val t02Oracle: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_q,
+      |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+      |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+      |    / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_word_len,
+      |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS digit_ratio,
+      |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 20 THEN 'short'
+      |       WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 60 THEN 'medium'
+      |       ELSE 'long' END AS len_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Occurrences of `marker` in ' '||text||' ' via the replace-count trick
+    * (identical semantics in Spark and DuckDB → oracle-able; an n-gram
+    * language model would not be).
+    */
+  private def markerCount(padded: Column, marker: String): Column =
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
+
+  /** Language-ID heuristic over any (doc_id, text) frame: stopword-marker
+    * counts per candidate language, argmax with a fixed priority order for
+    * ties.
+    */
+  def langPred(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), normalize(col("text")), lit(" "))
+    val en = markerCount(padded, " the ") + markerCount(padded, " a ")
+    val de = markerCount(padded, " der ") + markerCount(padded, " und ")
+    val fr = markerCount(padded, " le ") + markerCount(padded, " et ")
+    val es = markerCount(padded, " el ") + markerCount(padded, " y ")
+    docs
+      .select(col("doc_id"), en.as("en_hits"), de.as("de_hits"),
+        fr.as("fr_hits"), es.as("es_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
+          && col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t03 — language-ID over the documents table. */
+  def t03(s: SparkSession, dir: String): DataFrame =
+    langPred(Tables.documents(s, dir))
+
+  private def duckMarker(marker: String): String =
+    s"CAST((length(p.padded) - length(replace(p.padded, '$marker', ''))) / ${marker.length} AS INT)"
+
+  val t03Oracle: String = {
+    val en = s"${duckMarker(" the ")} + ${duckMarker(" a ")}"
+    val de = s"${duckMarker(" der ")} + ${duckMarker(" und ")}"
+    val fr = s"${duckMarker(" le ")} + ${duckMarker(" et ")}"
+    val es = s"${duckMarker(" el ")} + ${duckMarker(" y ")}"
+    s"""WITH p AS (SELECT doc_id,
+       |  ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS padded
+       |  FROM documents),
+       |hits AS (SELECT doc_id, $en AS en_hits, $de AS de_hits, $fr AS fr_hits, $es AS es_hits
+       |  FROM p)
+       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr'
+       |       ELSE 'es' END AS lang_pred
+       |FROM hits ORDER BY doc_id""".stripMargin
+  }
+
+  /** t04 — document fingerprint: MD5 over canonical text (cross-engine-
+    * stable content hash; the exact-dedup key) + a 12-char short form.
+    */
+  def t04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        md5(normalize($"text")).as("fingerprint"),
+        substring(md5(normalize($"text")), 1, 12).as("short_fp"),
+      )
+      .orderBy($"doc_id")
+  }
+
+  val t04Oracle: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 12) AS short_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("t01_token_count", t01, Some(t01Oracle)),
+    Q("t02_text_quality", t02, Some(t02Oracle)),
+    Q("t03_lang_id", t03, Some(t03Oracle)),
+    Q("t04_fingerprint", t04, Some(t04Oracle)),
+  )
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Dedup + text ops on a corpus with PLANTED duplicates (the driver testdata
+  * has none, so the pair-finding paths are proven here).
+  */
+class TextDedupSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // 0 and 1: exact dups modulo case/whitespace. 2: near-dup of 0 (one word
+  // changed). 3, 4: unrelated. 5: near-dup of 3 (two words changed).
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from " +
+      "the warm windowsill and the birds sing in the tall green trees outside"
+  private val other =
+    "a completely different document about spark query engines and columnar " +
+      "storage formats with vectorized execution and whole stage code generation"
+  lazy val corpus = Seq(
+    (0L, base),
+    (1L, "  " + base.toUpperCase + "  "),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, other),
+    (4L, "unrelated third text on completely orthogonal topics like cooking pasta and gardening tomatoes in the summer sun with fresh basil"),
+    (5L, other.replace("different", "distinct").replace("vectorized", "batched")),
+  ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    .withColumn("source", lit("test"))
+    .withColumn("n_chars", length($"text"))
+
+  test("exact dedup collapses case/whitespace variants") {
+    val groups = Dedup.d01Groups(corpus).collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2L)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keep_id") == 0L)
+    assert(groups.length == 5) // 6 docs, one pair collapsed
+  }
+
+  test("minhash LSH finds the planted near-dup pairs with high est jaccard") {
+    val sigs = Dedup.minhashSignatures(corpus)
+    val pairs = Dedup.minhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact dup pair: signature identical
+    assert(pairs((0L, 1L)) == 1.0)
+    // near-dups: high estimated jaccard
+    assert(pairs((0L, 2L)) > 0.5)
+    assert(pairs((3L, 5L)) > 0.3)
+    // unrelated docs never become candidates
+    assert(!pairs.contains((0L, 3L)) || pairs((0L, 3L)) < 0.2)
+    assert(!pairs.contains((0L, 4L)) || pairs((0L, 4L)) < 0.2)
+  }
+
+  test("simhash: identical docs hash equal, near-dups within small hamming") {
+    val sigs = Dedup.simhashSignatures(corpus).cache()
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == byId(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(byId(0L), byId(2L)) <= 12)
+    assert(hamming(byId(0L), byId(3L)) > 12)
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("exact ngram jaccard verifies candidates correctly") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val j = Dedup.ngramJaccard(corpus, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0) // canonical texts identical
+    assert(j((0L, 2L)) > 0.5 && j((0L, 2L)) < 1.0)
+    assert(j((0L, 3L)) == 0.0)
+  }
+
+  test("lang-id marker counting picks the dominant-marker language") {
+    val docs = Seq(
+      (100L, "the cat and the dog saw a bird near a tree"),
+      (101L, "der hund und der mann und der baum und der weg"),
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("x")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+    val out = TextAnalysis.langPred(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(100L) == "en")
+    assert(out(101L) == "de")
+  }
+}
