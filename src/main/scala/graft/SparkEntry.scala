@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ml.Forecast
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Aggregates, Joins, Q, Relational, Shaping, Windows}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +18,8 @@ object SparkEntry {
   /** All registered queries across modules. */
   def registry: Seq[Q] =
     Relational.all ++ Aggregates.all ++ Joins.all ++ Windows.all ++ Shaping.all ++
-      TextAnalysis.all ++ Dedup.all
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
+      Streams.all ++ Forecast.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * scan → join → agg → join → top-k (SURVEY.md §7 build order step 1).

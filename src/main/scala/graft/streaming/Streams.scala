@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.queries.Q
+import graft.util.Exact
+
+/** Structured Streaming surface (SURVEY.md §2.10 stretch: the reference is
+  * batch-only; this re-expresses its weekly rollup A1 as a watermarked
+  * tumbling-window streaming aggregation over the `events` table, plus a
+  * stateful sessionization operator).
+  *
+  * st01 drives a real streaming query synchronously (parquet source →
+  * watermark → tumbling window → memory sink) so the driver's batch oracle
+  * can check it: with all data available, the streaming result must equal
+  * the batch GROUP BY date_trunc('week') exactly.
+  */
+object Streams {
+
+  /** events schema with ts as raw nanos (see graft.Tables.events). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  /** Streaming weekly rollup per event_type. Tumbling 7-day windows aligned
+    * to Monday (epoch 1970-01-01 is a Thursday → 4-day startTime offset
+    * matches date_trunc('week') Monday-start buckets). Watermark bounds
+    * state: at 100 TB/day the store holds only open windows per type, and
+    * closed windows age out 7 days past max event time.
+    */
+  def st01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream source needs a directory; select just the events file
+    val src = s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = src
+      .withWatermark("ts", "7 days")
+      .groupBy(window($"ts", "7 days", "7 days", "4 days"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("total_value"),
+      )
+    val sink = s"st01_weekly_${sinkCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink)
+      .select(
+        date_format($"window.start", "yyyy-MM-dd").as("week_start"),
+        $"event_type", $"n_events", $"total_value",
+      )
+      .orderBy($"week_start", $"event_type")
+  }
+
+  /** Batch oracle: the streaming tumbling window must equal GROUP BY
+    * date_trunc('week').
+    */
+  val st01Oracle: String =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----------------
+
+  final case class Event(userId: Long, ts: java.sql.Timestamp, value: Double)
+
+  final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+
+  final case class Session(
+      userId: Long,
+      sessionStart: java.sql.Timestamp,
+      sessionEnd: java.sql.Timestamp,
+      nEvents: Int,
+      totalValue: Double,
+  )
+
+  /** Custom stateful operator: per-user sessions closed after `gapMinutes`
+    * of inactivity (KeyValueGroupedDataset.flatMapGroupsWithState —
+    * SURVEY.md §2.10 "custom state" surface). State per key is O(1): the
+    * open session only.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.lastSeen <= gapMs =>
+                cur = Some(st.copy(lastSeen = t, n = st.n + 1, total = st.total + e.value))
+              case Some(st) =>
+                closed += Session(userId, new java.sql.Timestamp(st.start),
+                  new java.sql.Timestamp(st.lastSeen), st.n, st.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
+  )
+}

@@ -1,0 +1,45 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ForecastSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // two synthetic series: trend+seasonality, enough rows for lag warm-up
+  lazy val series = {
+    val rows = for {
+      key <- Seq("A", "B")
+      i <- 0 until 120
+    } yield {
+      val base = if (key == "A") 100.0 else 300.0
+      (key, f"2023-W$i%03d", base + 50 * math.sin(i / 8.0) + i * 0.5)
+    }
+    rows.toDF("country", "week", "cases")
+  }
+
+  test("lag features: warm-up nulls then correct shifts") {
+    val lagged = Forecast.lagFeatures(series, "country", "week", "cases")
+    val a = lagged.filter($"country" === "A").orderBy($"week").collect()
+    assert(a(0).isNullAt(a(0).fieldIndex("lag1")))
+    assert(a(5).getAs[Double]("lag1") == a(4).getAs[Double]("cases"))
+    assert(a(5).getAs[Double]("lag3") == a(2).getAs[Double]("cases"))
+    val rolling = a(5).getAs[Double]("rolling4")
+    val expected = (2 to 5).map(i => a(i).getAs[Double]("cases")).sum / 4
+    assert(math.abs(rolling - expected) < 1e-9)
+  }
+
+  test("RF forecast fits the series and rolls out finite predictions") {
+    val (preds, metrics) = Forecast.forecastSeries(
+      series, "country", "week", "cases", key = "A", steps = 6)
+    assert(preds.length == 6)
+    assert(preds.forall(p => !p.isNaN && !p.isInfinite))
+    // in-sample fit on a smooth series should be strong
+    assert(metrics("r2") > 0.8, s"r2 = ${metrics("r2")}")
+    assert(metrics("rmse") > 0 && metrics("mae") > 0)
+    // rollout stays in the series' ballpark (no divergence)
+    assert(preds.forall(p => p > 0 && p < 1000))
+  }
+}

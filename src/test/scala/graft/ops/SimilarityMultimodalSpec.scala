@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  test("s02 LSH recall vs s01 brute force >= 0.6 at sf0.001") {
+    val exact = Similarity.s01(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s02(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low (exact=$exact approx=$approx)")
+  }
+
+  test("cosine is symmetric, bounded, and 1.0 on self") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val self = v.select(Similarity.cosine($"a", $"b")).collect()(0).getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+    val w = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    assert(w.select(Similarity.cosine($"a", $"b")).collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("multimodal pipeline: decode/features/frames consistent and partition-preserving") {
+    val media = Multimodal.mediaTable(spark, sfSmoke)
+    val nParts = media.rdd.getNumPartitions
+    val decoded = Multimodal.decode(media)
+    assert(decoded.rdd.getNumPartitions == nParts) // narrow, no shuffle
+    val d = decoded.collect()
+    assert(d.length == media.count())
+    assert(d.forall(r => r.byte_len > 0 && r.width > 0 && r.height > 0))
+    // frame count follows the payload length for videos, 1 otherwise
+    assert(d.filter(_.modality == "video").forall(r => r.n_frames == 1 + r.byte_len / 64))
+    assert(d.filter(_.modality != "video").forall(_.n_frames == 1))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(f => f.entropy > 0 && f.entropy <= 8.0)) // ≤ log2(256)
+    assert(feats.forall(f => f.mean_byte > 0 && f.mean_byte < 256))
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 4 == 0)) // stride honored
+    assert(frames.forall(_.frame_bytes.length <= 64))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.Tables
+import graft.util.Exact
+
+class StreamsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("st01 streaming weekly rollup equals the batch equivalent") {
+    val streamed = Streams.st01(spark, sfSmoke).collect()
+    val batch = Tables.events(spark, sfSmoke)
+      .groupBy(date_format(date_trunc("week", $"ts"), "yyyy-MM-dd").as("week_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"), Exact.dsum($"value").as("total_value"))
+      .orderBy($"week_start", $"event_type")
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("sessionize closes sessions at the inactivity gap (streaming, stateful)") {
+    val t0 = 1700000000000L
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionize(input.toDS(), gapMinutes = 10)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // batch 1: user 1 has two events 5 min apart (same session), then a
+      // 30-min gap event that closes it on batch 2
+      input.addData(
+        Streams.Event(1L, new Timestamp(t0), 10.0),
+        Streams.Event(1L, new Timestamp(t0 + 5 * 60000), 5.0),
+        Streams.Event(2L, new Timestamp(t0), 1.0),
+      )
+      q.processAllAvailable()
+      input.addData(Streams.Event(1L, new Timestamp(t0 + 35 * 60000), 2.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[Streams.Session].collect()
+      assert(closed.length == 1) // only user 1's first session closed so far
+      val s = closed.head
+      assert(s.userId == 1L && s.nEvents == 2 && s.totalValue == 15.0)
+      assert(s.sessionEnd.getTime - s.sessionStart.getTime == 5 * 60000)
+    } finally q.stop()
+  }
+}
