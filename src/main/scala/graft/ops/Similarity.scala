@@ -124,7 +124,10 @@ object Similarity {
   def d05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val norm = normalized(Tables.embeddings(s, dir)).cache()
-    val model = lshModel(norm, tables = 12)
+    // self-join: fewer tables than s02 — candidate volume grows linearly in
+    // tables and quadratically in bucket occupancy, and a near-dup sweep
+    // only needs high recall at HIGH cosine, where bucket agreement is near 1
+    val model = lshModel(norm, tables = 4)
     // testdata's closest pair sits at cos≈0.51 — floor at 0.45 so the
     // operator demonstrably emits pairs; a production near-dup floor would
     // be 0.9+
