@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.etl.StarSchema
+
+/** Serving-side warehouse surface (SURVEY.md §2.1 S5/S6/S9/S10):
+  * catalog registration, validated generic scans, JSON record encoding.
+  */
+object Warehouse {
+
+  /** Register the star schema as temp views (the engine's "database"). */
+  def register(spark: SparkSession, star: StarSchema): Unit =
+    star.tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+
+  /** Catalog introspection (reference: app/database/db.py:18-20 lists public
+    * tables via information_schema).
+    */
+  def listTables(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  /** Generic limited scan by table name (reference: app/routes/tables.py:29
+    * string-interpolates the URL path into SQL — an injection hole; here the
+    * name must exist in the catalog, nothing is ever interpolated).
+    */
+  def tableScan(spark: SparkSession, name: String, limit: Int = 100): DataFrame = {
+    // an unparseable "name" (e.g. injection attempts) is just an unknown table
+    val exists =
+      try spark.catalog.tableExists(name)
+      catch { case _: Exception => false }
+    require(exists, s"unknown table: $name")
+    spark.table(name).limit(limit)
+  }
+
+  /** Rows → JSON records (reference: the per-value coercion loop at
+    * app/routes/data.py:14-48 — Spark's encoders already emit JSON-safe
+    * values, so the whole "clean_records" layer is one call).
+    */
+  def jsonRecords(df: DataFrame): Dataset[String] = df.toJSON
+}

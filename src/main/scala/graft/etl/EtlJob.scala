@@ -75,6 +75,14 @@ object EtlJob {
   def readVaccinationMetadata(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(Schemas.vaccinationMetadata).csv(path)
 
+  /** OWID feed for the ML path — projection at read time (reference:
+    * predict_france_with_model.py:25 reads 5 of ~60 columns; with an explicit
+    * schema + select, the CSV parser never materializes the rest).
+    */
+  def readOwid(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(Schemas.owidCovid).csv(path)
+      .select("location", "date", "new_cases", "new_tests", "people_vaccinated")
+
   /** Run the full pipeline from a directory holding the three WHO CSVs. */
   def run(spark: SparkSession, dataDir: String): StarSchema = {
     val covid = prepareCovid(

@@ -147,6 +147,36 @@ object Shaping {
       |  COALESCE(MAX(CASE WHEN l_discount = 0.0 THEN l_extendedprice END), 0.0) AS max_nodisc_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q27 — INTERSECT / EXCEPT (beyond-reference completeness: SURVEY.md
+    * §2.7 notes the reference has neither). Both are hash-dedup set ops on
+    * the projected key only.
+    */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val building = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val positive = c.filter($"c_acctbal" > 0.0).select($"c_custkey")
+    building.intersect(positive).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect"))
+      .unionByName(
+        building.except(positive).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except")))
+      .select($"op", $"n")
+      .orderBy($"op")
+  }
+
+  val q27Oracle: String =
+    """SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 0.0)
+      |UNION ALL
+      |SELECT 'except' AS op, COUNT(*) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 0.0)
+      |ORDER BY op""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q03_filter_project", q03, Some(q03Oracle)),
     Q("q13_topk_orders", q13, Some(q13Oracle)),
@@ -154,5 +184,6 @@ object Shaping {
     Q("q15_union_branches", q15, Some(q15Oracle)),
     Q("q16_explode_tokens", q16, Some(q16Oracle)),
     Q("q19_null_guards", q19, Some(q19Oracle)),
+    Q("q27_set_ops", q27, Some(q27Oracle)),
   )
 }

@@ -90,6 +90,34 @@ class ServingQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(sumOfLast == globalTotal)
   }
 
+  test("warehouse: register, catalog list, validated scan, json records") {
+    graft.Warehouse.register(spark, star)
+    val tables = graft.Warehouse.listTables(spark)
+    assert(Seq("country", "disease", "vaccine", "weekly_statistics",
+      "who_region", "daily_vaccine_statistics").forall(tables.contains))
+    assert(graft.Warehouse.tableScan(spark, "country", 10).count() == 10)
+    intercept[IllegalArgumentException] {
+      graft.Warehouse.tableScan(spark, "nope; DROP TABLE country")
+    }
+    val json = graft.Warehouse.jsonRecords(star.disease).collect()
+    assert(json.sameElements(Array("""{"id":1,"name":"COVID-19"}""")))
+  }
+
+  test("owid reader projects the 5 ML columns with typed schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("owid").toFile
+    val f = new java.io.File(tmp, "owid.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "location,date,new_cases,new_tests,people_vaccinated\n" +
+        "France,2021-01-01,100,2000,5.0E6\nFrance,2021-01-02,,2100,5.1E6\n")
+    val owid = graft.etl.EtlJob.readOwid(spark, f.getAbsolutePath)
+    assert(owid.columns.toSeq ==
+      Seq("location", "date", "new_cases", "new_tests", "people_vaccinated"))
+    val rows = owid.orderBy("date").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(2) == 100.0 && rows(1).isNullAt(2))
+    assert(rows(0).getDate(1).toString == "2021-01-01")
+  }
+
   test("worldmap + graph intended semantics") {
     val cases = ServingQueries.worldmapCases(star)
     assert(cases.count() == 240)
