@@ -31,8 +31,15 @@ object Similarity {
       transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composed-builtin cosine (reference implementation; bit-identical to the
+    * native expression — see CosineSimSpec).
+    */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Native codegen'd cosine ([[graft.functions.CosineSimilarity]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /** s01 — brute-force cosine top-3 for each query vector (vec_id < 5)
     * against the candidate set (vec_id ≥ 5).
@@ -45,6 +52,7 @@ object Similarity {
     */
   def s01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
     val c = e.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"embedding".as("ce"))

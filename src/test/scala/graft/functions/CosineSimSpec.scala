@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.Tables
+import graft.ops.Similarity
+
+class CosineSimSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("native expression == composed builtins, bit for bit, on real vectors") {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfSmoke)
+    val a = e.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val pairs = a.filter($"ida" < 20).crossJoin(b.filter($"idb".between(20, 40)))
+    val diffs = pairs.select(
+      VectorFunctions.cosine_sim($"va", $"vb").as("native"),
+      Similarity.cosineComposed($"va", $"vb").as("composed"),
+    ).filter($"native" =!= $"composed").count()
+    assert(diffs == 0)
+  }
+
+  test("registered for SQL via extensions-style builder") {
+    VectorFunctions.register(spark)
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT cosine_sim(a, b) AS c FROM vecs").collect()(0).getDouble(0)
+    assert(r == 1.0)
+  }
+
+  test("null inputs propagate null; mismatched lengths use common prefix") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f, 9.0f))),
+      (None, Some(Seq(1.0f))),
+    ).toDF("a", "b")
+    val rows = df.select(VectorFunctions.cosine_sim($"a", $"b").as("c")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("codegen path is exercised (no fallback to interpreted)") {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfSmoke).limit(10)
+    val plan = e.select(VectorFunctions.cosine_sim($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
