@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev utility: time one query N times at a given sf dir. */
+object Timing {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$dir/lineitem.parquet").count()
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"[timing] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -37,6 +37,7 @@ object Dedup {
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
+
   /** Exact-dedup groups: canonical-text MD5 → keep lowest doc_id per group. */
   def d01Groups(docs: DataFrame): DataFrame =
     docs

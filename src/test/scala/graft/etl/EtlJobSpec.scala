@@ -56,6 +56,21 @@ class EtlJobSpec extends AnyFunSuite with SparkSpec {
     assert(weeklyTotal == rawTotal)
   }
 
+  test("partitioned write: year filter prunes partitions at planning time") {
+    val out = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    EtlJob.write(star, out)
+    val back = spark.read.parquet(s"$out/weekly_statistics")
+    val pruned = back.filter(col("report_year") === 2021)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("report_year"), plan)
+    assert(pruned.count() == back.filter(year(col("date_of_report")) === 2021).count())
+    // all six tables round-trip
+    val names = star.tables.map(_._1)
+    names.foreach { n =>
+      assert(spark.read.parquet(s"$out/$n").count() > 0, s"table $n empty")
+    }
+  }
+
   test("daily_vaccine_statistics: snapshot degenerates to totals, sentinel vaccine") {
     val d = star.dailyVaccineStatistics.cache()
     // one snapshot row per country; some COUNTRY names don't match the WHO
