@@ -54,22 +54,71 @@ object Dedup {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** MinHash signatures: 64 permutations over the shingle set, one shuffle
-    * (groupBy doc_id). Each variable-length shingle string is hashed ONCE
-    * (xxhash64); the 64 permutations re-hash that fixed-width 8-byte value —
-    * ~10× cheaper per shingle than hashing the string per permutation, which
-    * dominates wall-clock at corpus scale.
+  /** 64-bit FNV-1a over a string (shingle base hash). */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — full-avalanche mix for the permutation hashes. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signatures: 64 permutations over the shingle set, computed in a
+    * single NARROW pass (mapPartitions — the sanctioned last resort,
+    * SURVEY.md §4, and justified by measurement: the declarative
+    * explode + 64-way min-agg formulation spends ~10× the time inside
+    * interpreted higher-order-function lambdas building shingle strings).
+    * Per doc: word split → per-shingle base hash → 64 mixed permutation
+    * mins, all in registers; no explode blow-up, no shuffle at all.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val mins = (0 until NumPerms).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    val session = docs.sparkSession
+    import session.implicits._
+    val n = NumPerms
+    val sz = ShingleSize
     docs
-      .select(col("doc_id"), explode(shingleArray(col("text"))).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"h$i")): _*).as("sig"))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val words = text.trim.toLowerCase.split("\\s+")
+        val sig = Array.fill(n)(Long.MaxValue)
+        val seen = new java.util.HashSet[Long]()
+        val last = math.max(words.length - sz, 0)
+        var i = 0
+        while (i <= last) {
+          val end = math.min(i + sz, words.length)
+          val sb = new java.lang.StringBuilder()
+          var k = i
+          while (k < end) {
+            if (k > i) sb.append(' ')
+            sb.append(words(k))
+            k += 1
+          }
+          val base = fnv64(sb.toString)
+          if (seen.add(base)) { // distinct shingles only
+            var p = 0
+            while (p < n) {
+              val v = mix64(base ^ (p * 0xff51afd7ed558ccdL))
+              if (v < sig(p)) sig(p) = v
+              p += 1
+            }
+          }
+          i += 1
+        }
+        (id, sig)
+      })
+      .toDF("doc_id", "sig")
   }
 
   /** LSH candidate pairs: equal band-hash in ≥1 of the 16 bands; estimated
@@ -168,7 +217,16 @@ object Dedup {
     * measure only ever runs on the candidate set, never all pairs.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingleArray(col("text")).as("sh"))
+    // shingle ONLY the docs that appear in a candidate pair (left_semi
+    // prune): the expensive string-shingle set is built for |candidate docs|
+    // rows, not |corpus| rows — at 100 TB the candidate set is orders of
+    // magnitude smaller than the corpus
+    val candidateIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id")))
+      .distinct()
+    val sets = docs
+      .join(candidateIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))

@@ -26,7 +26,10 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     (2L, base.replace("lazy", "sleepy")),
     (3L, other),
     (4L, "unrelated third text on completely orthogonal topics like cooking pasta and gardening tomatoes in the summer sun with fresh basil"),
-    (5L, other.replace("different", "distinct").replace("vectorized", "batched")),
+    // one changed word: J ≈ 0.8 → 16×4 banding detects with prob ≈ 1
+    // (two changed words would put J near the s-curve threshold where
+    // detection depends on the hash family — a luck-dependent test)
+    (5L, other.replace("different", "distinct")),
   ).toDF("doc_id", "text").withColumn("lang", lit("en"))
     .withColumn("source", lit("test"))
     .withColumn("n_chars", length($"text"))
@@ -47,7 +50,7 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs((0L, 1L)) == 1.0)
     // near-dups: high estimated jaccard
     assert(pairs((0L, 2L)) > 0.5)
-    assert(pairs((3L, 5L)) > 0.3)
+    assert(pairs((3L, 5L)) > 0.4)
     // unrelated docs never become candidates
     assert(!pairs.contains((0L, 3L)) || pairs((0L, 3L)) < 0.2)
     assert(!pairs.contains((0L, 4L)) || pairs((0L, 4L)) < 0.2)
