@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graft.{CosineSimilarity, TopKByScore}
 
 /** graft-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -16,15 +17,33 @@ object VectorFunctions {
         s"cosine_sim expects 2 arguments, got ${other.length}")
   }
 
+  val topKBuilder: Seq[Expression] => Expression = {
+    case Seq(score, id, Literal(k: Int, _)) => TopKByScore(score, id, k)
+    case other =>
+      throw new IllegalArgumentException(
+        s"top_k_by expects (score, id, k-literal), got ${other.length} args")
+  }
+
   /** Imperative per-session registration (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_by", topKBuilder, "built-in")
+  }
 
   /** Column-API entry: `cosine_sim($"a", $"b")` (requires [[register]] or
     * [[GraftExtensions]] on the session).
     */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Bounded-heap per-group top-k aggregate (see
+    * [[org.apache.spark.sql.graft.TopKByScore]]).
+    */
+  def top_k_by(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("top_k_by", score, id, lit(k))
+  }
 }
 
 /** Session-extension registration path:

@@ -152,8 +152,31 @@ object Similarity {
       .orderBy($"a", $"b")
   }
 
+  /** s03 — brute-force KNN via the bounded-heap `top_k_by` aggregate
+    * instead of a window: each partial buffer holds ≤ 3 entries, so the
+    * exchange carries 3·tasks rows per query instead of every scored
+    * candidate (the scale path flagged in s01's docs). Oracle: IDENTICAL to
+    * s01's — heap selection with exact (score DESC, id ASC) ties must
+    * reproduce the window result bit-for-bit.
+    */
+  def s03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = e.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"embedding".as("ce"))
+    c.crossJoin(broadcast(q))
+      .select($"qid", $"cid", cosine($"qe", $"ce").as("cosine"))
+      .groupBy($"qid")
+      .agg(graft.functions.VectorFunctions.top_k_by($"cosine", $"cid", 3).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.id".as("cid"), $"t.score".as("cosine"))
+      .orderBy($"qid", $"cosine".desc, $"cid")
+  }
+
   def all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Oracle)),
+    Q("s03_knn_heap", s03, Some(s01Oracle)),
     Q("s02_knn_lsh", s02, None),
     Q("d05_embedding_neardup", d05, None),
   )
