@@ -166,6 +166,24 @@ object Aggregates {
       |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q30 — sketch aggregation: HyperLogLog++ approximate distinct counts
+    * next to the exact count (rows-only driver check: HLL estimates are
+    * engine-specific; the ≤5% relative-error bound is asserted in
+    * AggregatesSpec). At 100 TB the sketch is the only affordable form: a
+    * fixed-size buffer per group vs a full distinct shuffle.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"props", 0.02).as("approx_props"),
+      )
+      .orderBy($"event_type")
+  }
+
   def all: Seq[Q] = Seq(
     Q("q02_global_totals", q02, Some(q02Oracle)),
     Q("q10_yearly_rollup", q10, Some(q10Oracle)),
@@ -174,5 +192,6 @@ object Aggregates {
     Q("q18_weekly_rollup", q18, Some(q18Oracle)),
     Q("q25_rollup_subtotals", q25, Some(q25Oracle)),
     Q("q26_json_extract_agg", q26, Some(q26Oracle)),
+    Q("q30_approx_distinct", q30, None),
   )
 }
