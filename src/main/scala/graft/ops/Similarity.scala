@@ -174,10 +174,53 @@ object Similarity {
       .orderBy($"qid", $"cosine".desc, $"cid")
   }
 
+  /** s04 — IVF approximate nearest neighbors: a KMeans coarse quantizer
+    * (nlist centroids) buckets candidates into inverted lists; each query
+    * probes only its nprobe nearest centroids' lists. Work per query scales
+    * with nprobe/nlist of the corpus, not the corpus — the standard
+    * billion-vector index shape. Centroid scoring rides the same codegen'd
+    * cosine_sim; final ranking reuses the bounded-heap top_k_by.
+    */
+  def s04(s: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val norm = normalized(Tables.embeddings(s, dir)).cache()
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42).setFeaturesCol("vec").setPredictionCol("cluster")
+      .fit(norm)
+    val assigned = km.transform(norm)
+      .join(Tables.embeddings(s, dir), Seq("vec_id"))
+      .select($"vec_id", $"cluster", $"embedding")
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq.toDF("cluster", "centroid")
+    val q = assigned.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    // probe list per query: nprobe nearest centroids (nlist rows, broadcast)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select($"qid", $"qe", $"cluster",
+        cosine($"qe", $"centroid").as("centroid_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"centroid_sim".desc, $"cluster")))
+      .filter($"rn" <= nprobe)
+      .select($"qid", $"qe", $"cluster")
+    val candidates = assigned.filter($"vec_id" >= 5)
+      .select($"cluster", $"vec_id".as("cid"), $"embedding".as("ce"))
+    probes
+      .join(candidates, Seq("cluster")) // only probed lists are scored
+      .select($"qid", $"cid", cosine($"qe", $"ce").as("cosine"))
+      .groupBy($"qid")
+      .agg(graft.functions.VectorFunctions.top_k_by($"cosine", $"cid", 3).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.id".as("cid"), $"t.score".as("cosine_approx"))
+      .orderBy($"qid", $"cosine_approx".desc, $"cid")
+  }
+
   def all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Oracle)),
     Q("s03_knn_heap", s03, Some(s01Oracle)),
     Q("s02_knn_lsh", s02, None),
+    Q("s04_knn_ivf", (s, dir) => s04(s, dir), None),
     Q("d05_embedding_neardup", d05, None),
   )
 }

@@ -31,6 +31,22 @@ class ForecastSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rolling - expected) < 1e-9)
   }
 
+  test("predict_cases parity: forecast FR weekly cases from the real star schema") {
+    // the reference's GET /api/predict_cases shape (predict_france_with_model.py):
+    // per-country history → model → N-step autoregressive rollout
+    val star = graft.etl.EtlJob.run(spark, referenceDataDir)
+    val series = star.weeklyStatistics.select(
+      $"country_short_code".as("country"),
+      $"date_of_report".as("week"),
+      $"week_new_reported_cases".cast("double").as("cases"))
+    val (preds, metrics) = Forecast.forecastSeries(
+      series, "country", "week", "cases", key = "FR", steps = 4)
+    assert(preds.length == 4)
+    assert(preds.forall(p => !p.isNaN && !p.isInfinite && p >= 0))
+    assert(metrics.keySet == Set("r2", "rmse", "mae"))
+    assert(metrics("rmse") > 0)
+  }
+
   test("RF forecast fits the series and rolls out finite predictions") {
     val (preds, metrics) = Forecast.forecastSeries(
       series, "country", "week", "cases", key = "A", steps = 6)

@@ -15,6 +15,15 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall too low (exact=$exact approx=$approx)")
   }
 
+  test("s04 IVF recall vs s01 brute force >= 0.6 at sf0.001") {
+    val exact = Similarity.s01(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s04(spark, sfSmoke, nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("cosine is symmetric, bounded, and 1.0 on self") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
