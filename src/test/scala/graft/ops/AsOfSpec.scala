@@ -1,0 +1,53 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class AsOfSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks latest at-or-before right row per key; no match -> null") {
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:05"), 100.0),
+      (2L, 10L, ts("2024-01-01 10:00:10"), 101.0), // equal-ts quote matches
+      (3L, 10L, ts("2024-01-01 09:59:00"), 99.0),  // before any quote → null
+      (4L, 20L, ts("2024-01-01 10:00:07"), 55.0),
+    ).toDF("trade_id", "sym", "t_ts", "price")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L),
+      (10L, ts("2024-01-01 10:00:10"), 2L),
+      (20L, ts("2024-01-01 10:00:06"), 3L),
+      (30L, ts("2024-01-01 10:00:00"), 4L), // key never probed
+    ).toDF("sym", "q_ts", "quote_id")
+
+    val out = AsOf.asofJoin(trades, quotes, key = "sym",
+      leftTs = "t_ts", rightTs = "q_ts", rightCols = Seq("q_ts", "quote_id"))
+      .orderBy($"trade_id")
+      .collect()
+      .map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[java.lang.Long]("asof_quote_id")))
+      .toMap
+
+    assert(out(1L) == Some(1L)) // 10:00:05 → quote @10:00:00
+    assert(out(2L) == Some(2L)) // equal ts matches (ASOF >=)
+    assert(out(3L) == None)     // no quote at-or-before
+    assert(out(4L) == Some(3L))
+    assert(out.size == 4)       // all probe rows kept
+  }
+
+  test("asof join keeps every probe row exactly once") {
+    val n = 50
+    val probes = (1 to n).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 10:00:${i % 60}%02d"), 0.0))
+      .toDF("trade_id", "sym", "t_ts", "price")
+    val refs = Seq((1L, ts("2024-01-01 09:00:00"), 7L)).toDF("sym", "q_ts", "quote_id")
+    val out = AsOf.asofJoin(probes, refs, "sym", "t_ts", "q_ts", Seq("quote_id"))
+    assert(out.count() == n)
+    assert(out.filter($"asof_quote_id" === 7L).count() == n)
+  }
+}
