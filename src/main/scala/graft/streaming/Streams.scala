@@ -82,6 +82,18 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin
 
+  /** Streaming exactly-once-per-key dedup: `dropDuplicatesWithinWatermark`
+    * keeps state only inside the watermark horizon (unbounded
+    * `dropDuplicates` state would grow forever on an infinite stream —
+    * the 100 TB/day failure mode). Re-deliveries of the same event_id
+    * within `horizon` are dropped; state for ids older than the watermark
+    * is evicted.
+    */
+  def dedupStream(events: DataFrame, horizon: String): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
 
   final case class Event(userId: Long, ts: java.sql.Timestamp, value: Double)

@@ -27,6 +27,29 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming dedup drops re-delivered event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = Streams.dedupStream(
+      input.toDS().toDF("event_id", "ts", "value"), horizon = "10 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (1L, new Timestamp(t0), 1.0),
+        (1L, new Timestamp(t0 + 1000), 1.0), // duplicate id, same batch
+        (2L, new Timestamp(t0 + 2000), 2.0),
+      )
+      q.processAllAvailable()
+      input.addData((1L, new Timestamp(t0 + 5000), 1.0)) // re-delivery, next batch
+      input.addData((3L, new Timestamp(t0 + 6000), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions at the inactivity gap (streaming, stateful)") {
     val t0 = 1700000000000L
     implicit val sqlCtx = spark.sqlContext
