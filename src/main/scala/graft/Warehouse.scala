@@ -37,4 +37,19 @@ object Warehouse {
     * values, so the whole "clean_records" layer is one call).
     */
   def jsonRecords(df: DataFrame): Dataset[String] = df.toJSON
+
+  /** Bucketed + sorted managed table: both sides of a recurring equi-join
+    * bucketed on the join key with the SAME bucket count join with ZERO
+    * exchange and zero sort (SortMergeJoin reads co-located, pre-sorted
+    * buckets directly). At 100 TB this turns every fact⋈fact join on the
+    * bucketing key from a full shuffle into a local merge —
+    * WarehouseSpec proves the Exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
