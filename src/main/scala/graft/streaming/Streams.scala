@@ -82,6 +82,42 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin
 
+  /** st02 — event-time SESSION windows (dynamic-gap grouping the reference
+    * never had; the batch form of the sessionization the stateful operator
+    * below does incrementally). Spark's native `session_window` merges
+    * events whose ts is < gap after the previous one; the oracle expresses
+    * the same semantics independently as gaps-and-islands SQL (lag + flag +
+    * running sum) — two formulations, one answer.
+    */
+  def st02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("total_value"),
+      )
+      .select(
+        $"user_id",
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events", $"total_value",
+      )
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val st02Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked)
+      |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   /** Streaming exactly-once-per-key dedup: `dropDuplicatesWithinWatermark`
     * keeps state only inside the watermark horizon (unbounded
     * `dropDuplicates` state would grow forever on an infinite stream —
@@ -144,5 +180,6 @@ object Streams {
 
   def all: Seq[Q] = Seq(
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
+    Q("st02_session_windows", st02, Some(st02Oracle)),
   )
 }
