@@ -45,11 +45,20 @@ object Warehouse {
     * bucketing key from a full shuffle into a local merge —
     * WarehouseSpec proves the Exchange-free plan.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // true overwrite across JVMs: a managed table's directory can outlive
+    // the (in-memory) catalog entry, and CREATE then refuses the location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
