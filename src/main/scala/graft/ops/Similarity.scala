@@ -186,7 +186,8 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val norm = normalized(Tables.embeddings(s, dir)).cache()
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42).setFeaturesCol("vec").setPredictionCol("cluster")
+      .setK(nlist).setSeed(42).setMaxIter(5) // coarse quantizer: 5 iters suffice
+      .setFeaturesCol("vec").setPredictionCol("cluster")
       .fit(norm)
     val assigned = km.transform(norm)
       .join(Tables.embeddings(s, dir), Seq("vec_id"))

@@ -184,6 +184,33 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** q33 — exact percentiles (beyond-reference completeness: linear-
+    * interpolated quantiles, Spark `percentile` ≡ DuckDB `quantile_cont`).
+    * Exact percentile sorts per group — fine at low group cardinality; the
+    * 100 TB path is `approx_percentile` (t-digest sketch), same shape as
+    * q30's HLL.
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.25)).as("p25"),
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.75)).as("p75"),
+        percentile($"l_extendedprice", lit(0.9)).as("price_p90"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  val q33Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_extendedprice, 0.9) AS price_p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q02_global_totals", q02, Some(q02Oracle)),
     Q("q10_yearly_rollup", q10, Some(q10Oracle)),
@@ -193,5 +220,6 @@ object Aggregates {
     Q("q25_rollup_subtotals", q25, Some(q25Oracle)),
     Q("q26_json_extract_agg", q26, Some(q26Oracle)),
     Q("q30_approx_distinct", q30, None),
+    Q("q33_percentiles", q33, Some(q33Oracle)),
   )
 }
