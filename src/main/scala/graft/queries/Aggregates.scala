@@ -211,6 +211,28 @@ object Aggregates {
       |  quantile_cont(l_extendedprice, 0.9) AS price_p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q34 — pivot (long → wide): per-year order totals by status. Spark's
+    * `pivot` with explicit values compiles to the same conditional
+    * aggregation the oracle spells out — no second pass to discover pivot
+    * values (the distinct-scan a valueless pivot would need at 100 TB).
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum($"o_totalprice"))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy($"yr")
+  }
+
+  val q34Oracle: String =
+    """SELECT year(o_orderdate) AS yr,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_p
+      |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q02_global_totals", q02, Some(q02Oracle)),
     Q("q10_yearly_rollup", q10, Some(q10Oracle)),
@@ -221,5 +243,6 @@ object Aggregates {
     Q("q26_json_extract_agg", q26, Some(q26Oracle)),
     Q("q30_approx_distinct", q30, None),
     Q("q33_percentiles", q33, Some(q33Oracle)),
+    Q("q34_pivot", q34, Some(q34Oracle)),
   )
 }
