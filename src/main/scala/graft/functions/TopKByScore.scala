@@ -5,7 +5,7 @@ package org.apache.spark.sql.graft
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -32,9 +32,14 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0,
-) extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]] {
+) extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+    with ExpectsInputTypes {
 
   require(k > 0, "top_k_by: k must be positive")
+
+  // analysis-time type check (and implicit casts) instead of a mid-job
+  // ClassCastException when SQL callers pass e.g. a float score
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
 
   // max-heap whose maximum is the WORST entry (lowest score; ties → larger
   // id), so exceeding k evicts in O(log k)
@@ -72,9 +77,10 @@ case class TopKByScore(
   }
 
   override def eval(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortWith { (a, b) =>
-      if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
-    }
+    // Double.compare is NaN-total, so the sort contract holds even when a
+    // score is NaN (e.g. cosine of a zero vector) — sortWith on != / >
+    // would violate it and throw on larger arrays
+    val sorted = buf.toArray.sorted(worstFirst)
     new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
   }
 

@@ -37,8 +37,11 @@ object Forecast {
     val withLags = (1 to NumLags).foldLeft(series) { (df, i) =>
       df.withColumn(s"lag$i", lag(col(valueCol), i).over(w))
     }
+    // frame ends at -1: a (-3, 0) frame would fold the LABEL into its own
+    // feature (leakage) and diverge from the rollout, which can only average
+    // already-known values
     withLags.withColumn("rolling4",
-      avg(col(valueCol)).over(w.rowsBetween(-3, 0)))
+      avg(col(valueCol)).over(w.rowsBetween(-4, -1)))
   }
 
   /** Fit an RF regressor on the lagged frame (nulls from the warm-up rows
@@ -79,6 +82,8 @@ object Forecast {
     val buf = scala.collection.mutable.ArrayBuffer(history: _*)
     (1 to steps).map { _ =>
       val recent = buf.takeRight(NumLags).reverse // lag1 = newest
+      // mean of the last 4 KNOWN values == the training frame's (-4, -1)
+      // rolling window evaluated at the predicted row
       val rolling = buf.takeRight(4).sum / math.min(4, buf.length)
       val pred = model.predict(Vectors.dense((recent :+ rolling).toArray))
       buf += pred

@@ -35,6 +35,9 @@ object AsOf {
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightCols: Seq[String],
   ): DataFrame = {
+    val collisions = left.columns.toSet.intersect(rightCols.toSet) - key
+    require(collisions.isEmpty,
+      s"asofJoin: rename right columns that collide with left: ${collisions.mkString(", ")}")
     val leftTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // left sorts after right at equal ts
@@ -49,8 +52,10 @@ object AsOf {
           .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
     }
     val unioned = leftTagged.unionByName(rightTagged)
+    // carried right cols break sort ties so duplicate (key, ts) right rows
+    // resolve deterministically (greatest carried tuple wins)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts") +: col("__side") +: rightCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))

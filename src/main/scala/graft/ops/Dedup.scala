@@ -91,7 +91,10 @@ object Dedup {
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val words = text.trim.toLowerCase.split("\\s+")
+        // Locale.ROOT: default-locale toLowerCase diverges from Spark's
+        // locale-independent lower() (e.g. Turkish dotless ı), which would
+        // make signatures disagree with d01/d04's normalize() shingles
+        val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         val sig = Array.fill(n)(Long.MaxValue)
         val seen = new java.util.HashSet[Long]()
         val last = math.max(words.length - sz, 0)

@@ -129,6 +129,8 @@ object Multimodal {
         $"media_id",
         $"modality",
         length($"payload").as("byte_len"),
+        // both engines slice BYTES (substring on binary), not characters —
+        // a character slice would diverge on multi-byte UTF-8
         lower(hex(substring($"payload", 1, 8))).as("head_hex"),
       )
       .orderBy($"media_id")
@@ -140,7 +142,7 @@ object Multimodal {
       |       WHEN doc_id % 3 = 1 THEN 'audio'
       |       ELSE 'video' END AS modality,
       |  octet_length(encode(text)) AS byte_len,
-      |  lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+      |  lower(substring(hex(encode(text)), 1, 16)) AS head_hex
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** m02 — decode + features + frame counts, joined back on media_id (the

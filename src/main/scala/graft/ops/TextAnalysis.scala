@@ -50,14 +50,16 @@ object TextAnalysis {
     val letters = length(regexp_replace($"text", " ", ""))
     val punct = chars - length(regexp_replace($"text", "[.,;:!?]", ""))
     val digits = chars - length(regexp_replace($"text", "[0-9]", ""))
+    // NULLIF guards: an empty/whitespace-only doc must yield NULL ratios in
+    // BOTH engines (unguarded, Spark ANSI throws and DuckDB returns inf)
     Tables.documents(s, dir)
       .select(
         $"doc_id",
         chars.as("n_chars_q"),
         words.as("n_words"),
-        (letters.cast("double") / words).as("avg_word_len"),
+        (letters.cast("double") / when(words =!= 0, words)).as("avg_word_len"),
         punct.as("n_punct"),
-        (digits.cast("double") / chars).as("digit_ratio"),
+        (digits.cast("double") / when(chars =!= 0, chars)).as("digit_ratio"),
         when(words < 20, "short").when(words < 60, "medium").otherwise("long")
           .as("len_bucket"),
       )
@@ -69,10 +71,10 @@ object TextAnalysis {
       |  length(text) AS n_chars_q,
       |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
       |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-      |    / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_word_len,
+      |    / NULLIF(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS avg_word_len,
       |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-      |    / length(text) AS digit_ratio,
+      |    / NULLIF(length(text), 0) AS digit_ratio,
       |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 20 THEN 'short'
       |       WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 60 THEN 'medium'
       |       ELSE 'long' END AS len_bucket

@@ -163,7 +163,9 @@ object Streams {
           sorted.foreach { e =>
             val t = e.ts.getTime
             cur match {
-              case Some(st) if t - st.lastSeen <= gapMs =>
+              // strict <: an exactly-gap-spaced event starts a NEW session,
+              // matching session_window / the st02 oracle's >= INTERVAL rule
+              case Some(st) if t - st.lastSeen < gapMs =>
                 cur = Some(st.copy(lastSeen = t, n = st.n + 1, total = st.total + e.value))
               case Some(st) =>
                 closed += Session(userId, new java.sql.Timestamp(st.start),

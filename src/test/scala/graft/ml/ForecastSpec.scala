@@ -26,8 +26,9 @@ class ForecastSpec extends AnyFunSuite with SparkSpec {
     assert(a(0).isNullAt(a(0).fieldIndex("lag1")))
     assert(a(5).getAs[Double]("lag1") == a(4).getAs[Double]("cases"))
     assert(a(5).getAs[Double]("lag3") == a(2).getAs[Double]("cases"))
+    // rolling window excludes the current row (no label leakage)
     val rolling = a(5).getAs[Double]("rolling4")
-    val expected = (2 to 5).map(i => a(i).getAs[Double]("cases")).sum / 4
+    val expected = (1 to 4).map(i => a(i).getAs[Double]("cases")).sum / 4
     assert(math.abs(rolling - expected) < 1e-9)
   }
 
