@@ -22,7 +22,11 @@ class ServingQueriesSpec extends AnyFunSuite with SparkSpec {
     val evolution = ServingQueries.covidCasesEvolution(star)
       .agg(sum("total_cases")).collect()(0).getLong(0)
     assert(total == evolution)
-    assert(total > 700000000L) // ~777M global reported cases in the snapshot
+    // golden values from the committed snapshot (independently computed
+    // with DuckDB over the raw CSV)
+    assert(total == 777126421L)
+    val deaths = ServingQueries.totalDeaths(star).collect()(0).getLong(0)
+    assert(deaths == 7079925L)
   }
 
   test("top5 rankings are 5 rows, strictly ordered") {
@@ -81,7 +85,7 @@ class ServingQueriesSpec extends AnyFunSuite with SparkSpec {
   test("README derived tables: global last-value totals consistent") {
     val globalTotal = DerivedTables.globalTotalCumulativeCases(covid)
       .collect()(0).getLong(0)
-    assert(globalTotal > 700000000L)
+    assert(globalTotal == 777126421L) // golden: Σ per-country last Cumulative_cases
     val stats = DerivedTables.globalStatistics(covid,
       EtlJob.readVaccinationData(spark, s"$referenceDataDir/vaccination-data.csv"))
     assert(stats.count() == 240)
