@@ -38,6 +38,27 @@ object Warehouse {
     */
   def jsonRecords(df: DataFrame): Dataset[String] = df.toJSON
 
+  /** Batch upsert — the engine form of the reference's CRUD writes
+    * (api/api_crud.py insert/update/delete on the serving tables): new rows
+    * win over existing rows on the primary key; a parquet warehouse swaps
+    * the table atomically instead of mutating rows in place.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, pk: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tagged = existing.withColumn("__priority", lit(0))
+      .unionByName(updates.withColumn("__priority", lit(1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pk)).orderBy(col("__priority").desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__priority", "__rn")
+  }
+
+  /** Batch delete-by-key (CRUD delete): anti join on the key set. */
+  def deleteByKey(existing: DataFrame, keys: DataFrame, pk: String): DataFrame =
+    existing.join(keys.select(pk), Seq(pk), "left_anti")
+
   /** Bucketed + sorted managed table: both sides of a recurring equi-join
     * bucketed on the join key with the SAME bucket count join with ZERO
     * exchange and zero sort (SortMergeJoin reads co-located, pre-sorted

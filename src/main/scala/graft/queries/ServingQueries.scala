@@ -281,6 +281,50 @@ object DerivedTables {
       .orderBy("Country")
   }
 
+  /** country_statistics — the CRUD-maintained serving table (reference DDL:
+    * app/sql/country_statistics.sql, ORM api/api_crud.py:23-35), derived
+    * here from the star schema + a population input instead of manual
+    * upserts: Country PK, total_cases, total_vaccinated, population.
+    */
+  def countryStatistics(star: StarSchema, population: DataFrame): DataFrame = {
+    val cases = star.weeklyStatistics
+      .groupBy(col("country_short_code"))
+      .agg(sum("week_new_reported_cases").as("total_cases"))
+    val shots = star.dailyVaccineStatistics
+      .groupBy(col("country_short_code"))
+      .agg(sum("new_reported_shots").as("total_vaccinated"))
+    val latestPop = population
+      .groupBy(col("country_code"))
+      .agg(max_by(col("population"), struct(col("year"), col("population"))).as("population"))
+    cases
+      .join(broadcast(star.country), Seq("country_short_code"))
+      .join(shots, Seq("country_short_code"), "left")
+      .join(latestPop, cases("country_short_code") === latestPop("country_code"), "left")
+      .select(
+        col("country_name").as("Country"),
+        col("total_cases"),
+        coalesce(col("total_vaccinated"), lit(0L)).as("total_vaccinated"),
+        col("population"),
+      )
+      .orderBy("Country")
+  }
+
+  /** Grafana panel 10 over country_statistics: percent-of-population
+    * metrics (`(total::float / population) * 100`, population non-null).
+    */
+  def panelCountryPercent(countryStats: DataFrame, measure: String): DataFrame = {
+    val m = measure match {
+      case "cases"      => "total_cases"
+      case "vaccinated" => "total_vaccinated"
+      case other        => throw new IllegalArgumentException(s"unknown measure: $other")
+    }
+    countryStats
+      .filter(col("population").isNotNull)
+      .select(col("Country"),
+        (col(m).cast("double") / col("population") * 100).as(s"${measure}_percent"))
+      .orderBy("Country")
+  }
+
   // ---- Grafana panels over region_yearly_summary ----------------------
 
   /** Panel 7: per-region cases at the latest year (scalar subquery A7). */

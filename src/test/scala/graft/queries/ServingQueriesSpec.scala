@@ -122,6 +122,33 @@ class ServingQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(rows(0).getDate(1).toString == "2021-01-01")
   }
 
+  test("country_statistics serving table + panel 10 percent metrics") {
+    val population = Seq(("FR", 2023, 68000000L), ("DE", 2023, 83000000L))
+      .toDF("country_code", "year", "population")
+    val cs = DerivedTables.countryStatistics(star, population).cache()
+    assert(cs.count() == 240) // every country kept; population left-joined
+    assert(cs.filter($"population".isNotNull).count() == 2)
+    val fr = cs.filter($"Country" === "France").collect()(0)
+    assert(fr.getAs[Long]("total_cases") > 0L)
+    val pct = DerivedTables.panelCountryPercent(cs, "cases").collect()
+    assert(pct.length == 2)
+    assert(pct.forall(r => r.getDouble(1) > 0 && r.getDouble(1) < 100))
+    intercept[IllegalArgumentException] {
+      DerivedTables.panelCountryPercent(cs, "nope")
+    }
+  }
+
+  test("warehouse upsert: updates win on pk, inserts appended, deletes drop") {
+    val existing = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v")
+    val updates = Seq((2L, "b2", 99), (3L, "c", 30)).toDF("id", "name", "v")
+    val merged = graft.Warehouse.upsert(existing, updates, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(merged.toSeq == Seq((1L, "a", 10), (2L, "b2", 99), (3L, "c", 30)))
+    val afterDelete = graft.Warehouse.deleteByKey(
+      existing, Seq(Tuple1(1L)).toDF("id"), "id").collect()
+    assert(afterDelete.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("worldmap + graph intended semantics") {
     val cases = ServingQueries.worldmapCases(star)
     assert(cases.count() == 240)
