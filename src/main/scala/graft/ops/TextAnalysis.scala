@@ -155,10 +155,39 @@ object TextAnalysis {
       |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 12) AS short_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-style pre-tokenizer pattern (ASCII form of the GPT-2 pretokenize
+    * classes: space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs) — kept to constructs RE2 (DuckDB) and the JVM regex
+    * engine (Spark) interpret identically: no lookarounds, no backrefs.
+    */
+  val BpeishPattern = " ?[a-z]+| ?[A-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+  /** t05 — token counting with the BPE-ish regex next to whitespace tokens
+    * (the "whitespace + BPE-ish regex" pair of a training-data token
+    * accounting pass).
+    */
+  def t05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(filter(split($"text", "\\s+"), x => x =!= "")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit(BpeishPattern), lit(0))).as("bpeish_tokens"),
+      )
+      .orderBy($"doc_id")
+  }
+
+  val t05Oracle: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$BpeishPattern')) AS bpeish_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
     Q("t03_lang_id", t03, Some(t03Oracle)),
     Q("t04_fingerprint", t04, Some(t04Oracle)),
+    Q("t05_bpeish_tokens", t05, Some(t05Oracle)),
   )
 }
