@@ -107,10 +107,10 @@ object Similarity {
   def s02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    // no .cache(): normalization is a cheap map, and pinned per-query caches
-    // would accumulate across a full Verify/Bench session with no owner to
-    // unpersist them (same below)
-    val norm = normalized(e)
+    // cached: the LSH fit and both approxSimilarityJoin sides re-read this
+    // (measured ~2× wall-clock without it); storage is LRU-evicted under
+    // pressure, so the pin is soft
+    val norm = normalized(e).cache()
     val q = norm.filter($"vec_id" < 5)
     val c = norm.filter($"vec_id" >= 5)
     val model = lshModel(norm, tables = 12)
@@ -134,7 +134,7 @@ object Similarity {
     */
   def d05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val norm = normalized(Tables.embeddings(s, dir))
+    val norm = normalized(Tables.embeddings(s, dir)).cache() // fit + 2 join sides
     // self-join: fewer tables than s02 — candidate volume grows linearly in
     // tables and quadratically in bucket occupancy, and a near-dup sweep
     // only needs high recall at HIGH cosine, where bucket agreement is near 1
@@ -187,7 +187,7 @@ object Similarity {
   def s04(s: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
-    val norm = normalized(Tables.embeddings(s, dir))
+    val norm = normalized(Tables.embeddings(s, dir)).cache() // KMeans iterates
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42).setMaxIter(5) // coarse quantizer: 5 iters suffice
       .setFeaturesCol("vec").setPredictionCol("cluster")
