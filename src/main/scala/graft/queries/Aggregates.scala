@@ -233,6 +233,32 @@ object Aggregates {
       |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_p
       |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin
 
+  /** q36 — array aggregation: sorted distinct collect per group, rendered
+    * as a JSON string (nested values reach the driver's hash compare as a
+    * plain deterministic scalar; collect_set order is engine-internal, the
+    * sort makes it canonical).
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        concat(lit("[\""),
+          concat_ws("\",\"", array_sort(collect_set($"n_name"))),
+          lit("\"]")).as("nations_json"),
+        countDistinct($"n_name").as("n_nations"),
+      )
+      .orderBy($"c_mktsegment")
+  }
+
+  val q36Oracle: String =
+    """SELECT c_mktsegment,
+      |  '["' || array_to_string(list_sort(list(DISTINCT n_name)), '","') || '"]' AS nations_json,
+      |  COUNT(DISTINCT n_name) AS n_nations
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q02_global_totals", q02, Some(q02Oracle)),
     Q("q10_yearly_rollup", q10, Some(q10Oracle)),
@@ -244,5 +270,6 @@ object Aggregates {
     Q("q30_approx_distinct", q30, None),
     Q("q33_percentiles", q33, Some(q33Oracle)),
     Q("q34_pivot", q34, Some(q34Oracle)),
+    Q("q36_array_agg_json", q36, Some(q36Oracle)),
   )
 }

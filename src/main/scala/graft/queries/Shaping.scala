@@ -177,6 +177,28 @@ object Shaping {
       |  SELECT c_custkey FROM customer WHERE c_acctbal > 0.0)
       |ORDER BY op""".stripMargin
 
+  /** q37 — positional explode: per-customer top-3 order totals as
+    * (pos, value) rows (posexplode ≡ DuckDB unnest + generate_subscripts).
+    * Collect → sort → slice bounds the per-group array at 3 before the
+    * generator, so no group ever materializes more than k values downstream.
+    */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 20)
+      .groupBy($"o_custkey")
+      .agg(slice(sort_array(collect_list($"o_totalprice"), asc = false), 1, 3).as("top3"))
+      .select($"o_custkey", posexplode($"top3").as(Seq("pos", "total")))
+      .orderBy($"o_custkey", $"pos")
+  }
+
+  val q37Oracle: String =
+    """WITH top3 AS (
+      |  SELECT o_custkey, list_slice(list_sort(list(o_totalprice), 'DESC'), 1, 3) AS l
+      |  FROM orders WHERE o_custkey < 20 GROUP BY o_custkey)
+      |SELECT o_custkey, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS total
+      |FROM top3 ORDER BY o_custkey, pos""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q03_filter_project", q03, Some(q03Oracle)),
     Q("q13_topk_orders", q13, Some(q13Oracle)),
@@ -185,5 +207,6 @@ object Shaping {
     Q("q16_explode_tokens", q16, Some(q16Oracle)),
     Q("q19_null_guards", q19, Some(q19Oracle)),
     Q("q27_set_ops", q27, Some(q27Oracle)),
+    Q("q37_posexplode_topk", q37, Some(q37Oracle)),
   )
 }
