@@ -108,13 +108,23 @@ object Windows {
       .withColumn("rn", row_number().over(wTotal))
       .withColumn("next_price", lead($"o_totalprice", 1).over(wTotal))
       .withColumn("date_rank", rank().over(wTies))
+      .withColumn("dense_date_rank", dense_rank().over(wTies))
+      .withColumn("quartile", ntile(4).over(wTotal))
+      .withColumn("pct_rank", percent_rank().over(wTotal))
+      .withColumn("cume", cume_dist().over(wTotal))
+      .withColumn("first_price", first($"o_totalprice")
+        .over(wTotal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("second_price", nth_value($"o_totalprice", 2)
+        .over(wTotal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("running_total",
         sum($"o_totalprice".cast(DecimalType(18, 4)))
           .over(wTotal.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double"))
       .select($"o_custkey", $"o_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
-        $"o_totalprice", $"rn", $"next_price", $"date_rank", $"running_total")
+        $"o_totalprice", $"rn", $"next_price", $"date_rank", $"dense_date_rank",
+        $"quartile", $"pct_rank", $"cume", $"first_price", $"second_price",
+        $"running_total")
       .orderBy($"o_custkey", $"rn")
   }
 
@@ -122,12 +132,19 @@ object Windows {
     """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
       |  row_number() OVER w AS rn,
       |  lead(o_totalprice, 1) OVER w AS next_price,
-      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS date_rank,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
-      |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-      |    AS running_total
+      |  rank() OVER wd AS date_rank,
+      |  dense_rank() OVER wd AS dense_date_rank,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER wf AS DOUBLE) AS running_total
       |FROM orders WHERE o_custkey < 50
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, rn""".stripMargin
 
   /** q24 — per-group min-max scaling (the reference's per-country
