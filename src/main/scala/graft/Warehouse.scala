@@ -59,6 +59,48 @@ object Warehouse {
   def deleteByKey(existing: DataFrame, keys: DataFrame, pk: String): DataFrame =
     existing.join(keys.select(pk), Seq(pk), "left_anti")
 
+  /** SCD2 merge — versioned dimension maintenance. `history` carries
+    * (pk, attrs…, valid_from, valid_to, is_current); `updates` carries
+    * (pk, attrs…) effective at `effectiveTs`. Changed rows close the
+    * current version (valid_to = effectiveTs) and append a new current one;
+    * unchanged updates are no-ops (re-applying the same batch is
+    * idempotent); unseen pks insert as current. All comparisons are
+    * null-safe (<=>); one join against current versions only.
+    */
+  def scd2Merge(
+      history: DataFrame, updates: DataFrame, pk: String, attrs: Seq[String],
+      effectiveTs: java.sql.Timestamp,
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val current = history.filter(col("is_current"))
+    val cur = attrs.foldLeft(current.select((pk +: attrs).map(col): _*)) {
+      (df, a) => df.withColumnRenamed(a, s"__cur_$a")
+    }.withColumn("__has_cur", lit(true)) // explicit marker: attr nulls are data
+    // an update "changes" its pk if there is no current row or any attr differs
+    val joined = updates.join(cur, Seq(pk), "left")
+    val differs = attrs
+      .map(a => !(col(a) <=> col(s"__cur_$a")))
+      .reduce(_ || _)
+    val changed = joined
+      .filter(col("__has_cur").isNull || differs)
+      .select((pk +: attrs).map(col): _*)
+    val changedKeys = changed.select(pk)
+    val closed = current
+      .join(changedKeys, Seq(pk), "left_semi")
+      .withColumn("valid_to", lit(effectiveTs))
+      .withColumn("is_current", lit(false))
+    val opened = changed
+      .withColumn("valid_from", lit(effectiveTs))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    history
+      .join(changedKeys, Seq(pk), "left_anti") // untouched history rows
+      .unionByName(history.join(changedKeys, Seq(pk), "left_semi")
+        .filter(!col("is_current"))) // changed pks keep their closed past versions
+      .unionByName(closed.select(history.columns.map(col): _*))
+      .unionByName(opened.select(history.columns.map(col): _*))
+  }
+
   /** Bucketed + sorted managed table: both sides of a recurring equi-join
     * bucketed on the join key with the SAME bucket count join with ZERO
     * exchange and zero sort (SortMergeJoin reads co-located, pre-sorted

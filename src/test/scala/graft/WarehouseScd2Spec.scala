@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarehouseScd2Spec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val t1 = ts("2024-01-01 00:00:00")
+  private val t2 = ts("2024-02-01 00:00:00")
+  private val t3 = ts("2024-03-01 00:00:00")
+
+  private val empty = Seq.empty[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+    .toDF("id", "segment", "valid_from", "valid_to", "is_current")
+
+  test("scd2: insert, change closes old version, unchanged is a no-op") {
+    val v1 = Warehouse.scd2Merge(empty,
+      Seq((1L, "GOLD"), (2L, "SILVER")).toDF("id", "segment"),
+      "id", Seq("segment"), t1)
+    assert(v1.count() == 2)
+    assert(v1.filter($"is_current").count() == 2)
+
+    // id 1 changes segment, id 2 unchanged
+    val v2 = Warehouse.scd2Merge(v1,
+      Seq((1L, "PLATINUM"), (2L, "SILVER")).toDF("id", "segment"),
+      "id", Seq("segment"), t2)
+    assert(v2.count() == 3) // 2 current + 1 closed
+    val id1 = v2.filter($"id" === 1L).orderBy($"valid_from").collect()
+    assert(id1.length == 2)
+    assert(!id1(0).getAs[Boolean]("is_current") &&
+      id1(0).getAs[Timestamp]("valid_to") == t2)
+    assert(id1(1).getAs[Boolean]("is_current") &&
+      id1(1).getAs[String]("segment") == "PLATINUM")
+    assert(v2.filter($"id" === 2L).count() == 1) // untouched
+
+    // idempotence: re-applying the same state changes nothing
+    val v3 = Warehouse.scd2Merge(v2,
+      Seq((1L, "PLATINUM"), (2L, "SILVER")).toDF("id", "segment"),
+      "id", Seq("segment"), t3)
+    assert(v3.count() == 3)
+
+    // a third change keeps the full version chain
+    val v4 = Warehouse.scd2Merge(v3,
+      Seq((1L, "GOLD")).toDF("id", "segment"), "id", Seq("segment"), t3)
+    assert(v4.filter($"id" === 1L).count() == 3)
+    assert(v4.filter($"id" === 1L && $"is_current").collect()(0)
+      .getAs[String]("segment") == "GOLD")
+  }
+
+  test("scd2: null attribute values compare null-safely") {
+    val v1 = Warehouse.scd2Merge(empty,
+      Seq((1L, Option.empty[String])).toDF("id", "segment"),
+      "id", Seq("segment"), t1)
+    assert(v1.count() == 1)
+    // same null value again → no new version
+    val v2 = Warehouse.scd2Merge(v1,
+      Seq((1L, Option.empty[String])).toDF("id", "segment"),
+      "id", Seq("segment"), t2)
+    assert(v2.count() == 1)
+    // null → value is a change
+    val v3 = Warehouse.scd2Merge(v2,
+      Seq((1L, Some("GOLD"))).toDF("id", "segment"),
+      "id", Seq("segment"), t2)
+    assert(v3.count() == 2)
+  }
+}
