@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.Tables
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("hash sample: deterministic, near-target rate, monotone in percent") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val s30a = Sampling.hashSample(docs, $"doc_id", 30).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s30b = Sampling.hashSample(docs, $"doc_id", 30).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s30a == s30b) // pure function of the key
+    val rate = s30a.size.toDouble / docs.count()
+    assert(rate > 0.2 && rate < 0.4, s"rate $rate")
+    // smaller sample is a subset of the larger one (prefix-threshold property)
+    val s10 = Sampling.hashSample(docs, $"doc_id", 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s30a))
+  }
+
+  test("stratified sample honors per-stratum fractions") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val fractions = Map("en" -> 0.5, "de" -> 0.1, "fr" -> 0.0, "es" -> 0.0, "zh" -> 0.0)
+    val sampled = Sampling.stratifiedSample(docs, "lang", fractions, seed = 42)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("fr") && !byLang.contains("zh"))
+    val en = Tables.documents(spark, sfSmoke).filter($"lang" === "en").count()
+    val enRate = byLang.getOrElse("en", 0L).toDouble / en
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
+  }
+}
