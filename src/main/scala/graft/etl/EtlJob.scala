@@ -202,6 +202,17 @@ object EtlJob {
     StarSchema(whoRegion, country, disease, vaccine, weeklyStatistics, dailyVaccineStatistics)
   }
 
+  /** JDBC sink — the reference's actual warehouse interface
+    * (app/etl.py:170-172 writes the six tables over JDBC). `overwrite`
+    * replaces the reference's manual FK-ordered DELETE pre-clean
+    * (app/etl.py:25-42): each table is dropped and recreated atomically, so
+    * write order stops mattering.
+    */
+  def writeJdbc(star: StarSchema, url: String, props: java.util.Properties): Unit =
+    star.tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").jdbc(url, name, props)
+    }
+
   /** Warehouse sink: parquet overwrite per table (replaces the reference's
     * DELETE-then-JDBC-append, app/etl.py:25-42,170-172 — overwrite on parquet
     * is atomic per table and needs no FK ordering).

@@ -39,6 +39,29 @@ class JdbcSinkSpec extends AnyFunSuite with SparkSpec {
     assert(filtered.count() == 2)
   }
 
+  test("EtlJob.writeJdbc lands a star schema, order-free") {
+    import java.sql.Date
+    val star = graft.etl.StarSchema(
+      whoRegion = Seq(("EURO", "European Region")).toDF("who_region_short_code", "who_region_name"),
+      country = Seq(("FR", "France", "EURO"))
+        .toDF("country_short_code", "country_name", "who_region_short_code"),
+      disease = Seq((1, "COVID-19")).toDF("id", "name"),
+      vaccine = Seq((0, "unknown", 1)).toDF("id", "name", "treated_disease"),
+      weeklyStatistics = Seq(("FR", Date.valueOf("2021-03-01"), 10, 1, 1))
+        .toDF("country_short_code", "date_of_report", "week_new_reported_cases",
+          "week_new_reported_deaths", "disease_id"),
+      dailyVaccineStatistics = Seq(("FR", Date.valueOf("2021-03-01"), 0, 5L))
+        .toDF("country_short_code", "day_of_report", "vaccine_id", "new_reported_shots"),
+    )
+    graft.etl.EtlJob.writeJdbc(star, url, props)
+    star.tables.foreach { case (name, df) =>
+      assert(spark.read.jdbc(url, name, props).count() == df.count(), name)
+    }
+    // overwrite is idempotent — no FK-ordered pre-clean needed
+    graft.etl.EtlJob.writeJdbc(star, url, props)
+    assert(spark.read.jdbc(url, "weekly_statistics", props).count() == 1)
+  }
+
   test("partitioned parallel read: per-partition bounds on the key column") {
     val back = spark.read.jdbc(url, "weekly_stats",
       columnName = "cases", lowerBound = 0L, upperBound = 200L,

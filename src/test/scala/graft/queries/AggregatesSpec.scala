@@ -6,6 +6,22 @@ import graft.SparkSpec
 
 class AggregatesSpec extends AnyFunSuite with SparkSpec {
 
+  test("approx_percentile (t-digest) stays within 10% of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = graft.Tables.lineitem(spark, sfSmoke)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", lit(0.5)).as("exact"),
+        approx_percentile($"l_extendedprice", lit(0.5), lit(1000)).as("approx"),
+      ).collect()
+    rows.foreach { r =>
+      val exact = r.getDouble(1)
+      val approx = r.getDouble(2)
+      assert(math.abs(approx - exact) / exact < 0.1, s"$exact vs $approx")
+    }
+  }
+
   test("q30 sketch estimates stay within 5% of exact distinct counts") {
     val rows = Aggregates.q30(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
