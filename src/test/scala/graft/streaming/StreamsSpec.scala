@@ -50,6 +50,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attach to signups within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val s = signups.toDS().toDF("s_user", "s_ts").withWatermark("s_ts", "1 hour")
+    val p = purchases.toDS().toDF("p_user", "p_ts", "amount")
+      .withWatermark("p_ts", "1 hour")
+    // watermarks + the interval bound make the join state PRUNABLE: signup
+    // rows age out once p_ts can no longer reach them (unbounded
+    // stream-stream equi-join state would grow forever)
+    val joined = p.join(s,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join_out").start()
+    try {
+      val t0 = 1700000000000L
+      signups.addData((1L, new Timestamp(t0)), (2L, new Timestamp(t0)))
+      purchases.addData(
+        (1L, new Timestamp(t0 + 10 * 60000), 5.0),  // within 30 min → joins
+        (2L, new Timestamp(t0 + 45 * 60000), 7.0),  // outside window → dropped
+        (3L, new Timestamp(t0 + 5 * 60000), 9.0),   // no signup → dropped
+      )
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("p_user") == 1L &&
+        rows(0).getAs[Double]("amount") == 5.0)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions at the inactivity gap (streaming, stateful)") {
     val t0 = 1700000000000L
     implicit val sqlCtx = spark.sqlContext
