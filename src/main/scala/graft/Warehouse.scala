@@ -42,13 +42,18 @@ object Warehouse {
     * (api/api_crud.py insert/update/delete on the serving tables): new rows
     * win over existing rows on the primary key; a parquet warehouse swaps
     * the table atomically instead of mutating rows in place.
+    *
+    * Duplicate pks inside `updates` are legal: the winner is chosen by a
+    * deterministic content-hash tiebreaker (not partition order), so reruns
+    * produce the same table bit-for-bit.
     */
   def upsert(existing: DataFrame, updates: DataFrame, pk: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tagged = existing.withColumn("__priority", lit(0))
       .unionByName(updates.withColumn("__priority", lit(1)))
+    val contentTiebreak = xxhash64(existing.columns.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(pk)).orderBy(col("__priority").desc)
+      .partitionBy(col(pk)).orderBy(col("__priority").desc, contentTiebreak)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -66,12 +71,24 @@ object Warehouse {
     * unchanged updates are no-ops (re-applying the same batch is
     * idempotent); unseen pks insert as current. All comparisons are
     * null-safe (<=>); one join against current versions only.
+    *
+    * `updates` carries no ordering column, so duplicate-pk update rows have
+    * no "latest": the batch is first reduced to one row per pk by a
+    * deterministic content-hash tiebreaker (identical duplicates collapse to
+    * one row; conflicting duplicates pick a stable winner instead of opening
+    * two concurrent `is_current` versions for the same pk).
     */
   def scd2Merge(
-      history: DataFrame, updates: DataFrame, pk: String, attrs: Seq[String],
+      history: DataFrame, updates0: DataFrame, pk: String, attrs: Seq[String],
       effectiveTs: java.sql.Timestamp,
   ): DataFrame = {
     import org.apache.spark.sql.functions._
+    val updates = updates0
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(pk))
+          .orderBy(xxhash64(attrs.map(col): _*))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
     val current = history.filter(col("is_current"))
     val cur = attrs.foldLeft(current.select((pk +: attrs).map(col): _*)) {
       (df, a) => df.withColumnRenamed(a, s"__cur_$a")

@@ -130,30 +130,47 @@ object Similarity {
   }
 
   /** d05 — embedding-cosine near-duplicate pairs (the vector analog of
-    * MinHash near-dup): LSH self-join, keep pairs above the cosine floor.
+    * MinHash near-dup): exact all-pairs sweep above a cosine floor.
+    *
+    * Why exact and not LSH here: the demo floor is 0.45 (the testdata's
+    * closest pair sits at cos≈0.51), and at low thresholds random-projection
+    * buckets can't prune — sign-agreement probability per hyperplane at
+    * cos 0.45 is ~0.65, so any banding with useful recall admits most of the
+    * n² pairs anyway (measured: the MLlib approxSimilarityJoin form of this
+    * query spent 48 s at sf0.1 vs <1 s exact). The exact form is a
+    * broadcast nested-loop over a<b — O(n²/p) work with NO shuffle of the
+    * pair set (only survivors move) — and is the correctness oracle for any
+    * pruned variant. At a production floor (cos ≥ 0.9, true near-dups) the
+    * prune-then-verify path is s02's bucketed LSH machinery with this exact
+    * cosine as the verify stage.
     */
   def d05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val norm = normalized(Tables.embeddings(s, dir)).cache() // fit + 2 join sides
-    // self-join: fewer tables than s02 — candidate volume grows linearly in
-    // tables and quadratically in bucket occupancy, and a near-dup sweep
-    // only needs high recall at HIGH cosine, where bucket agreement is near 1
-    val model = lshModel(norm, tables = 4)
-    // testdata's closest pair sits at cos≈0.51 — floor at 0.45 so the
-    // operator demonstrably emits pairs; a production near-dup floor would
-    // be 0.9+
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select($"vec_id".as("a"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("b"), $"embedding".as("eb"))
     val minCosine = 0.45
-    val maxDist = math.sqrt(2.0 - 2.0 * minCosine)
-    model
-      .approxSimilarityJoin(norm, norm, threshold = maxDist, distCol = "dist")
-      .select(
-        col("datasetA.vec_id").as("a"),
-        col("datasetB.vec_id").as("b"),
-        (lit(1.0) - col("dist") * col("dist") / 2).as("cosine_approx"),
-      )
-      .filter($"a" < $"b")
+    a.join(broadcast(b), $"a" < $"b")
+      .select($"a", $"b", cosine($"ea", $"eb").as("cosine"))
+      .filter($"cosine" >= minCosine)
       .orderBy($"a", $"b")
   }
+
+  val d05Oracle: String =
+    """WITH v AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+      |           FROM embeddings),
+      |norms AS (SELECT vec_id, SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE) ORDER BY i) AS n2
+      |          FROM v GROUP BY vec_id),
+      |dots AS (SELECT x.vec_id AS a, y.vec_id AS b,
+      |           SUM(CAST(x.e AS DOUBLE) * CAST(y.e AS DOUBLE) ORDER BY x.i) AS dot
+      |         FROM v x JOIN v y ON x.i = y.i AND x.vec_id < y.vec_id
+      |         GROUP BY 1, 2)
+      |SELECT a, b, cosine FROM (
+      |  SELECT a, b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+      |  FROM dots JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id)
+      |WHERE cosine >= 0.45
+      |ORDER BY a, b""".stripMargin
 
   /** s03 — brute-force KNN via the bounded-heap `top_k_by` aggregate
     * instead of a window: each partial buffer holds ≤ 3 entries, so the
@@ -225,6 +242,6 @@ object Similarity {
     Q("s03_knn_heap", s03, Some(s01Oracle)),
     Q("s02_knn_lsh", s02, None),
     Q("s04_knn_ivf", (s, dir) => s04(s, dir), None),
-    Q("d05_embedding_neardup", d05, None),
+    Q("d05_embedding_neardup", d05, Some(d05Oracle)),
   )
 }

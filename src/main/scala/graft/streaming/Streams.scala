@@ -36,9 +36,14 @@ object Streams {
 
   /** Streaming weekly rollup per event_type. Tumbling 7-day windows aligned
     * to Monday (epoch 1970-01-01 is a Thursday → 4-day startTime offset
-    * matches date_trunc('week') Monday-start buckets). Watermark bounds
-    * state: at 100 TB/day the store holds only open windows per type, and
-    * closed windows age out 7 days past max event time.
+    * matches date_trunc('week') Monday-start buckets).
+    *
+    * OutputMode.Complete is chosen so the sink holds EVERY window and the
+    * batch-equality oracle can compare the full history — in Complete mode
+    * Spark keeps all window state (the watermark does not evict). The
+    * bounded-state production path is [[st03]]: Append mode, where the same
+    * watermark finalizes each window 7 days past max event time and the
+    * store holds only open windows.
     */
   def st01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -81,6 +86,60 @@ object Streams {
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin
+
+  /** st03 — the bounded-state production form of st01: OutputMode.Append.
+    * Each window is emitted exactly once, when the watermark (max event time
+    * − 7 days) passes its end; afterwards its state is evicted, so the store
+    * holds only open windows regardless of stream length — the 100 TB/day
+    * shape. The final no-data batch flushes every window the end-of-input
+    * watermark finalizes; windows inside the last horizon stay open and are
+    * (correctly) absent. Oracle: the batch rollup restricted to closed
+    * windows, `window_end <= max(ts) − 7 days` — deterministic because the
+    * watermark is a pure function of the data.
+    */
+  def st03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = src
+      .withWatermark("ts", "7 days")
+      .groupBy(window($"ts", "7 days", "7 days", "4 days"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("total_value"),
+      )
+    val sink = s"st03_weekly_append_${sinkCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink)
+      .select(
+        date_format($"window.start", "yyyy-MM-dd").as("week_start"),
+        $"event_type", $"n_events", $"total_value",
+      )
+      .orderBy($"week_start", $"event_type")
+  }
+
+  /** Batch form of the append-mode emission rule: only windows whose end the
+    * end-of-input watermark passed.
+    */
+  val st03Oracle: String =
+    """WITH wm AS (SELECT MAX(ts) - INTERVAL 7 DAY AS w FROM events)
+      |SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events, wm
+      |WHERE date_trunc('week', ts) + INTERVAL 7 DAY <= wm.w
+      |GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin
 
   /** st02 — event-time SESSION windows (dynamic-gap grouping the reference
     * never had; the batch form of the sessionization the stateful operator
@@ -183,5 +242,6 @@ object Streams {
   def all: Seq[Q] = Seq(
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
     Q("st02_session_windows", st02, Some(st02Oracle)),
+    Q("st03_stream_append_rollup", st03, Some(st03Oracle)),
   )
 }

@@ -51,6 +51,42 @@ class WarehouseScd2Spec extends AnyFunSuite with SparkSpec {
       .getAs[String]("segment") == "GOLD")
   }
 
+  test("scd2: duplicate-pk update rows reduce to one version, deterministically") {
+    // identical duplicates collapse; conflicting duplicates pick exactly one
+    // stable winner — never two concurrent is_current rows for the same pk
+    val v1 = Warehouse.scd2Merge(empty,
+      Seq((1L, "GOLD"), (1L, "GOLD"), (2L, "SILVER"), (2L, "BRONZE"))
+        .toDF("id", "segment"),
+      "id", Seq("segment"), t1)
+    assert(v1.count() == 2)
+    assert(v1.filter($"id" === 2L && $"is_current").count() == 1)
+    val winner = v1.filter($"id" === 2L).collect()(0).getAs[String]("segment")
+    // rerun of the same batch is bit-stable AND a no-op against the result
+    val v1again = Warehouse.scd2Merge(empty,
+      Seq((2L, "BRONZE"), (2L, "SILVER"), (1L, "GOLD"), (1L, "GOLD"))
+        .toDF("id", "segment"),
+      "id", Seq("segment"), t1)
+    assert(v1again.filter($"id" === 2L).collect()(0)
+      .getAs[String]("segment") == winner)
+    val v2 = Warehouse.scd2Merge(v1,
+      Seq((2L, "SILVER"), (2L, "BRONZE")).toDF("id", "segment"),
+      "id", Seq("segment"), t2)
+    assert(v2.filter($"id" === 2L).count() == 1) // winner unchanged → no-op
+  }
+
+  test("upsert: duplicate-pk update rows pick one deterministic winner") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val updates = Seq((2L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val merged = Warehouse.upsert(existing, updates, "id")
+    assert(merged.count() == 3)
+    assert(merged.groupBy($"id").count().filter($"count" > 1).count() == 0)
+    val w1 = merged.filter($"id" === 2L).collect()(0).getAs[String]("v")
+    val mergedAgain = Warehouse.upsert(existing,
+      Seq((3L, "z"), (2L, "y"), (2L, "x")).toDF("id", "v"), "id")
+    assert(mergedAgain.filter($"id" === 2L).collect()(0).getAs[String]("v") == w1)
+    assert(Set("x", "y").contains(w1))
+  }
+
   test("scd2: null attribute values compare null-safely") {
     val v1 = Warehouse.scd2Merge(empty,
       Seq((1L, Option.empty[String])).toDF("id", "segment"),

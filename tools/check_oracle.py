@@ -68,7 +68,6 @@ def main():
             n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: values differ:\n{str(e)[:2000]}")
-            first = (got != want)
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
