@@ -24,6 +24,26 @@ object Bench {
       "region", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     Tables.events(spark, sfDir).count() // nanos-ts path has its own reader conf
+    // one unmeasured pipeline exercising the shared execution machinery
+    // (shuffle writers, whole-stage codegen compiler, broadcast, window,
+    // regex) so the alphabetically-first measured queries don't absorb its
+    // JIT/startup cost — steady-state per-query numbers, same contract
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_orderstatus"))))
+        .count()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("f"),
+          split(col("text"), "\\s+").as("w"))
+        .groupBy(col("f")).agg(count(lit(1))).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

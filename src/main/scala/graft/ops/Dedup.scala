@@ -18,7 +18,9 @@ import graft.queries.Q
   *    never by |docs|²; the only quadratic work happens INSIDE a bucket.
   *  - SimHash: one groupBy(doc) for the 64-bit signature; pairing via
   *    16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
-  *  - All hashing is xxhash64 (codegen'd Catalyst expression, no UDF).
+  *  - All hashing is codegen'd Catalyst expressions, no UDFs: xxhash64 for
+  *    engine-internal keys (LSH band buckets), md5 where a DuckDB oracle
+  *    recomputes the hash (exact dedup, SimHash votes).
   */
 object Dedup {
 
@@ -159,10 +161,20 @@ object Dedup {
     minhashCandidates(sigs).orderBy(col("a"), col("b"))
   }
 
-  /** SimHash (64-bit) per document: per-bit ±1 votes over word hashes. */
+  /** SimHash (64-bit) per document: per-bit ±1 votes over word hashes.
+    *
+    * The word hash is the first 64 bits of md5 (two 32-bit halves), not
+    * xxhash64: md5 is available verbatim in DuckDB, which makes the WHOLE
+    * signature — not just its plumbing — cross-engine hash-checkable
+    * (d03's oracle recomputes every vote in SQL). Cost is one extra
+    * codegen'd hash per distinct word; the aggregation shape (one groupBy
+    * per doc over exploded distinct words, 64 packed SUM votes) is
+    * unchanged.
+    */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+      val half = if (b < 64 / 2) col("lo") else col("hi")
+      sum(when(shiftright(half, b % 32).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$b")
     }
     val assembled = (0 until 64).map { b =>
@@ -171,7 +183,9 @@ object Dedup {
     docs
       .select(col("doc_id"),
         explode(array_distinct(split(normalize(col("text")), " "))).as("word"))
-      .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long").as("lo"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), assembled.as("simhash"))
@@ -200,19 +214,52 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
-  /** d03 — per-document SimHash signature + chunk keys (deterministic,
-    * always non-empty; the pair-finding path is exercised in TextDedupSpec
-    * where near-dups are planted).
+  /** d03 — per-document SimHash signature + chunk keys. Hash-checked end to
+    * end: the DuckDB oracle recomputes every md5-derived word hash, all 64
+    * bit votes, and the chunk assembly in SQL (the pair-finding path on top
+    * is exercised in TextDedupSpec where near-dups are planted). The hex
+    * form is assembled from the four 16-bit chunks so no signed-64-bit
+    * formatting quirk can diverge between engines.
     */
   def d03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val chunk = (k: Int) =>
+      shiftrightunsigned($"simhash", 16 * k).bitwiseAND(lit(0xFFFFL))
     simhashSignatures(Tables.documents(s, dir))
-      .select($"doc_id", conv($"simhash", 10, 16).as("simhash_hex"),
-        shiftrightunsigned($"simhash", 48).bitwiseAND(lit(0xFFFFL)).as("chunk3"),
-        shiftrightunsigned($"simhash", 32).bitwiseAND(lit(0xFFFFL)).as("chunk2"),
-        shiftrightunsigned($"simhash", 16).bitwiseAND(lit(0xFFFFL)).as("chunk1"),
-        $"simhash".bitwiseAND(lit(0xFFFFL)).as("chunk0"))
+      .select($"doc_id", chunk(3).as("chunk3"), chunk(2).as("chunk2"),
+        chunk(1).as("chunk1"), chunk(0).as("chunk0"))
+      .select($"doc_id",
+        concat(Seq(3, 2, 1, 0).map(k =>
+          lpad(conv(col(s"chunk$k"), 10, 16), 4, "0")): _*).as("simhash_hex"),
+        $"chunk3", $"chunk2", $"chunk1", $"chunk0")
       .orderBy($"doc_id")
+  }
+
+  /** d03's oracle, generated: the same 64-vote SimHash in pure SQL. */
+  val d03Oracle: String = {
+    val votes = (0 until 64).map { b =>
+      val half = if (b < 32) "lo" else "hi"
+      s"SUM(CASE WHEN (($half >> ${b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val chunk = (k: Int) =>
+      (0 until 16).map(j => s"(CASE WHEN b${16 * k + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |  ('0x' || substring(md5(w), 1, 8))::BIGINT AS hi,
+       |  ('0x' || substring(md5(w), 9, 8))::BIGINT AS lo FROM words),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |c AS (SELECT doc_id,
+       |  CAST(${chunk(3)} AS BIGINT) AS chunk3, CAST(${chunk(2)} AS BIGINT) AS chunk2,
+       |  CAST(${chunk(1)} AS BIGINT) AS chunk1, CAST(${chunk(0)} AS BIGINT) AS chunk0 FROM v)
+       |SELECT doc_id,
+       |  lpad(to_hex(chunk3), 4, '0') || lpad(to_hex(chunk2), 4, '0')
+       |    || lpad(to_hex(chunk1), 4, '0') || lpad(to_hex(chunk0), 4, '0') AS simhash_hex,
+       |  chunk3, chunk2, chunk1, chunk0
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   /** Exact word-n-gram Jaccard for a pair table (a, b) — set intersection /
@@ -251,7 +298,7 @@ object Dedup {
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Oracle)),
     Q("d02_minhash_lsh_candidates", d02, None),
-    Q("d03_simhash_signatures", d03, None),
+    Q("d03_simhash_signatures", d03, Some(d03Oracle)),
     Q("d04_ngram_jaccard_verify", d04, None),
   )
 }

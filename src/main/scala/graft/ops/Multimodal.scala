@@ -165,8 +165,57 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** m03 — the hash-checked core of m02: every deterministic column of the
+    * decode → features → frame-sample pipeline recomputed by the DuckDB
+    * oracle (payloads are the documents' ASCII bytes, so byte sums /
+    * distinct-byte counts are expressible as SQL over characters). Only
+    * entropy stays rows-only in m02 — cross-engine float log2 isn't
+    * bit-stable. This pins the mapPartitions stages' arithmetic, not just
+    * their row counts.
+    */
+  def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir)
+    val decoded = decode(media).toDF()
+    val features = extractFeatures(media).toDF()
+      .select($"media_id", $"mean_byte", $"nonzero_buckets")
+    val frameCounts = sampleFrames(media).groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled_frames"))
+    decoded
+      .join(features, Seq("media_id"))
+      .join(frameCounts, Seq("media_id"), "left")
+      .select($"media_id", $"modality", $"byte_len", $"width", $"height",
+        $"n_frames",
+        coalesce($"n_sampled_frames", lit(0L)).as("n_sampled_frames"),
+        $"mean_byte", $"nonzero_buckets")
+      .orderBy($"media_id")
+  }
+
+  val m03Oracle: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS modality,
+      |  octet_length(encode(text)) AS byte_len,
+      |  text FROM documents)
+      |SELECT media_id, modality, byte_len,
+      |  16 * (1 + byte_len % 40) AS width,
+      |  9 * (1 + byte_len % 40) AS height,
+      |  CASE WHEN modality = 'video' THEN 1 + byte_len // 64 ELSE 1 END AS n_frames,
+      |  CASE WHEN modality = 'video'
+      |       THEN CAST(ceil(ceil(byte_len / 64.0) / 4.0) AS BIGINT)
+      |       ELSE 0 END AS n_sampled_frames,
+      |  CASE WHEN byte_len = 0 THEN 0.0
+      |       ELSE CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |              i -> ascii(substring(text, i, 1)))) AS DOUBLE) / byte_len
+      |       END AS mean_byte,
+      |  len(list_distinct(list_transform(range(1, length(text) + 1),
+      |    i -> substring(text, i, 1)))) AS nonzero_buckets
+      |FROM m ORDER BY media_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_multimodal_meta", m01, Some(m01Oracle)),
     Q("m02_multimodal_pipeline", m02, None),
+    Q("m03_decode_meta_parity", m03, Some(m03Oracle)),
   )
 }

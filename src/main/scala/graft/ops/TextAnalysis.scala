@@ -183,11 +183,117 @@ object TextAnalysis {
        |  len(regexp_extract_all(text, '$BpeishPattern')) AS bpeish_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII patterns kept to syntax Java regex (Spark) and RE2 (DuckDB)
+    * interpret identically: character classes + bounded quantifiers, no
+    * lookarounds/backrefs.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** t06 — PII detection + redaction (the scrub pass of a training-data
+    * pipeline): count and mask emails / IPv4s / phone numbers. The corpus
+    * is synthetic word-salad with no organic PII, so a deterministic
+    * augmentation plants PII in a data-dependent subset of rows first —
+    * the detectors and the replacement pipeline are what's under test,
+    * end-to-end against the oracle. Redaction order (email → ip → phone)
+    * is fixed and identical in both engines.
+    */
+  def t06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = concat(
+      $"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"), lit("@"),
+          $"source", lit(".example.org"))).otherwise(lit("")),
+      when($"doc_id" % 4 === 0,
+        concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7")))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+    )
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>")
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(regexp_extract_all(aug, lit(EmailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(aug, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+        size(regexp_extract_all(aug, lit(PhonePattern), lit(0))).as("n_phones"),
+        redacted.as("redacted"),
+      )
+      .orderBy($"doc_id")
+  }
+
+  val t06Oracle: String = {
+    // runtime pattern strings hold single backslashes; DuckDB string
+    // literals pass them to RE2 verbatim, so direct interpolation is exact
+    val email = EmailPattern
+    s"""WITH aug AS (SELECT doc_id,
+       |  text
+       |    || CASE WHEN doc_id % 3 = 0
+       |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.org'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0
+       |            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$email')) AS n_emails,
+       |  len(regexp_extract_all(t, '$Ipv4Pattern')) AS n_ips,
+       |  len(regexp_extract_all(t, '$PhonePattern')) AS n_phones,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(t, '$email', '<EMAIL>', 'g'),
+       |      '$Ipv4Pattern', '<IP>', 'g'),
+       |    '$PhonePattern', '<PHONE>', 'g') AS redacted
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
+  /** t07 — corpus-level top-20 word bigrams (n-gram frequency accounting):
+    * the classic word-count shuffle shape — per-doc bigram generation is
+    * narrow, the single exchange carries (bigram, partial count) pairs
+    * map-side combined, and top-k is a TakeOrderedAndProject, never a full
+    * sort. Total order: count desc, bigram asc.
+    */
+  def t07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = split(normalize($"text"), " ")
+    // arrays_zip over two shifted slices, NOT a transform(sequence(...))
+    // lambda: higher-order-function lambdas run interpreted (measured 5×
+    // slower here); zip/slice/explode/concat_ws all stay inside whole-stage
+    // codegen
+    Tables.documents(s, dir)
+      .filter(size(ws) >= 2)
+      .select(explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1))).as("pair"))
+      .select(concat_ws(" ", $"pair.0", $"pair.1").as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
+  val t07Oracle: String =
+    """WITH w AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |           FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |      FROM w WHERE len(ws) >= 2)
+      |SELECT bigram, COUNT(*) AS n FROM b
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
     Q("t03_lang_id", t03, Some(t03Oracle)),
     Q("t04_fingerprint", t04, Some(t04Oracle)),
     Q("t05_bpeish_tokens", t05, Some(t05Oracle)),
+    Q("t06_pii_redact", t06, Some(t06Oracle)),
+    Q("t07_top_bigrams", t07, Some(t07Oracle)),
   )
 }

@@ -259,6 +259,41 @@ object Aggregates {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q39 — CUBE with an explicit grouping_id (completes the grouping-sets
+    * family next to q25's ROLLUP): all four (status, priority) subtotal
+    * combinations in one pass. Spark and DuckDB/Postgres share the
+    * GROUPING bitmask convention (bit = 1 ⇔ column aggregated away), so
+    * gid is itself part of the cross-engine check. One shuffle; the
+    * grouping-set expansion happens map-side before the exchange.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("total_price"),
+      )
+      .select(
+        $"gid",
+        coalesce($"o_orderstatus", lit("ALL")).as("status_label"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority_label"),
+        $"n_orders", $"total_price",
+      )
+      .orderBy($"gid", $"status_label", $"priority_label")
+  }
+
+  val q39Oracle: String =
+    """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COALESCE(o_orderstatus, 'ALL') AS status_label,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority_label,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status_label, priority_label""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q02_global_totals", q02, Some(q02Oracle)),
     Q("q10_yearly_rollup", q10, Some(q10Oracle)),
@@ -271,5 +306,6 @@ object Aggregates {
     Q("q33_percentiles", q33, Some(q33Oracle)),
     Q("q34_pivot", q34, Some(q34Oracle)),
     Q("q36_array_agg_json", q36, Some(q36Oracle)),
+    Q("q39_cube_grouping", q39, Some(q39Oracle)),
   )
 }

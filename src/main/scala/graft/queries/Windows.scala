@@ -173,11 +173,48 @@ object Windows {
       |FROM events WINDOW w AS (PARTITION BY event_type)
       |ORDER BY event_id""".stripMargin
 
+  /** q40 — event-time RANGE frame: per-user trailing-7-day rolling count and
+    * exact rolling sum (completes the frame family: q23/q24 cover ROWS and
+    * unbounded frames; this is the value-based sliding window). The frame
+    * key is epoch MICROSECONDS as int64 in both engines — a seconds cast
+    * would truncate and diverge on sub-second timestamps. RANGE frames are
+    * tie-safe by construction (all peer rows share one frame), so the
+    * result is deterministic without any tiebreaker in the window order.
+    * One exchange on user_id + per-partition sort — the same shape as any
+    * partitioned window; no state beyond the in-flight frame.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-sevenDaysUs, 0)
+    Tables.events(s, dir)
+      .select(
+        $"user_id", $"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(w)
+          .cast("double").as("sum_7d"),
+      )
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q40Oracle: String =
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  COUNT(*) OVER w AS n_7d,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q07_window_lag_delta", q07, Some(q07Oracle)),
     Q("q08_latest_per_group", q08, Some(q08Oracle)),
     Q("q09_maxby_lastvalue", q09, Some(q09Oracle)),
     Q("q23_analytic_suite", q23, Some(q23Oracle)),
     Q("q24_minmax_scale", q24, Some(q24Oracle)),
+    Q("q40_rolling_range_frame", q40, Some(q40Oracle)),
   )
 }
