@@ -56,25 +56,7 @@ object Dedup {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** 64-bit FNV-1a over a string (shingle base hash). */
-  private def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
-
-  /** splitmix64 finalizer — full-avalanche mix for the permutation hashes. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import graft.util.Hashing.{fnv64, mix64}
 
   /** MinHash signatures: 64 permutations over the shingle set, computed in a
     * single NARROW pass (mapPartitions — the sanctioned last resort,
@@ -157,7 +139,12 @@ object Dedup {
     * planted near-duplicates).
     */
   def d02(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(Tables.documents(s, dir))
+    // cached: minhashCandidates reads the signature relation three times
+    // (band explode + both pair-side joins) — uncached, the mapPartitions
+    // signature pass runs 3×. At sf0.1 the saving is hidden by plan
+    // compilation, but at corpus scale the signature scan IS the dominant
+    // cost and must run once
+    val sigs = minhashSignatures(Tables.documents(s, dir)).cache()
     minhashCandidates(sigs).orderBy(col("a"), col("b"))
   }
 
@@ -274,9 +261,12 @@ object Dedup {
     val candidateIds = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id")))
       .distinct()
+    // cached: both pair-side joins read the shingle sets; the interpreted
+    // shingle construction is the expensive part and must run once per doc
     val sets = docs
       .join(candidateIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .cache()
     pairs
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
@@ -291,7 +281,11 @@ object Dedup {
     */
   def d04(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val candidates = minhashCandidates(minhashSignatures(docs)).select("a", "b")
+    // two cache points: signatures feed three subtrees of the candidate
+    // join; the candidate pairs feed three subtrees of the verify stage
+    // (both id-set branches + the pair join) — uncached this multiplies
+    val sigs = minhashSignatures(docs).cache()
+    val candidates = minhashCandidates(sigs).select("a", "b").cache()
     ngramJaccard(docs, candidates).orderBy(col("a"), col("b"))
   }
 

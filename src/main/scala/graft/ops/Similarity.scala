@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -90,43 +89,84 @@ object Similarity {
       array_to_vector(transform(col("embedding"), x => x.cast("double") / n)).as("vec"))
   }
 
-  private def lshModel(df: DataFrame, tables: Int) =
-    new BucketedRandomProjectionLSH()
-      .setBucketLength(0.8)
-      .setNumHashTables(tables)
-      .setSeed(42)
-      .setInputCol("vec")
-      .setOutputCol("hashes")
-      .fit(df)
+  val SignPlanes = 64
+  val SignBands = 16 // 4 bits per band
 
-  /** s02 — approximate nearest neighbors via bucketed random-projection LSH:
-    * candidates meet queries only inside shared hash buckets (the
-    * approxSimilarityJoin), so compare count scales with bucket occupancy,
-    * not |q|×|c|. Top-3 per query by the exact distance on the candidates.
+  /** Sign-LSH band keys: one NARROW mapPartitions pass computes, per vector,
+    * `SignBands` band keys of `SignPlanes/SignBands` sign bits each. Each
+    * hyperplane is a deterministic Rademacher ±1 vector derived from
+    * splitmix64(plane, dim) — no fitted model, no stored projection matrix,
+    * any executor regenerates it from two integers. Collision probability
+    * per bit is 1 − θ/π (the sign-LSH s-curve). Band width is the
+    * recall/prune dial: this corpus's nearest neighbors sit at cos ≈ 0.5
+    * (p_bit ≈ 0.67), so 4-bit bands are needed for ~0.97 expected recall
+    * at ~35% candidate pruning; a production corpus with neighbors at
+    * cos ≥ 0.8 (p_bit ≥ 0.9) collides ~0.66 per band vs 6% for random
+    * pairs — there, wider bands prune hard and fewer suffice.
+    */
+  def signBandKeys(e: DataFrame): DataFrame = {
+    val session = e.sparkSession
+    import session.implicits._
+    val planes = SignPlanes
+    val bands = SignBands
+    val bits = planes / bands
+    e.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, emb) =>
+        val keys = new Array[Int](bands)
+        var p = 0
+        var key = 0
+        while (p < planes) {
+          var dot = 0.0
+          var d = 0
+          while (d < emb.length) {
+            // Rademacher entry from the sign bit of a mixed (plane, dim) key
+            if (graft.util.Hashing.mix64(p.toLong * 8192 + d) < 0) dot -= emb(d)
+            else dot += emb(d)
+            d += 1
+          }
+          key = (key << 1) | (if (dot >= 0) 1 else 0)
+          p += 1
+          if (p % bits == 0) { keys(p / bits - 1) = key; key = 0 }
+        }
+        (id, keys)
+      })
+      .toDF("vec_id", "band_keys")
+  }
+
+  /** s02 — approximate nearest neighbors via from-scratch sign-LSH:
+    * candidates meet queries only inside shared (band, key) buckets, so
+    * compare count scales with bucket collisions, not |q|×|c|. Exact
+    * cosine rerank on the candidates (codegen'd expression), bounded-heap
+    * top-3.
+    *
+    * Scale shape: the corpus side is ONE narrow signature pass + a
+    * broadcast-join against the (tiny) exploded query bands — the corpus
+    * never shuffles; only surviving candidate ids move. Per-query work is
+    * bucket occupancy × exact-cosine cost. Rows-only driver check; recall
+    * ≥ 0.6 vs s01's oracle-checked exact top-k is spec-asserted.
     */
   def s02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    // cached: the LSH fit and both approxSimilarityJoin sides re-read this
-    // (measured ~2× wall-clock without it); storage is LRU-evicted under
-    // pressure, so the pin is soft
-    val norm = normalized(e).cache()
-    val q = norm.filter($"vec_id" < 5)
-    val c = norm.filter($"vec_id" >= 5)
-    val model = lshModel(norm, tables = 12)
-    val joined = model
-      .approxSimilarityJoin(q, c, threshold = 2.0, distCol = "dist")
-      .select(
-        col("datasetA.vec_id").as("qid"),
-        col("datasetB.vec_id").as("cid"),
-        (lit(1.0) - col("dist") * col("dist") / 2).as("cosine_approx"),
-      )
-    val w = Window.partitionBy($"qid").orderBy($"cosine_approx".desc, $"cid")
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
-      .drop("rn")
-      .orderBy($"qid", $"cosine_approx".desc, $"cid")
+    val sigs = signBandKeys(e)
+    val qb = sigs.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), posexplode($"band_keys").as(Seq("band", "key")))
+    val cb = sigs.filter($"vec_id" >= 5)
+      .select($"vec_id".as("cid"), posexplode($"band_keys").as(Seq("band", "key")))
+    val cand = cb.join(broadcast(qb), Seq("band", "key"))
+      .select($"qid", $"cid")
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), Seq("qid"))
+      .join(e.select($"vec_id".as("cid"), $"embedding".as("ce")), Seq("cid"))
+      .select($"qid", $"cid", cosine($"qe", $"ce").as("cosine"))
+      .groupBy($"qid")
+      .agg(graft.functions.VectorFunctions.top_k_by($"cosine", $"cid", 3).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"qid", $"t.id".as("cid"), $"t.score".as("cosine"))
+      .orderBy($"qid", $"cosine".desc, $"cid")
   }
 
   /** d05 — embedding-cosine near-duplicate pairs (the vector analog of

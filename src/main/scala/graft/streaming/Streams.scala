@@ -45,7 +45,23 @@ object Streams {
     * watermark finalizes each window 7 days past max event time and the
     * store holds only open windows.
     */
-  def st01(s: SparkSession, dir: String): DataFrame = {
+  def st01(s: SparkSession, dir: String): DataFrame =
+    weeklyRollupStream(s, dir, OutputMode.Complete(), "st01_weekly")
+
+  /** Shared body of st01/st03: parquet file stream → watermark → tumbling
+    * weekly window → memory sink, drained synchronously.
+    *
+    * State-store partition count (fixed at shuffle-partition conf when the
+    * query first starts) is sized to the operator's STATE CARDINALITY
+    * (≤ weeks × event_types ≈ dozens of keys), not to the session's batch
+    * shuffle width: each micro-batch runs one state-store commit per
+    * partition, so 32 near-empty stores would just multiply fixed overhead.
+    * A production deployment sizes this to key count / throughput the same
+    * way — it is per-query and pinned by the first checkpoint.
+    */
+  private def weeklyRollupStream(
+      s: SparkSession, dir: String, mode: OutputMode, sinkPrefix: String,
+  ): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file-stream source needs a directory; select just the events file
@@ -61,14 +77,18 @@ object Streams {
         count(lit(1)).as("n_events"),
         Exact.dsum($"value").as("total_value"),
       )
-    val sink = s"st01_weekly_${sinkCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(sink)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val sink = s"${sinkPrefix}_${sinkCounter.incrementAndGet()}"
+    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
     s.table(sink)
       .select(
         date_format($"window.start", "yyyy-MM-dd").as("week_start"),
@@ -97,36 +117,8 @@ object Streams {
     * windows, `window_end <= max(ts) − 7 days` — deterministic because the
     * watermark is a pure function of the data.
     */
-  def st03(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val agg = src
-      .withWatermark("ts", "7 days")
-      .groupBy(window($"ts", "7 days", "7 days", "4 days"), $"event_type")
-      .agg(
-        count(lit(1)).as("n_events"),
-        Exact.dsum($"value").as("total_value"),
-      )
-    val sink = s"st03_weekly_append_${sinkCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(sink)
-      .select(
-        date_format($"window.start", "yyyy-MM-dd").as("week_start"),
-        $"event_type", $"n_events", $"total_value",
-      )
-      .orderBy($"week_start", $"event_type")
-  }
+  def st03(s: SparkSession, dir: String): DataFrame =
+    weeklyRollupStream(s, dir, OutputMode.Append(), "st03_weekly_append")
 
   /** Batch form of the append-mode emission rule: only windows whose end the
     * end-of-input watermark passed.

@@ -6,13 +6,13 @@ import graft.SparkSpec
 
 class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
 
-  test("s02 LSH recall vs s01 brute force >= 0.6 at sf0.001") {
+  test("s02 sign-LSH recall vs s01 brute force >= 0.8 at sf0.001") {
     val exact = Similarity.s01(spark, sfSmoke).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.s02(spark, sfSmoke).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"LSH recall $recall too low (exact=$exact approx=$approx)")
+    assert(recall >= 0.8, s"LSH recall $recall too low (exact=$exact approx=$approx)")
   }
 
   test("s04 IVF recall vs s01 brute force >= 0.6 at sf0.001") {
