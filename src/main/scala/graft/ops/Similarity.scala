@@ -246,7 +246,7 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val norm = normalized(Tables.embeddings(s, dir)).cache() // KMeans iterates
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42).setMaxIter(5) // coarse quantizer: 5 iters suffice
+      .setK(nlist).setSeed(42).setMaxIter(3) // coarse quantizer: lists only need rough locality
       .setFeaturesCol("vec").setPredictionCol("cluster")
       .fit(norm)
     val assigned = km.transform(norm)
