@@ -56,15 +56,22 @@ object Dedup {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  import graft.util.Hashing.{fnv64, mix64}
 
   /** MinHash signatures: 64 permutations over the shingle set, computed in a
     * single NARROW pass (mapPartitions — the sanctioned last resort,
     * SURVEY.md §4, and justified by measurement: the declarative
     * explode + 64-way min-agg formulation spends ~10× the time inside
     * interpreted higher-order-function lambdas building shingle strings).
-    * Per doc: word split → per-shingle base hash → 64 mixed permutation
-    * mins, all in registers; no explode blow-up, no shuffle at all.
+    * Per doc: word split → one md5 per distinct shingle → 64
+    * Kirsch–Mitzenstein permutation mins `(h1 + p·h2) mod (2³¹−1)`, all in
+    * registers; no explode blow-up, no shuffle at all.
+    *
+    * The permutation family is md5-seeded arithmetic — not a JVM-only mixer
+    * — precisely so a SQL oracle can recompute the whole signature matrix:
+    * h1/h2 are the first two big-endian 32-bit words of md5(shingle)
+    * (`('0x' || substring(md5(s), 1|9, 8))::BIGINT` in DuckDB), and the
+    * modular form never exceeds 63·2³² ≪ 2⁶³, so vanilla BIGINT arithmetic
+    * reproduces it without overflow in any engine.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val session = docs.sparkSession
@@ -74,37 +81,46 @@ object Dedup {
     docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        // Locale.ROOT: default-locale toLowerCase diverges from Spark's
-        // locale-independent lower() (e.g. Turkish dotless ı), which would
-        // make signatures disagree with d01/d04's normalize() shingles
-        val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-        val sig = Array.fill(n)(Long.MaxValue)
-        val seen = new java.util.HashSet[Long]()
-        val last = math.max(words.length - sz, 0)
-        var i = 0
-        while (i <= last) {
-          val end = math.min(i + sz, words.length)
-          val sb = new java.lang.StringBuilder()
-          var k = i
-          while (k < end) {
-            if (k > i) sb.append(' ')
-            sb.append(words(k))
-            k += 1
-          }
-          val base = fnv64(sb.toString)
-          if (seen.add(base)) { // distinct shingles only
-            var p = 0
-            while (p < n) {
-              val v = mix64(base ^ (p * 0xff51afd7ed558ccdL))
-              if (v < sig(p)) sig(p) = v
-              p += 1
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          // Locale.ROOT: default-locale toLowerCase diverges from Spark's
+          // locale-independent lower() (e.g. Turkish dotless ı), which would
+          // make signatures disagree with d01/d04's normalize() shingles
+          val words = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val sig = Array.fill(n)(Long.MaxValue)
+          val seen = new java.util.HashSet[String]()
+          val last = math.max(words.length - sz, 0)
+          var i = 0
+          while (i <= last) {
+            val end = math.min(i + sz, words.length)
+            val sb = new java.lang.StringBuilder()
+            var k = i
+            while (k < end) {
+              if (k > i) sb.append(' ')
+              sb.append(words(k))
+              k += 1
             }
+            val shingle = sb.toString
+            if (seen.add(shingle)) { // distinct shingles only
+              md.reset()
+              val d = md.digest(shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+              val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+                ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+              var p = 0
+              while (p < n) {
+                val v = (h1 + p * h2) % 2147483647L
+                if (v < sig(p)) sig(p) = v
+                p += 1
+              }
+            }
+            i += 1
           }
-          i += 1
+          (id, sig)
         }
-        (id, sig)
-      })
+      }
       .toDF("doc_id", "sig")
   }
 
@@ -134,9 +150,40 @@ object Dedup {
       .select(col("a"), col("b"), (estEq.cast("double") / NumPerms).as("est_jaccard"))
   }
 
-  /** d02 — MinHash LSH near-dup candidates (no SQL oracle: seeded-hash
-    * pipelines aren't expressible in DuckDB; covered by TextDedupSpec with
-    * planted near-duplicates).
+  /** Shared oracle CTE prefix: recompute the full signature matrix in SQL —
+    * distinct word-trigram shingles, md5-seeded h1/h2, 64 modular
+    * permutation mins as columns s0..s63.
+    */
+  private def sigCtes: String = {
+    val mins = (0 until NumPerms)
+      .map(p => s"MIN((h1 + $p*h2) % 2147483647) AS s$p").mkString(", ")
+    s"""WITH w AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, ws,
+       |  unnest(range(1, greatest(len(ws) - ${ShingleSize - 1}, 1) + 1)) AS i FROM w),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  array_to_string(list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ') AS shingle
+       |  FROM sh0),
+       |hv AS (SELECT doc_id,
+       |  ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+       |  ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hv GROUP BY doc_id)""".stripMargin
+  }
+
+  /** OR-of-bands join condition: some 4-row band fully equal. */
+  private def bandCond: String =
+    (0 until Bands).map { b =>
+      (0 until RowsPerBand).map(r => s"x.s${RowsPerBand * b + r} = y.s${RowsPerBand * b + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+
+  /** d02 — MinHash LSH near-dup candidates. Hash-checked end to end: the
+    * DuckDB oracle recomputes every shingle, both md5 hash words, all 64
+    * permutation minima, the 16-band agreement predicate, and the estimated
+    * Jaccard — the one (astronomically unlikely) divergence left is an
+    * xxhash64 collision between different 4-row band slices in the Spark
+    * bucketing. TextDedupSpec additionally plants near-duplicates.
     */
   def d02(s: SparkSession, dir: String): DataFrame = {
     // cached: minhashCandidates reads the signature relation three times
@@ -146,6 +193,16 @@ object Dedup {
     // cost and must run once
     val sigs = minhashSignatures(Tables.documents(s, dir)).cache()
     minhashCandidates(sigs).orderBy(col("a"), col("b"))
+  }
+
+  val d02Oracle: String = {
+    val est = (0 until NumPerms)
+      .map(p => s"(CASE WHEN x.s$p = y.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$sigCtes
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(($est) AS DOUBLE) / $NumPerms AS est_jaccard
+       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)
+       |ORDER BY a, b""".stripMargin
   }
 
   /** SimHash (64-bit) per document: per-bit ±1 votes over word hashes.
@@ -276,8 +333,9 @@ object Dedup {
   }
 
   /** d04 — exact n-gram Jaccard over the MinHash candidate pairs (the
-    * verify stage of the near-dup pipeline). No SQL oracle (inherits d02's
-    * seeded hashing); validated in TextDedupSpec.
+    * verify stage of the near-dup pipeline). Hash-checked: the oracle
+    * regenerates d02's candidate pairs and computes the same
+    * |∩|/|∪| over distinct shingle sets in SQL.
     */
   def d04(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -289,10 +347,23 @@ object Dedup {
     ngramJaccard(docs, candidates).orderBy(col("a"), col("b"))
   }
 
+  val d04Oracle: String =
+    s"""$sigCtes,
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)),
+       |sets AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id)
+       |SELECT a, b,
+       |  CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(sa.shs, sb.shs))) AS jaccard
+       |FROM cand
+       |JOIN sets sa ON a = sa.doc_id
+       |JOIN sets sb ON b = sb.doc_id
+       |ORDER BY a, b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Oracle)),
-    Q("d02_minhash_lsh_candidates", d02, None),
+    Q("d02_minhash_lsh_candidates", d02, Some(d02Oracle)),
     Q("d03_simhash_signatures", d03, Some(d03Oracle)),
-    Q("d04_ngram_jaccard_verify", d04, None),
+    Q("d04_ngram_jaccard_verify", d04, Some(d04Oracle)),
   )
 }
