@@ -65,6 +65,21 @@ object Bench {
           .queryName("bench_warmup_stream").start()
         try q.processAllAvailable()
         finally q.stop()
+        // stream-stream join operator (its own codegen + 4-store state path)
+        val msA = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp)](spark)
+        val msB = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp)](spark)
+        msA.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        msB.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+        val a = msA.toDF().toDF("a_k", "a_ts").withWatermark("a_ts", "1 hour")
+        val b = msB.toDF().toDF("b_k", "b_ts").withWatermark("b_ts", "1 hour")
+        val qj = b.join(a, expr(
+          "b_k = a_k AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 30 MINUTES"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("bench_warmup_ssjoin").start()
+        try qj.processAllAvailable()
+        finally qj.stop()
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

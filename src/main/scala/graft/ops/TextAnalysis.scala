@@ -287,6 +287,37 @@ object TextAnalysis {
       |SELECT bigram, COUNT(*) AS n FROM b
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** t08 — TF-IDF-style term importance, log-free: score = tf_total × N/df
+    * (one IEEE division — bit-stable across engines, unlike ln/log2 whose
+    * last-ulp rounding may differ). Concentrated terms (high term frequency
+    * in few documents) rank first — the distinctive-vocabulary surface of a
+    * corpus profiler. Two shuffles (term stats, global count broadcast) +
+    * TakeOrdered.
+    */
+  def t08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val words = docs.select($"doc_id",
+      explode(split(normalize($"text"), " ")).as("term"))
+    val stats = words.groupBy($"term")
+      .agg(count(lit(1)).as("tf_total"), countDistinct($"doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(n))
+      .select($"term", $"tf_total", $"df",
+        (($"tf_total" * $"n_docs").cast("double") / $"df").as("score"))
+      .orderBy($"score".desc, $"term")
+      .limit(20)
+  }
+
+  val t08Oracle: String =
+    """WITH w AS (SELECT doc_id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      |  FROM documents),
+      |st AS (SELECT term, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT term, tf_total, df, CAST(tf_total * n_docs AS DOUBLE) / df AS score
+      |FROM st, n ORDER BY score DESC, term LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -295,5 +326,6 @@ object TextAnalysis {
     Q("t05_bpeish_tokens", t05, Some(t05Oracle)),
     Q("t06_pii_redact", t06, Some(t06Oracle)),
     Q("t07_top_bigrams", t07, Some(t07Oracle)),
+    Q("t08_term_importance", t08, Some(t08Oracle)),
   )
 }

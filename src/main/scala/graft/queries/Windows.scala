@@ -209,6 +209,51 @@ object Windows {
       |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q41 — time-series gap fill: sparse daily high-value totals joined onto
+    * a generated calendar spine per series, missing days forward-filled
+    * with `last(..., ignoreNulls)` (the fill-forward every time-series
+    * pipeline needs; the reference's weekly tables assume dense weeks).
+    * Scale shape: the spine explode is bounded by span × series (never
+    * row-scale), the left join hashes on (series, day) post-aggregation
+    * cardinality, and the fill is one partitioned window — no driver-side
+    * date loop anywhere.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .filter($"value" > 300.0)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("day_value"))
+    val spine = daily.groupBy($"event_type")
+      .agg(min($"day").as("mn"), max($"day").as("mx"))
+      .select($"event_type", explode(sequence($"mn", $"mx")).as("day"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type",
+        date_format($"day", "yyyy-MM-dd").as("day_s"),
+        $"n_events".isNull.cast("int").as("is_gap"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"day_value", ignoreNulls = true).over(w).as("ffill_value"))
+      .orderBy($"event_type", $"day_s")
+  }
+
+  val q41Oracle: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+      |  FROM events WHERE value > 300.0 GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+      |spine AS (SELECT event_type,
+      |  CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+      |SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day_s,
+      |  CAST(d.n_events IS NULL AS INT) AS is_gap,
+      |  COALESCE(d.n_events, 0) AS n_events,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+      |FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+      |ORDER BY s.event_type, day_s""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q07_window_lag_delta", q07, Some(q07Oracle)),
     Q("q08_latest_per_group", q08, Some(q08Oracle)),
@@ -216,5 +261,6 @@ object Windows {
     Q("q23_analytic_suite", q23, Some(q23Oracle)),
     Q("q24_minmax_scale", q24, Some(q24Oracle)),
     Q("q40_rolling_range_frame", q40, Some(q40Oracle)),
+    Q("q41_gap_fill_ffill", q41, Some(q41Oracle)),
   )
 }

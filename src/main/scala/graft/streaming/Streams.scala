@@ -133,6 +133,62 @@ object Streams {
       |WHERE date_trunc('week', ts) + INTERVAL 7 DAY <= wm.w
       |GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin
 
+  /** st04 — watermarked stream-stream interval join as a gated query (the
+    * MemoryStream form is spec-covered; this runs it over the events table):
+    * each purchase attaches to same-user clicks at most 30 minutes older.
+    * The watermarks + interval bound make join state PRUNABLE — a click row
+    * ages out as soon as no future purchase inside the watermark horizon
+    * can reach it, so state is O(events per horizon), not O(stream). With
+    * the file fully available the inner join emits every qualifying pair —
+    * the oracle is the equivalent batch interval self-join.
+    */
+  def st04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src.filter($"event_type" === "click")
+      .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"), $"value".as("amount"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks, expr(
+      "p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
+    val sink = s"st04_ss_join_${sinkCounter.incrementAndGet()}"
+    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4") // join-state stores, see above
+    try {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    s.table(sink)
+      .select($"c_event", $"p_event", $"c_user".as("user_id"),
+        date_format($"c_ts", "yyyy-MM-dd HH:mm:ss").as("c_ts_s"),
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("p_ts_s"),
+        $"amount")
+      .orderBy($"c_event", $"p_event")
+  }
+
+  val st04Oracle: String =
+    """SELECT c.event_id AS c_event, p.event_id AS p_event, c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+      |  p.value AS amount
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c_event, p_event""".stripMargin
+
   /** st02 — event-time SESSION windows (dynamic-gap grouping the reference
     * never had; the batch form of the sessionization the stateful operator
     * below does incrementally). Spark's native `session_window` merges
@@ -235,5 +291,6 @@ object Streams {
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
     Q("st02_session_windows", st02, Some(st02Oracle)),
     Q("st03_stream_append_rollup", st03, Some(st03Oracle)),
+    Q("st04_stream_interval_join", st04, Some(st04Oracle)),
   )
 }
