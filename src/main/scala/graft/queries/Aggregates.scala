@@ -294,6 +294,34 @@ object Aggregates {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, status_label, priority_label""".stripMargin
 
+  /** q43 — conditional aggregation (SQL FILTER clause semantics as
+    * when()-guarded aggregates): per priority, total counts next to
+    * filtered counts / filtered exact sums / filtered distinct counts in
+    * ONE pass over the table — the idiom that replaces N separate filtered
+    * scans with a single partial+final aggregate.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+        dsum(when($"o_totalprice" > 200000.0, $"o_totalprice")).as("high_value_total"),
+        countDistinct(when($"o_orderstatus" === "F", $"o_custkey")).as("n_finished_custs"),
+      )
+      .orderBy($"o_orderpriority")
+  }
+
+  val q43Oracle: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    FILTER (WHERE o_totalprice > 200000.0) AS DOUBLE) AS high_value_total,
+      |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS n_finished_custs
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q02_global_totals", q02, Some(q02Oracle)),
     Q("q10_yearly_rollup", q10, Some(q10Oracle)),
@@ -307,5 +335,6 @@ object Aggregates {
     Q("q34_pivot", q34, Some(q34Oracle)),
     Q("q36_array_agg_json", q36, Some(q36Oracle)),
     Q("q39_cube_grouping", q39, Some(q39Oracle)),
+    Q("q43_conditional_agg", q43, Some(q43Oracle)),
   )
 }

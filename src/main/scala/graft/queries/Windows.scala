@@ -254,6 +254,33 @@ object Windows {
       |FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
       |ORDER BY s.event_type, day_s""".stripMargin
 
+  /** q42 — distribution ranks (completes the ranking family next to q23's
+    * row_number/lead/rank): ntile quartiles, percent_rank, cume_dist over
+    * customer balances per market segment. percent_rank/cume_dist are pure
+    * functions of the ordering key (ties share a value); ntile splits ties
+    * by ROW order, so the window orders by a unique (acctbal, custkey) pair
+    * to stay deterministic cross-engine.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy($"c_mktsegment", $"c_acctbal", $"c_custkey")
+  }
+
+  val q42Oracle: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q07_window_lag_delta", q07, Some(q07Oracle)),
     Q("q08_latest_per_group", q08, Some(q08Oracle)),
@@ -262,5 +289,6 @@ object Windows {
     Q("q24_minmax_scale", q24, Some(q24Oracle)),
     Q("q40_rolling_range_frame", q40, Some(q40Oracle)),
     Q("q41_gap_fill_ffill", q41, Some(q41Oracle)),
+    Q("q42_distribution_ranks", q42, Some(q42Oracle)),
   )
 }

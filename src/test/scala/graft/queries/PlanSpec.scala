@@ -48,4 +48,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_"), p) // partial aggregate functions present
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("t07: bigram generation stays codegen'd (no interpreted lambda) + TakeOrdered") {
+    val p = plan("t07_top_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k, never a full sort
+    assert(!p.contains("lambdafunction"), p) // zip/slice form, no HOF lambda
+    assert(p.contains("partial_count"), p) // map-side combine of bigram counts
+  }
+
+  test("q39 cube: one grouping-set expand, one agg exchange") {
+    val p = plan("q39_cube_grouping")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.count(_ == 'E') > 0 && "Exchange hashpartitioning".r
+      .findAllIn(p).size == 1, p) // a single hash exchange for the agg
+  }
+
+  test("q40 range frame: one window sort, no extra exchanges") {
+    val p = plan("q40_rolling_range_frame")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("s02 sign-LSH: corpus side broadcast-joins the query bands (no corpus shuffle before candidates)") {
+    val p = plan("s02_knn_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchanges are for candidate distinct + the final heap
+    // agg — both on candidate-id cardinality, never corpus rows
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d05 exact near-dup sweep: broadcast nested loop, no pair-set shuffle") {
+    val p = plan("d05_embedding_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
