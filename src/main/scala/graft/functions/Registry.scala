@@ -53,10 +53,16 @@ object VectorFunctions {
   * `DESCRIBE FUNCTION`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       VectorFunctions.cosineBuilder,
     ))
+    e.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by"),
+      VectorFunctions.topKBuilder,
+    ))
+  }
 }

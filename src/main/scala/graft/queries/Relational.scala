@@ -92,8 +92,43 @@ object Relational {
       |GROUP BY c_custkey, c_name, c_mktsegment
       |ORDER BY revenue DESC, c_custkey ASC LIMIT 5""".stripMargin
 
+  /** q44 — the `spark.sql(...)` surface: the same Catalyst plans are
+    * reachable from SQL text over registered views (S5 table scans + the
+    * serving layer's SQL-string idiom, app/routes/data.py). CTE + grouped
+    * decimal sum + ranked window + QUALIFY-style subquery filter, all in
+    * one SQL string; the DataFrame API and SQL front ends meet in the same
+    * optimizer, so every plan property asserted elsewhere holds here too.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      WITH rev AS (
+        SELECT o_orderpriority, year(o_orderdate) AS yr,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders_v GROUP BY o_orderpriority, year(o_orderdate))
+      SELECT * FROM (
+        SELECT yr, o_orderpriority, CAST(rev AS DOUBLE) AS revenue,
+               rank() OVER (PARTITION BY yr ORDER BY rev DESC, o_orderpriority) AS rnk
+        FROM rev)
+      WHERE rnk <= 3
+      ORDER BY yr, rnk, o_orderpriority""")
+  }
+
+  val q44Oracle: String =
+    """WITH rev AS (
+      |  SELECT o_orderpriority, year(o_orderdate) AS yr,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY o_orderpriority, year(o_orderdate))
+      |SELECT * FROM (
+      |  SELECT yr, o_orderpriority, CAST(rev AS DOUBLE) AS revenue,
+      |         rank() OVER (PARTITION BY yr ORDER BY rev DESC, o_orderpriority) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 3
+      |ORDER BY yr, rnk, o_orderpriority""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Oracle)),
     Q("q04_top5_customers", q04, Some(q04Oracle)),
+    Q("q44_sql_surface", q44, Some(q44Oracle)),
   )
 }

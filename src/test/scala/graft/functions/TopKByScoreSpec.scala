@@ -27,6 +27,17 @@ class TopKByScoreSpec extends AnyFunSuite with SparkSpec {
     assert(topk(df, 2).toSeq == Seq(("a", 5.0, 2L), ("a", 4.0, 4L), ("b", 9.0, 5L)))
   }
 
+  test("usable from SQL text (same resolution path GraftExtensions injects)") {
+    VectorFunctions.register(spark)
+    Seq(("a", 1.0, 10L), ("a", 3.0, 30L), ("a", 2.0, 20L))
+      .toDF("g", "score", "id").createOrReplaceTempView("tkb_sql")
+    val ids = spark.sql(
+      "SELECT g, top_k_by(score, id, 2) AS top FROM tkb_sql GROUP BY g")
+      .select(explode($"top").as("t")).select($"t.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(30L, 20L))
+  }
+
   test("ties resolve to the smaller id (window parity)") {
     val df = Seq(
       ("a", 7.0, 30L), ("a", 7.0, 10L), ("a", 7.0, 20L), ("a", 1.0, 1L),
