@@ -126,9 +126,37 @@ object Relational {
       |WHERE rnk <= 3
       |ORDER BY yr, rnk, o_orderpriority""".stripMargin
 
+  /** q45 — correlated subqueries (q20 covers the uncorrelated scalar form):
+    * a correlated EXISTS filter plus a correlated scalar COUNT, both
+    * decorrelated by Catalyst into joins — EXISTS becomes a left-semi
+    * join, the scalar count a left outer aggregate join; nothing executes
+    * per-row. The oracle runs the identical SQL, so the decorrelation's
+    * semantics (not just its plan) are pinned.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_custkey, c_name,
+        (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer_v c
+      WHERE EXISTS (SELECT 1 FROM orders_v o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      ORDER BY c_custkey""")
+  }
+
+  val q45Oracle: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Oracle)),
     Q("q04_top5_customers", q04, Some(q04Oracle)),
     Q("q44_sql_surface", q44, Some(q44Oracle)),
+    Q("q45_correlated_subqueries", q45, Some(q45Oracle)),
   )
 }
