@@ -148,7 +148,78 @@ object Forecast {
       |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
       |ORDER BY event_type, day""".stripMargin
 
+  /** ml02 — regression-metrics parity (the reference's metrics endpoint,
+    * app/routes/metrics.py:37-40, as a gated query): MAE / RMSE / R² of the
+    * persistence baseline (prediction = previous week's total) over weekly
+    * per-type series. A learned model's metrics can't be oracle-checked
+    * (training is engine-specific — RegressionEvaluator parity is
+    * spec-covered in ForecastSpec); the persistence baseline exercises the
+    * identical metric arithmetic on a deterministic predictor.
+    *
+    * Bit-stability: every sum is integer-exact — values scale to 1e-4
+    * "cents" (BIGINT), squared errors go through DECIMAL(19,0)×DECIMAL(19,0)
+    * (fits both engines' 38-digit cap with zero scale, so no rounding), and
+    * only the final ratios are IEEE doubles. R² uses the algebraic form
+    * 1 − SSres / (Σa² − (Σa)²/n) to avoid a partition-order-dependent
+    * double mean.
+    */
+  def ml02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weekly = Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("week", $"ts").cast("date").as("wk"))
+      .agg((sum($"value".cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("a_cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"wk")
+    val scored = weekly
+      .withColumn("p_cents", lag($"a_cents", 1).over(w))
+      .filter($"p_cents".isNotNull)
+      .withColumn("err", $"a_cents" - $"p_cents")
+    val d19 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(19, 0))
+    scored
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d19(abs($"err"))).as("sum_abs"),
+        sum(d19($"err") * d19($"err")).as("ss_res_c"),
+        sum(d19($"a_cents")).as("sum_a"),
+        sum(d19($"a_cents") * d19($"a_cents")).as("sum_a2"),
+      )
+      .select(
+        $"n",
+        ($"sum_abs".cast("double") / 1e4 / $"n").as("mae"),
+        sqrt($"ss_res_c".cast("double") / 1e8 / $"n").as("rmse"),
+        (lit(1.0) - $"ss_res_c".cast("double") /
+          ($"sum_a2".cast("double") - $"sum_a".cast("double") * $"sum_a".cast("double") / $"n"))
+          .as("r2"),
+      )
+  }
+
+  val ml02Oracle: String =
+    """WITH weekly AS (
+      |  SELECT event_type, date_trunc('week', ts) AS wk,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS a_cents
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT *, a_cents - p_cents AS err FROM (
+      |    SELECT event_type, wk, a_cents,
+      |           lag(a_cents, 1) OVER (PARTITION BY event_type ORDER BY wk) AS p_cents
+      |    FROM weekly)
+      |  WHERE p_cents IS NOT NULL),
+      |agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(abs(err) AS DECIMAL(19,0))) AS sum_abs,
+      |    SUM(CAST(err AS DECIMAL(19,0)) * CAST(err AS DECIMAL(19,0))) AS ss_res_c,
+      |    SUM(CAST(a_cents AS DECIMAL(19,0))) AS sum_a,
+      |    SUM(CAST(a_cents AS DECIMAL(19,0)) * CAST(a_cents AS DECIMAL(19,0))) AS sum_a2
+      |  FROM scored)
+      |SELECT n,
+      |  CAST(sum_abs AS DOUBLE) / 1e4 / n AS mae,
+      |  sqrt(CAST(ss_res_c AS DOUBLE) / 1e8 / n) AS rmse,
+      |  1.0 - CAST(ss_res_c AS DOUBLE)
+      |    / (CAST(sum_a2 AS DOUBLE) - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE) / n) AS r2
+      |FROM agg""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("ml01_lag_features", ml01, Some(ml01Oracle)),
+    Q("ml02_persistence_metrics", ml02, Some(ml02Oracle)),
   )
 }
