@@ -199,6 +199,40 @@ object Shaping {
       |SELECT o_custkey, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS total
       |FROM top3 ORDER BY o_custkey, pos""".stripMargin
 
+  /** q47 — unpivot/melt (inverse of q34's pivot): wide per-year measures to
+    * long (yr, measure, value) form — the reshape every metrics store needs
+    * in both directions. Spark's native `unpivot` (Expand under the hood —
+    * no join, no union of self-scans) against DuckDB's UNPIVOT. Measures
+    * are cast to double on both sides (counts are exactly representable;
+    * sums ride the Exact decimal path first).
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        dsum($"o_totalprice").as("sum_total"),
+        max($"o_totalprice").as("max_total"),
+      )
+      .unpivot(
+        ids = Array($"yr"),
+        values = Array($"n_orders", $"sum_total", $"max_total"),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy($"yr", $"measure")
+  }
+
+  val q47Oracle: String =
+    """WITH wide AS (
+      |  SELECT year(o_orderdate) AS yr,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+      |    MAX(o_totalprice) AS max_total
+      |  FROM orders GROUP BY 1)
+      |SELECT * FROM wide UNPIVOT (value FOR measure IN (n_orders, sum_total, max_total))
+      |ORDER BY yr, measure""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q03_filter_project", q03, Some(q03Oracle)),
     Q("q13_topk_orders", q13, Some(q13Oracle)),
@@ -208,5 +242,6 @@ object Shaping {
     Q("q19_null_guards", q19, Some(q19Oracle)),
     Q("q27_set_ops", q27, Some(q27Oracle)),
     Q("q37_posexplode_topk", q37, Some(q37Oracle)),
+    Q("q47_unpivot_melt", q47, Some(q47Oracle)),
   )
 }
