@@ -318,6 +318,63 @@ object TextAnalysis {
       |SELECT term, tf_total, df, CAST(tf_total * n_docs AS DOUBLE) / df AS score
       |FROM st, n ORDER BY score DESC, term LIMIT 20""".stripMargin
 
+  /** c01 — the composed corpus-curation pipeline (capstone over t02/t03/
+    * d01): quality gate (length + digit-ratio) → language gate (predicted
+    * en) → exact dedup keeping the lowest doc_id per canonical
+    * fingerprint. This is the end-to-end filter a training-data pipeline
+    * materializes; each stage is narrow until the single dedup groupBy,
+    * whose key is a 128-bit hash — no raw text crosses the exchange.
+    */
+  def c01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val words = size(filter(split($"text", " "), x => x =!= ""))
+    val chars = length($"text")
+    val digits = chars - length(regexp_replace($"text", "[0-9]", ""))
+    val quality = docs
+      .select($"doc_id", $"text", words.as("n_words"),
+        (digits.cast("double") / when(chars =!= 0, chars)).as("digit_ratio"))
+      .filter($"n_words" >= 20 && $"digit_ratio" <= 0.2)
+    val lang = langPred(docs).select($"doc_id", $"lang_pred")
+    quality
+      .join(lang, Seq("doc_id"))
+      .filter($"lang_pred" === "en")
+      .groupBy(md5(normalize($"text")).as("fingerprint"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+        min($"n_words").as("n_words"))
+      .select($"doc_id", $"fingerprint", $"n_copies", $"n_words")
+      .orderBy($"doc_id")
+  }
+
+  val c01Oracle: String = {
+    val en = s"${duckMarker(" the ")} + ${duckMarker(" a ")}"
+    val de = s"${duckMarker(" der ")} + ${duckMarker(" und ")}"
+    val fr = s"${duckMarker(" le ")} + ${duckMarker(" et ")}"
+    val es = s"${duckMarker(" el ")} + ${duckMarker(" y ")}"
+    s"""WITH q AS (SELECT doc_id, text,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |      / NULLIF(length(text), 0) AS digit_ratio
+       |  FROM documents),
+       |k1 AS (SELECT doc_id, text, n_words FROM q
+       |       WHERE n_words >= 20 AND digit_ratio <= 0.2),
+       |p AS (SELECT doc_id,
+       |  ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS padded
+       |  FROM documents),
+       |hits AS (SELECT doc_id, $en AS en_hits, $de AS de_hits, $fr AS fr_hits, $es AS es_hits
+       |  FROM p),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr'
+       |       ELSE 'es' END AS lang_pred FROM hits),
+       |kept AS (SELECT k1.* FROM k1 JOIN lang USING (doc_id) WHERE lang_pred = 'en')
+       |SELECT MIN(doc_id) AS doc_id,
+       |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       |  COUNT(*) AS n_copies, MIN(n_words) AS n_words
+       |FROM kept GROUP BY 2 ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -327,5 +384,6 @@ object TextAnalysis {
     Q("t06_pii_redact", t06, Some(t06Oracle)),
     Q("t07_top_bigrams", t07, Some(t07Oracle)),
     Q("t08_term_importance", t08, Some(t08Oracle)),
+    Q("c01_corpus_filter", c01, Some(c01Oracle)),
   )
 }
