@@ -360,10 +360,94 @@ object Dedup {
        |JOIN sets sb ON b = sb.doc_id
        |ORDER BY a, b""".stripMargin
 
+  /** Connected components over an undirected edge list (a, b) by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round every node takes the min of its own and its neighbors' labels;
+    * combined with pointer jumping (adopt the label of your label-holder),
+    * which doubles label reach per round → fixpoint in O(log diameter)
+    * rounds. Each round is two joins + one groupBy — fully distributed;
+    * only the converged? check touches the driver, and localCheckpoint
+    * keeps every round's plan O(1) instead of accreting lineage. A
+    * web-scale general graph would switch to large-star/small-star
+    * contraction; the skeleton is the same.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = sym.select(col("a").as("id")).distinct()
+    var labels = nodes.withColumn("comp", col("id")).localCheckpoint()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 20) {
+      // 1) take the min label over the neighborhood
+      val nmin = sym.join(labels, sym("a") === labels("id"))
+        .groupBy(sym("b").as("nid")).agg(min(col("comp")).as("ncomp"))
+      val afterN = labels.join(nmin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // 2) pointer jump: also adopt the label of the current label-holder —
+      //    label distance doubles per round, so rounds are O(log diameter)
+      //    instead of O(diameter) (a chain otherwise forces one round per hop)
+      val byId = afterN.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val jumped = afterN.join(byId, afterN("comp") === byId("jid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+        .localCheckpoint() // eager: truncates lineage so plans stay O(1) per round
+      changed = jumped
+        .join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") < col("old")).limit(1).count() > 0
+      labels = jumped
+      rounds += 1
+    }
+    labels
+  }
+
+  /** d06 — near-duplicate CLUSTERS: strong MinHash candidates
+    * (est_jaccard ≥ 0.5) treated as edges, components extracted, every
+    * member labeled with its cluster id (min doc_id) and cluster size —
+    * the form a dedup pipeline actually materializes (keep one per
+    * cluster), not raw pairs. Oracle: the same edge set fed through a
+    * recursive-SQL transitive closure.
+    */
+  def d06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSignatures(Tables.documents(s, dir)).cache()
+    val edges = minhashCandidates(sigs)
+      .filter($"est_jaccard" >= 0.5)
+      .select("a", "b")
+      .cache()
+    val comps = connectedComponents(edges)
+    val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, Seq("comp"))
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  val d06Oracle: String = {
+    val est = (0 until NumPerms)
+      .map(p => s"(CASE WHEN x.s$p = y.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""${sigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)
+       |  WHERE CAST(($est) AS DOUBLE) / $NumPerms >= 0.5),
+       |nodes AS (SELECT a AS id FROM cand UNION SELECT b FROM cand),
+       |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |reach AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+       |comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Oracle)),
     Q("d02_minhash_lsh_candidates", d02, Some(d02Oracle)),
     Q("d03_simhash_signatures", d03, Some(d03Oracle)),
     Q("d04_ngram_jaccard_verify", d04, Some(d04Oracle)),
+    Q("d06_dup_clusters", d06, Some(d06Oracle)),
   )
 }

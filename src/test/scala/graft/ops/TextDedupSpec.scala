@@ -90,4 +90,13 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(100L) == "en")
     assert(out(101L) == "de")
   }
+
+  test("connected components: chains merge, disjoint clusters stay apart") {
+    // 1-2-3-4 is a diameter-3 chain (needs >1 propagation round), 7-8 is
+    // a separate pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
 }
