@@ -77,6 +77,34 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connected components match a brute-force union-find on random graphs") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 11L)
+      b <- Gen.choose(0L, 11L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    (1 to 4).foreach { it =>
+      val edges = sample(Gen.listOfN(10, edgeGen), seed = 400 + it).distinct
+      // reference: naive union-find on the driver
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      // min-label find: the canonical root IS the component min by
+      // construction of the union order above
+      val got = graft.ops.Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed ${400 + it}: $edges")
+    }
+  }
+
   test("A11 CFR bounded in [0,100] when deaths <= cases") {
     val yearRow = for {
       yr <- Gen.choose(2020, 2024)
