@@ -82,11 +82,13 @@ object TextAnalysis {
 
   /** Occurrences of `marker` in ' '||text||' ' via the replace-count trick
     * (identical semantics in Spark and DuckDB → oracle-able; an n-gram
-    * language model would not be).
+    * language model would not be). Plain string `replace`, not
+    * regexp_replace — the marker is a literal, and skipping the regex
+    * engine makes the 8-marker scan of t03/c01 measurably cheaper.
     */
   private def markerCount(padded: Column, marker: String): Column =
-    ((length(padded) - length(regexp_replace(padded,
-      java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
+    ((length(padded) - length(call_function("replace", padded, lit(marker))))
+      / marker.length).cast("int")
 
   /** Language-ID heuristic over any (doc_id, text) frame: stopword-marker
     * counts per candidate language, argmax with a fixed priority order for
