@@ -27,6 +27,29 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("append-mode emission boundary: a window whose end EQUALS the watermark is emitted") {
+    // st03's oracle encodes `window_end <= max(ts) − delay`; this pins
+    // Spark's finalization rule at exact equality so the oracle can't
+    // silently drift off-by-one on boundary-aligned data
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes")).agg(Exact.dsum($"v").as("s"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("boundary_out").start()
+    try {
+      // window [00:00, 00:10); max ts 00:20 → watermark = 00:10 == window end
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (Timestamp.valueOf("2024-01-01 00:20:00"), 2.0))
+      q.processAllAvailable()
+      val starts = spark.table("boundary_out")
+        .select(date_format($"window.start", "HH:mm").as("w")).collect().map(_.getString(0))
+      assert(starts.toSeq == Seq("00:00"), starts.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
