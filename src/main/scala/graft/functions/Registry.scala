@@ -64,5 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by"),
       VectorFunctions.topKBuilder,
     ))
+    // windowed top-k (row_number <= k) → bounded-heap aggregate, when
+    // provably semantics-preserving (see WindowTopKToHeap's guards)
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.WindowTopKToHeap)
   }
 }
