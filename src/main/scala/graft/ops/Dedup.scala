@@ -381,6 +381,17 @@ object Dedup {
     * contraction; the skeleton is the same.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    // the candidate graph is orders of magnitude smaller than the corpus —
+    // per-round shuffles are sized to it, not to the session's batch width
+    // (same principle as the streaming state stores); restored afterwards
+    val batchShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try connectedComponentsLoop(edges)
+    finally spark.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
