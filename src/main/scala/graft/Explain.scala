@@ -5,7 +5,8 @@ object Explain {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
     args.foreach { name =>

@@ -9,7 +9,8 @@ object Timing {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$dir/lineitem.parquet").count()
     (1 to reps).foreach { r =>

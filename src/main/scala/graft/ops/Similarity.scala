@@ -277,9 +277,54 @@ object Similarity {
       .orderBy($"qid", $"cosine_approx".desc, $"cid")
   }
 
+  /** s05 — s01's windowed top-k written to TRIGGER the [[WindowTopKToHeap]]
+    * optimizer rule (active in the gate/bench sessions via
+    * `spark.sql.extensions=graft.functions.GraftExtensions`): score and id
+    * are coalesce-wrapped so their attributes are NON-NULLABLE, which is
+    * the rule's safety requirement. The query text says "window top-k";
+    * the executed plan is the bounded-heap aggregate — and the DuckDB
+    * oracle (the plain window SQL) hash-checks that the rewrite preserved
+    * semantics bit-for-bit, ties included. PlanSpec asserts the rewrite
+    * actually fired.
+    */
+  def s05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = e.filter($"vec_id" >= 5)
+      .select(coalesce($"vec_id", lit(-1L)).as("cid"), $"embedding".as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .select($"qid", $"cid",
+        coalesce(cosine($"qe", $"ce"), lit(-2.0)).as("cosine"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .drop("rn")
+      .orderBy($"qid", $"cosine".desc, $"cid")
+  }
+
+  val s05Oracle: String =
+    """WITH q AS (SELECT vec_id AS qid, unnest(embedding) AS qe, generate_subscripts(embedding,1) AS i
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, unnest(embedding) AS ce, generate_subscripts(embedding,1) AS i
+      |      FROM embeddings WHERE vec_id >= 5),
+      |dots AS (SELECT qid, cid, SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE) ORDER BY i) AS dot
+      |         FROM q JOIN c USING (i) GROUP BY qid, cid),
+      |norms AS (SELECT vec_id, SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE) ORDER BY i) AS n2
+      |          FROM (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+      |                FROM embeddings) GROUP BY vec_id)
+      |SELECT qid, cid, cosine FROM (
+      |  SELECT qid, cid, COALESCE(dot / (sqrt(nq.n2) * sqrt(nc.n2)), -2.0) AS cosine
+      |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id)
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) <= 3
+      |ORDER BY qid, cosine DESC, cid""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Oracle)),
     Q("s03_knn_heap", s03, Some(s01Oracle)),
+    Q("s05_knn_rule_rewrite", s05, Some(s05Oracle)),
     Q("s02_knn_lsh", s02, None),
     Q("s04_knn_ivf", (s, dir) => s04(s, dir), None),
     Q("d05_embedding_neardup", d05, Some(d05Oracle)),

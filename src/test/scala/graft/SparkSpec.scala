@@ -13,6 +13,9 @@ trait SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine's production registration path: custom functions + the
+      // WindowTopKToHeap optimizer rule are active in every suite
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -30,19 +30,23 @@ class WindowTopKToHeapSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("rewrites row_number<=k into the bounded-heap aggregate, same rows") {
-    val expected = topk.orderBy($"g", $"rn").collect()
     val (plan, got) = withRule {
       val df = topk
-      (df.queryExecution.executedPlan.toString, df.orderBy($"g", $"rn").collect())
+      (df.queryExecution.executedPlan.toString,
+        df.orderBy($"g", $"rn").collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3))))
     }
     assert(!plan.contains("Window ["), plan) // no window exec
     assert(!plan.contains("WindowGroupLimit"), plan) // pre-limit stripped too
     assert(!plan.contains("Sort ["), plan) // the whole sort path is gone
     assert(plan.contains("top_k_by"), plan)
     assert(plan.contains("partial_top_k_by"), plan) // map-side combine
-    // ties at score 9.0 resolve to the smaller id in both forms; rn is
-    // reconstructed from the heap's sorted position
-    assert(got.toSeq == expected.toSeq)
+    // hard-coded window semantics (ties at 9.0 resolve to the smaller id,
+    // rn reconstructed from heap position) — independent of the rule being
+    // active by default in the shared test session
+    assert(got.toSeq == Seq(
+      ("a", 9.0, 3L, 1), ("a", 9.0, 4L, 2),
+      ("b", 8.0, 7L, 1), ("b", 2.0, 6L, 2)))
   }
 
   test("bails out when the score is nullable (heap drops nulls, window ranks them)") {

@@ -77,6 +77,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("s05: the windowed top-k text executes as the heap aggregate (rule fired)") {
+    val p = plan("s05_knn_rule_rewrite")
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("top_k_by"), p)
+  }
+
   test("d05 exact near-dup sweep: broadcast nested loop, no pair-set shuffle") {
     val p = plan("d05_embedding_neardup")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
