@@ -38,4 +38,39 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(back.orderBy("n_nationkey").collect().toSeq ==
       base.orderBy("n_nationkey").collect().toSeq)
   }
+
+  test("binaryFile source: opaque media payloads ingest with path/length/content") {
+    // the real ingestion path for the multimodal pipeline (ops.Multimodal
+    // synthesizes payloads from documents only because this container has
+    // no media): arbitrary bytes in, (path, modificationTime, length,
+    // content) out, filterable by glob
+    val dir = java.nio.file.Paths.get(tmp, "media")
+    java.nio.file.Files.createDirectories(dir)
+    val payload = Array.tabulate[Byte](256)(i => (i % 251).toByte)
+    java.nio.file.Files.write(dir.resolve("clip1.bin"), payload)
+    java.nio.file.Files.write(dir.resolve("clip2.bin"), payload.take(10))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "skip me".getBytes)
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.toString)
+    assert(media.count() == 2) // glob filtered
+    val row = media.filter($"path".endsWith("clip1.bin")).collect()(0)
+    assert(row.getAs[Long]("length") == 256L)
+    assert(row.getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+    // feeds the existing typed pipeline unchanged
+    val decoded = graft.ops.Multimodal.decode(
+      media.select(
+        when($"path".endsWith("clip1.bin"), 1L).otherwise(2L).as("media_id"),
+        lit("video").as("modality"),
+        $"content".as("payload")).as[graft.ops.Multimodal.MediaRow])
+    assert(decoded.filter($"media_id" === 1L).collect()(0).byte_len == 256)
+  }
+
+  test("text and wholetext sources round-trip line/document granularity") {
+    val dir = java.nio.file.Paths.get(tmp, "txt")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("doc.txt"), "alpha\nbeta\ngamma".getBytes)
+    assert(spark.read.text(dir.toString).count() == 3) // one row per line
+    val whole = spark.read.option("wholetext", "true").text(dir.toString).collect()
+    assert(whole.length == 1 && whole(0).getString(0) == "alpha\nbeta\ngamma")
+  }
 }

@@ -27,6 +27,30 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("foreachBatch maintains a serving table via Warehouse.upsert per micro-batch") {
+    // the streaming → warehouse integration path: each micro-batch merges
+    // into the serving table with last-wins upsert semantics; the batch
+    // frame is only valid inside its batch, so the merged state is
+    // materialized (localCheckpoint — stand-in for the parquet table swap)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    var table = Seq((1L, "init")).toDF("id", "v").localCheckpoint()
+    val q = input.toDF().toDF("id", "v").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        table = graft.Warehouse.upsert(table, batch, "id").localCheckpoint()
+      }
+      .start()
+    try {
+      input.addData((1L, "updated"), (2L, "new"))
+      q.processAllAvailable()
+      input.addData((2L, "newer"), (3L, "third"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = table.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "updated", 2L -> "newer", 3L -> "third"))
+  }
+
   test("append-mode emission boundary: a window whose end EQUALS the watermark is emitted") {
     // st03's oracle encodes `window_end <= max(ts) − delay`; this pins
     // Spark's finalization rule at exact equality so the oracle can't
