@@ -84,19 +84,11 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          // Mirror the SQL normalize pipeline EXACTLY: SQL trim() strips
-          // SPACES only (String.trim strips all chars <= 0x20 — a tab-edged
-          // doc would tokenize differently and break the oracle), then
-          // lower (Locale.ROOT: locale-independent like Spark's lower()),
-          // then \s+ -> ' ' collapse, then split(' ') keeping empties.
-          var b = 0
-          var e = text.length
-          while (b < e && text.charAt(b) == ' ') b += 1
-          while (e > b && text.charAt(e - 1) == ' ') e -= 1
-          val words = text.substring(b, e)
-            .toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("\\s+", " ")
-            .split(" ", -1)
+          // normalizeJvm mirrors the SQL normalize pipeline exactly (SQL
+          // trim strips spaces only; String.trim would strip all chars
+          // <= 0x20 and break the oracle on tab-edged docs); split keeps
+          // empty tokens like string_split does
+          val words = TextAnalysis.normalizeJvm(text).split(" ", -1)
           val sig = Array.fill(n)(Long.MaxValue)
           val seen = new java.util.HashSet[String]()
           val last = math.max(words.length - sz, 0)

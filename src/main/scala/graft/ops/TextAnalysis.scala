@@ -19,6 +19,20 @@ object TextAnalysis {
   /** Whitespace-collapsed, lower-cased canonical text. */
   def normalize(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** JVM mirror of [[normalize]] for mapPartitions operators — matches the
+    * SQL pipeline exactly: trim strips SPACES only (String.trim would strip
+    * all chars ≤ 0x20), locale-independent lower, then \s+ → ' ' collapse.
+    */
+  def normalizeJvm(text: String): String = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(b, e)
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+  }
+
   /** t01 — token count: non-empty whitespace tokens + char length. */
   def t01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -377,6 +391,87 @@ object TextAnalysis {
        |FROM kept GROUP BY 2 ORDER BY doc_id""".stripMargin
   }
 
+  val WinnowK = 8 // k-gram length (chars)
+  val WinnowW = 4 // winnowing window (consecutive k-gram hashes)
+  val WinnowB = 31L // polynomial base
+  val WinnowM = 2147483647L // modulus 2^31-1
+
+  /** t09 — winnowing fingerprints over a Rabin–Karp ROLLING hash (the
+    * rolling-hash document fingerprinting of MOSS-style near-dup /
+    * provenance detection): hash every k-char gram of the canonical text
+    * with a polynomial rolling update (subtract the outgoing char's
+    * `B^(k-1)` term, shift, add the incoming char — O(1) per position),
+    * then keep the min hash of every w-length window, dedup'd. The per-doc
+    * summary (count / min / max / exact sum of the fingerprint set) is
+    * what the driver hash-checks; the oracle recomputes every hash
+    * positionally in SQL — modular congruence makes the incremental and
+    * positional forms provably equal, so the oracle also validates the
+    * rolling update. Narrow mapPartitions pass, no shuffle.
+    */
+  def t09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (k, w, bigB, m) = (WinnowK, WinnowW, WinnowB, WinnowM)
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = normalizeJvm(text)
+        val n = t.length - k + 1
+        if (n < w) (id, 0L, None: Option[Long], None: Option[Long], 0L)
+        else {
+          val bk1 = { // B^(k-1) mod M
+            var x = 1L; (1 until k).foreach(_ => x = x * bigB % m); x
+          }
+          val hs = new Array[Long](n)
+          var h = 0L
+          var j = 0
+          while (j < k) { h = (h * bigB + t.charAt(j)) % m; j += 1 } // Horner init
+          hs(0) = h
+          var i = 1
+          while (i < n) { // rolling update
+            h = java.lang.Math.floorMod(h - t.charAt(i - 1) * bk1, m)
+            h = (h * bigB + t.charAt(i + k - 1)) % m
+            hs(i) = h
+            i += 1
+          }
+          val fps = scala.collection.mutable.SortedSet.empty[Long]
+          i = 0
+          while (i <= n - w) {
+            var mn = hs(i)
+            var x = i + 1
+            while (x < i + w) { if (hs(x) < mn) mn = hs(x); x += 1 }
+            fps += mn
+            i += 1
+          }
+          (id, fps.size.toLong, Some(fps.head), Some(fps.last), fps.sum)
+        }
+      })
+      .toDF("doc_id", "n_fp", "min_fp", "max_fp", "sum_fp")
+      .orderBy($"doc_id")
+  }
+
+  /** t09's oracle: positional polynomial hashes (congruent to the rolling
+    * form) + windowed minima in pure SQL.
+    */
+  val t09Oracle: String = {
+    val powers = (0 until WinnowK).map { j =>
+      var x = 1L; (1 until WinnowK - j).foreach(_ => x = x * WinnowB); x
+    } // B^(k-1-j), un-reduced: terms stay far below 2^63
+    val terms = powers.zipWithIndex.map { case (p, j) =>
+      s"CAST(ascii(substring(t, i + $j, 1)) AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""WITH n AS (SELECT doc_id,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |h AS (SELECT doc_id, list_transform(range(1, greatest(length(t) - ${WinnowK - 2}, 1)),
+       |    i -> ($terms) % $WinnowM) AS hs FROM n),
+       |f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - ${WinnowW - 2}, 1)),
+       |    i -> list_min(list_slice(hs, i, i + ${WinnowW - 1})))) AS fps FROM h)
+       |SELECT doc_id, len(fps) AS n_fp,
+       |  list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+       |  CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS sum_fp
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -386,6 +481,7 @@ object TextAnalysis {
     Q("t06_pii_redact", t06, Some(t06Oracle)),
     Q("t07_top_bigrams", t07, Some(t07Oracle)),
     Q("t08_term_importance", t08, Some(t08Oracle)),
+    Q("t09_winnowing_fingerprints", t09, Some(t09Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
   )
 }
