@@ -104,25 +104,34 @@ object TextAnalysis {
     ((length(padded) - length(call_function("replace", padded, lit(marker))))
       / marker.length).cast("int")
 
+  /** Per-language marker-hit columns for a text column (en/de/fr/es). */
+  def langHits(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), normalize(text), lit(" "))
+    Seq(
+      "en" -> (markerCount(padded, " the ") + markerCount(padded, " a ")),
+      "de" -> (markerCount(padded, " der ") + markerCount(padded, " und ")),
+      "fr" -> (markerCount(padded, " le ") + markerCount(padded, " et ")),
+      "es" -> (markerCount(padded, " el ") + markerCount(padded, " y ")),
+    )
+  }
+
+  /** Argmax with the fixed en>de>fr>es tie priority, over hit columns. */
+  def langArgmax(en: Column, de: Column, fr: Column, es: Column): Column =
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+
   /** Language-ID heuristic over any (doc_id, text) frame: stopword-marker
     * counts per candidate language, argmax with a fixed priority order for
     * ties.
     */
   def langPred(docs: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), normalize(col("text")), lit(" "))
-    val en = markerCount(padded, " the ") + markerCount(padded, " a ")
-    val de = markerCount(padded, " der ") + markerCount(padded, " und ")
-    val fr = markerCount(padded, " le ") + markerCount(padded, " et ")
-    val es = markerCount(padded, " el ") + markerCount(padded, " y ")
+    val hits = langHits(col("text"))
     docs
-      .select(col("doc_id"), en.as("en_hits"), de.as("de_hits"),
-        fr.as("fr_hits"), es.as("es_hits"))
+      .select(col("doc_id") +: hits.map { case (l, c) => c.as(s"${l}_hits") }: _*)
       .withColumn("lang_pred",
-        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
-          && col("en_hits") >= col("es_hits"), "en")
-          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
-          .when(col("fr_hits") >= col("es_hits"), "fr")
-          .otherwise("es"))
+        langArgmax(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")))
       .orderBy(col("doc_id"))
   }
 
@@ -347,14 +356,15 @@ object TextAnalysis {
     val words = size(filter(split($"text", " "), x => x =!= ""))
     val chars = length($"text")
     val digits = chars - length(regexp_replace($"text", "[0-9]", ""))
-    val quality = docs
+    val hits = langHits($"text").toMap
+    // quality and language gates FUSED into one projection over one scan —
+    // the join-free form of quality ⋈ langPred (both derive from the same
+    // row, so the equi-join on doc_id is a needless shuffle)
+    docs
       .select($"doc_id", $"text", words.as("n_words"),
-        (digits.cast("double") / when(chars =!= 0, chars)).as("digit_ratio"))
-      .filter($"n_words" >= 20 && $"digit_ratio" <= 0.2)
-    val lang = langPred(docs).select($"doc_id", $"lang_pred")
-    quality
-      .join(lang, Seq("doc_id"))
-      .filter($"lang_pred" === "en")
+        (digits.cast("double") / when(chars =!= 0, chars)).as("digit_ratio"),
+        langArgmax(hits("en"), hits("de"), hits("fr"), hits("es")).as("lang_pred"))
+      .filter($"n_words" >= 20 && $"digit_ratio" <= 0.2 && $"lang_pred" === "en")
       .groupBy(md5(normalize($"text")).as("fingerprint"))
       .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
         min($"n_words").as("n_words"))
