@@ -118,6 +118,28 @@ object Warehouse {
       .unionByName(opened.select(history.columns.map(col): _*))
   }
 
+  /** Compact a parquet table directory: rewrite to ⌈size / targetBytes⌉
+    * files. The small-files problem is the dominant operational cost of a
+    * long-lived 100 TB warehouse (every scan pays file-open + footer-read
+    * per file; listing grows unbounded) — periodic compaction to
+    * scan-sized files keeps read amplification flat. Plan-stats sizing, a
+    * single repartition (round-robin — no key skew), and an atomic
+    * directory swap via a temp dir + rename.
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = s"$dir.__compact_tmp"
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    fs.rename(tmpPath, path)
+    nFiles
+  }
+
   /** Bucketed + sorted managed table: both sides of a recurring equi-join
     * bucketed on the join key with the SAME bucket count join with ZERO
     * exchange and zero sort (SortMergeJoin reads co-located, pre-sorted

@@ -87,6 +87,21 @@ class WarehouseScd2Spec extends AnyFunSuite with SparkSpec {
     assert(Set("x", "y").contains(w1))
   }
 
+  test("compact: many small files rewrite to few, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(0, 10000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(64).write.mode("overwrite").parquet(dir) // 64 tiny files
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    val n = Warehouse.compact(spark, dir, targetBytes = 1L << 20)
+    assert(parquetFiles == n && n < 64)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"id")).collect()(0)
+      .getLong(0) == 49995000L)
+  }
+
   test("scd2: null attribute values compare null-safely") {
     val v1 = Warehouse.scd2Merge(empty,
       Seq((1L, Option.empty[String])).toDF("id", "segment"),
