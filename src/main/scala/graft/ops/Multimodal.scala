@@ -45,6 +45,14 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
+  final case class ResizedMedia(
+      media_id: Long,
+      out_w: Int,
+      out_h: Int,
+      resized_len: Int,
+      resized_bytes: Array[Byte],
+  )
+
   /** Synthesize a media table from `documents` (text bytes stand in for an
     * encoded payload; modality assigned round-robin for coverage).
     */
@@ -103,6 +111,24 @@ object Multimodal {
         }
       }
       MediaFeatures(row.media_id, entropy, if (n == 0) 0.0 else sum / n, nonzero)
+    })
+  }
+
+  /** Resize stage: integer pixel decimation to a target width — the fake
+    * analog keeps every `stride`-th payload byte (stride = width/targetW),
+    * so output geometry AND payload length are deterministic functions of
+    * the input (a real implementation would decimate decoded pixel rows
+    * here, same shape). Narrow mapPartitions, no shuffle; m03's oracle
+    * recomputes the output geometry in SQL.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val dec = fakeDecode(row)
+      val stride = math.max(1, dec.width / targetW)
+      val out = Array.range(0, row.payload.length, stride).map(row.payload)
+      ResizedMedia(row.media_id, dec.width / stride, dec.height / stride,
+        out.length, out)
     })
   }
 
@@ -179,15 +205,19 @@ object Multimodal {
     val decoded = decode(media).toDF()
     val features = extractFeatures(media).toDF()
       .select($"media_id", $"mean_byte", $"nonzero_buckets")
+    val resized = resize(media).toDF()
+      .select($"media_id", $"out_w", $"out_h", $"resized_len")
     val frameCounts = sampleFrames(media).groupBy("media_id")
       .agg(count(lit(1)).as("n_sampled_frames"))
     decoded
       .join(features, Seq("media_id"))
+      .join(resized, Seq("media_id"))
       .join(frameCounts, Seq("media_id"), "left")
       .select($"media_id", $"modality", $"byte_len", $"width", $"height",
         $"n_frames",
         coalesce($"n_sampled_frames", lit(0L)).as("n_sampled_frames"),
-        $"mean_byte", $"nonzero_buckets")
+        $"mean_byte", $"nonzero_buckets",
+        $"out_w", $"out_h", $"resized_len")
       .orderBy($"media_id")
   }
 
@@ -197,10 +227,12 @@ object Multimodal {
       |       WHEN doc_id % 3 = 1 THEN 'audio'
       |       ELSE 'video' END AS modality,
       |  octet_length(encode(text)) AS byte_len,
-      |  text FROM documents)
-      |SELECT media_id, modality, byte_len,
+      |  text FROM documents),
+      |g AS (SELECT *,
       |  16 * (1 + byte_len % 40) AS width,
       |  9 * (1 + byte_len % 40) AS height,
+      |  greatest((16 * (1 + byte_len % 40)) // 64, 1) AS stride FROM m)
+      |SELECT media_id, modality, byte_len, width, height,
       |  CASE WHEN modality = 'video' THEN 1 + byte_len // 64 ELSE 1 END AS n_frames,
       |  CASE WHEN modality = 'video'
       |       THEN CAST(ceil(ceil(byte_len / 64.0) / 4.0) AS BIGINT)
@@ -210,8 +242,11 @@ object Multimodal {
       |              i -> ascii(substring(text, i, 1)))) AS DOUBLE) / byte_len
       |       END AS mean_byte,
       |  len(list_distinct(list_transform(range(1, length(text) + 1),
-      |    i -> substring(text, i, 1)))) AS nonzero_buckets
-      |FROM m ORDER BY media_id""".stripMargin
+      |    i -> substring(text, i, 1)))) AS nonzero_buckets,
+      |  width // stride AS out_w,
+      |  height // stride AS out_h,
+      |  (byte_len + stride - 1) // stride AS resized_len
+      |FROM g ORDER BY media_id""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("m01_multimodal_meta", m01, Some(m01Oracle)),
