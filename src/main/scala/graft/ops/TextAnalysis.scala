@@ -418,43 +418,52 @@ object TextAnalysis {
     * positional forms provably equal, so the oracle also validates the
     * rolling update. Narrow mapPartitions pass, no shuffle.
     */
+  /** The pure winnowing core: sorted distinct fingerprints of a CANONICAL
+    * (already-normalized) string — rolling k-gram hashes, min per w-window.
+    * Winnowing guarantee: any shared substring of length ≥ w + k − 1 chars
+    * between two texts produces at least one shared fingerprint
+    * (spec-verified in TextDedupSpec).
+    */
+  def winnowFingerprints(t: String): Array[Long] = {
+    val (k, w, bigB, m) = (WinnowK, WinnowW, WinnowB, WinnowM)
+    val n = t.length - k + 1
+    if (n < w) return Array.empty
+    val bk1 = { // B^(k-1) mod M
+      var x = 1L; (1 until k).foreach(_ => x = x * bigB % m); x
+    }
+    val hs = new Array[Long](n)
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h * bigB + t.charAt(j)) % m; j += 1 } // Horner init
+    hs(0) = h
+    var i = 1
+    while (i < n) { // rolling update
+      h = java.lang.Math.floorMod(h - t.charAt(i - 1) * bk1, m)
+      h = (h * bigB + t.charAt(i + k - 1)) % m
+      hs(i) = h
+      i += 1
+    }
+    val fps = scala.collection.mutable.SortedSet.empty[Long]
+    i = 0
+    while (i <= n - w) {
+      var mn = hs(i)
+      var x = i + 1
+      while (x < i + w) { if (hs(x) < mn) mn = hs(x); x += 1 }
+      fps += mn
+      i += 1
+    }
+    fps.toArray
+  }
+
   def t09(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (k, w, bigB, m) = (WinnowK, WinnowW, WinnowB, WinnowM)
     Tables.documents(s, dir)
       .select($"doc_id".cast("long"), $"text")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val t = normalizeJvm(text)
-        val n = t.length - k + 1
-        if (n < w) (id, 0L, None: Option[Long], None: Option[Long], 0L)
-        else {
-          val bk1 = { // B^(k-1) mod M
-            var x = 1L; (1 until k).foreach(_ => x = x * bigB % m); x
-          }
-          val hs = new Array[Long](n)
-          var h = 0L
-          var j = 0
-          while (j < k) { h = (h * bigB + t.charAt(j)) % m; j += 1 } // Horner init
-          hs(0) = h
-          var i = 1
-          while (i < n) { // rolling update
-            h = java.lang.Math.floorMod(h - t.charAt(i - 1) * bk1, m)
-            h = (h * bigB + t.charAt(i + k - 1)) % m
-            hs(i) = h
-            i += 1
-          }
-          val fps = scala.collection.mutable.SortedSet.empty[Long]
-          i = 0
-          while (i <= n - w) {
-            var mn = hs(i)
-            var x = i + 1
-            while (x < i + w) { if (hs(x) < mn) mn = hs(x); x += 1 }
-            fps += mn
-            i += 1
-          }
-          (id, fps.size.toLong, Some(fps.head), Some(fps.last), fps.sum)
-        }
+        val fps = winnowFingerprints(normalizeJvm(text))
+        if (fps.isEmpty) (id, 0L, None: Option[Long], None: Option[Long], 0L)
+        else (id, fps.length.toLong, Some(fps.head), Some(fps.last), fps.sum)
       })
       .toDF("doc_id", "n_fp", "min_fp", "max_fp", "sum_fp")
       .orderBy($"doc_id")

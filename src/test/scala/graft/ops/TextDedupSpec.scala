@@ -91,6 +91,18 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(101L) == "de")
   }
 
+  test("winnowing guarantee: shared substrings of length >= w+k-1 share a fingerprint") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val a = TextAnalysis.winnowFingerprints(s"intro words here $shared and a tail")
+    val b = TextAnalysis.winnowFingerprints(s"completely different opening $shared closing words")
+    val c = TextAnalysis.winnowFingerprints("no overlap with either document at all whatsoever")
+    assert(a.intersect(b).nonEmpty) // the winnowing guarantee
+    assert(a.intersect(c).isEmpty && b.intersect(c).isEmpty)
+    // deterministic + sorted-distinct contract
+    assert(a.toSeq == TextAnalysis.winnowFingerprints(s"intro words here $shared and a tail").toSeq)
+    assert(a.toSeq == a.toSeq.distinct.sorted)
+  }
+
   test("connected components: chains merge, disjoint clusters stay apart") {
     // 1-2-3-4 is a diameter-3 chain (needs >1 propagation round), 7-8 is
     // a separate pair
