@@ -51,7 +51,7 @@ object Warehouse {
     import org.apache.spark.sql.functions._
     val tagged = existing.withColumn("__priority", lit(0))
       .unionByName(updates.withColumn("__priority", lit(1)))
-    val contentTiebreak = xxhash64(existing.columns.map(col): _*)
+    val contentTiebreak = xxhash64(existing.columns.toIndexedSeq.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(pk)).orderBy(col("__priority").desc, contentTiebreak)
     tagged
@@ -114,8 +114,8 @@ object Warehouse {
       .join(changedKeys, Seq(pk), "left_anti") // untouched history rows
       .unionByName(history.join(changedKeys, Seq(pk), "left_semi")
         .filter(!col("is_current"))) // changed pks keep their closed past versions
-      .unionByName(closed.select(history.columns.map(col): _*))
-      .unionByName(opened.select(history.columns.map(col): _*))
+      .unionByName(closed.select(history.columns.toIndexedSeq.map(col): _*))
+      .unionByName(opened.select(history.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Compact a parquet table directory: rewrite to ⌈size / targetBytes⌉

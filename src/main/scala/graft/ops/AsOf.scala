@@ -62,7 +62,7 @@ object AsOf {
     }
     carried
       .filter(col("__side") === 1) // keep probe rows only
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
   }
 
