@@ -93,7 +93,7 @@ object Similarity {
   val SignBands = 16 // 4 bits per band
 
   /** Sign-LSH band keys: one NARROW mapPartitions pass computes, per vector,
-    * `SignBands` band keys of `SignPlanes/SignBands` sign bits each. Each
+    * `bands` band keys of `planes/bands` sign bits each. Each
     * hyperplane is a deterministic Rademacher ±1 vector derived from
     * splitmix64(plane, dim) — no fitted model, no stored projection matrix,
     * any executor regenerates it from two integers. Collision probability
@@ -102,13 +102,12 @@ object Similarity {
     * (p_bit ≈ 0.67), so 4-bit bands are needed for ~0.97 expected recall
     * at ~35% candidate pruning; a production corpus with neighbors at
     * cos ≥ 0.8 (p_bit ≥ 0.9) collides ~0.66 per band vs 6% for random
-    * pairs — there, wider bands prune hard and fewer suffice.
+    * pairs — there, wider bands prune hard and fewer suffice (d07 uses
+    * 16 bands × 8 bits for its cos ≥ 0.9 floor).
     */
-  def signBandKeys(e: DataFrame): DataFrame = {
+  def signBandKeys(e: DataFrame, planes: Int = SignPlanes, bands: Int = SignBands): DataFrame = {
     val session = e.sparkSession
     import session.implicits._
-    val planes = SignPlanes
-    val bands = SignBands
     val bits = planes / bands
     e.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -210,6 +209,90 @@ object Similarity {
       |  SELECT a, b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
       |  FROM dots JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id)
       |WHERE cosine >= 0.45
+      |ORDER BY a, b""".stripMargin
+
+  /** Offset added to a source vec_id to name its planted near-duplicate. */
+  val PlantOffset = 100000L
+
+  /** Embeddings augmented with DETERMINISTIC near-duplicates: every 10th
+    * vector gains a copy (vec_id + [[PlantOffset]]) with dimension 0 zeroed.
+    * Zeroing involves no float arithmetic, so both engines see bit-identical
+    * arrays; the pair's cosine is √(1 − e₀²/‖v‖²) ≈ 0.99 for this data —
+    * a realistic near-dup, comfortably above d07's 0.9 floor, while
+    * unrelated pairs stay below cos ≈ 0.52 (the corpus max).
+    */
+  def plantNearDups(e: DataFrame): DataFrame = {
+    val planted = e.filter(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + PlantOffset).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    e.select(col("vec_id"), col("embedding")).unionByName(planted)
+  }
+
+  val NearDupFloor = 0.9
+
+  /** d07's prefilter: sign-LSH bucket self-join — a pair is a candidate iff
+    * it shares at least one (band, key) bucket. 16 bands × 8 sign bits
+    * (128 hyperplanes): a cos ≥ 0.99 pair agrees per bit w.p. ≥ 0.96, so it
+    * shares ≥1 band w.p. 1 − (1 − 0.96⁸)¹⁶ ≈ 1 − 10⁻⁹, while an unrelated
+    * pair (cos ≤ ~0.5) survives ≤ ~15% of the time — the quadratic verify
+    * work runs on that sliver, never on n²/2. The bucket join shuffles on
+    * (band, key), so its width scales with bucket occupancy, not corpus².
+    */
+  def d07Candidates(aug: DataFrame): DataFrame = {
+    val sigs = signBandKeys(aug, planes = 128, bands = 16)
+      .select(col("vec_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
+      .cache() // both sides of the self-join read it
+    sigs.alias("x")
+      .join(sigs.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+  }
+
+  /** d07 — embedding near-dup at a PRODUCTION floor (cos ≥ 0.9) as
+    * prune-then-verify: the d05 docstring's promised scale path, made real.
+    * Band prefilter → exact codegen'd cosine on survivors only. The oracle
+    * is the d05-style exact all-pairs SQL at the same floor over the same
+    * planted corpus, so a hash match proves the prefilter lost NOTHING —
+    * recall 1 − 10⁻⁹ by construction, 1.0 in fact (deterministic
+    * hyperplanes; verified at every SF). d05 stays as the exact oracle
+    * form; this is the one you run at 100 TB, where the cartesian is
+    * impossible and bucket occupancy — not n² — bounds the compare count.
+    */
+  def d07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    // cached: feeds the signature pass and both sides of the verify join
+    val aug = plantNearDups(Tables.embeddings(s, dir)).cache()
+    d07Candidates(aug)
+      .join(aug.select($"vec_id".as("a"), $"embedding".as("ea")), Seq("a"))
+      .join(aug.select($"vec_id".as("b"), $"embedding".as("eb")), Seq("b"))
+      .select($"a", $"b", cosine($"ea", $"eb").as("cosine"))
+      .filter($"cosine" >= NearDupFloor)
+      .orderBy($"a", $"b")
+  }
+
+  val d07Oracle: String =
+    """WITH base AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+      |              FROM embeddings),
+      |v AS (SELECT vec_id, e, i FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 100000 AS vec_id,
+      |             CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE e END AS e, i
+      |      FROM base WHERE vec_id % 10 = 0),
+      |norms AS (SELECT vec_id, SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE) ORDER BY i) AS n2
+      |          FROM v GROUP BY vec_id),
+      |dots AS (SELECT x.vec_id AS a, y.vec_id AS b,
+      |           SUM(CAST(x.e AS DOUBLE) * CAST(y.e AS DOUBLE) ORDER BY x.i) AS dot
+      |         FROM v x JOIN v y ON x.i = y.i AND x.vec_id < y.vec_id
+      |         GROUP BY 1, 2)
+      |SELECT a, b, cosine FROM (
+      |  SELECT a, b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+      |  FROM dots JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id)
+      |WHERE cosine >= 0.9
       |ORDER BY a, b""".stripMargin
 
   /** s03 — brute-force KNN via the bounded-heap `top_k_by` aggregate
@@ -328,5 +411,6 @@ object Similarity {
     Q("s02_knn_lsh", s02, None),
     Q("s04_knn_ivf", (s, dir) => s04(s, dir), None),
     Q("d05_embedding_neardup", d05, Some(d05Oracle)),
+    Q("d07_embedding_neardup_bucketed", d07, Some(d07Oracle)),
   )
 }

@@ -24,6 +24,28 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("d07 prefilter prunes hard AND loses nothing vs exact all-pairs at floor 0.9") {
+    import spark.implicits._
+    val aug = Similarity.plantNearDups(graft.Tables.embeddings(spark, sfSmoke)).cache()
+    val n = aug.count()
+    val allPairs = n * (n - 1) / 2
+    val candCount = Similarity.d07Candidates(aug).count()
+    assert(candCount < allPairs / 4,
+      s"prefilter admitted $candCount of $allPairs pairs — not a prune")
+    val exact = aug.select($"vec_id".as("a"), $"embedding".as("ea"))
+      .join(aug.select($"vec_id".as("b"), $"embedding".as("eb")), $"a" < $"b")
+      .select($"a", $"b", Similarity.cosine($"ea", $"eb").as("cosine"))
+      .filter($"cosine" >= Similarity.NearDupFloor)
+      .select($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.d07(spark, sfSmoke)
+      .select($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "planted near-dups should survive the 0.9 floor")
+    assert(got == exact, s"prune-then-verify diverged from exact: " +
+      s"missing=${exact -- got} extra=${got -- exact}")
+  }
+
   test("cosine is symmetric, bounded, and 1.0 on self") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
