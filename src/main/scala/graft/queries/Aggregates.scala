@@ -167,10 +167,13 @@ object Aggregates {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q30 — sketch aggregation: HyperLogLog++ approximate distinct counts
-    * next to the exact count (rows-only driver check: HLL estimates are
-    * engine-specific; the ≤5% relative-error bound is asserted in
-    * AggregatesSpec). At 100 TB the sketch is the only affordable form: a
-    * fixed-size buffer per group vs a full distinct shuffle.
+    * evaluated against the exact counts. The raw HLL estimates are
+    * engine-specific, so the gated output carries what IS cross-engine
+    * checkable: the exact counts (oracle recomputes them) and a ≤5%
+    * relative-error bound per sketch as a boolean the oracle pins to TRUE
+    * — the sketch's quality is enforced inside the driver's gate, not just
+    * in AggregatesSpec. At 100 TB the sketch is the only affordable form:
+    * a fixed-size buffer per group vs a full distinct shuffle.
     */
   def q30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -180,9 +183,23 @@ object Aggregates {
         approx_count_distinct($"user_id", 0.02).as("approx_users"),
         countDistinct($"user_id").as("exact_users"),
         approx_count_distinct($"props", 0.02).as("approx_props"),
+        countDistinct($"props").as("exact_props"),
       )
+      .select($"event_type", $"exact_users", $"exact_props",
+        (abs($"approx_users".cast("double") / $"exact_users" - 1.0) <= 0.05)
+          .as("hll_users_ok"),
+        (abs($"approx_props".cast("double") / $"exact_props" - 1.0) <= 0.05)
+          .as("hll_props_ok"))
       .orderBy($"event_type")
   }
+
+  val q30Oracle: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  count(DISTINCT props) AS exact_props,
+      |  TRUE AS hll_users_ok,
+      |  TRUE AS hll_props_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q33 — exact percentiles (beyond-reference completeness: linear-
     * interpolated quantiles, Spark `percentile` ≡ DuckDB `quantile_cont`).
@@ -330,7 +347,7 @@ object Aggregates {
     Q("q18_weekly_rollup", q18, Some(q18Oracle)),
     Q("q25_rollup_subtotals", q25, Some(q25Oracle)),
     Q("q26_json_extract_agg", q26, Some(q26Oracle)),
-    Q("q30_approx_distinct", q30, None),
+    Q("q30_approx_distinct", q30, Some(q30Oracle)),
     Q("q33_percentiles", q33, Some(q33Oracle)),
     Q("q34_pivot", q34, Some(q34Oracle)),
     Q("q36_array_agg_json", q36, Some(q36Oracle)),

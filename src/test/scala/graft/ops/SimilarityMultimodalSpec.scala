@@ -24,6 +24,18 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("s04 quantizer is fitted on the hash-prefix sample, not the corpus") {
+    val norm = Similarity.normalized(graft.Tables.embeddings(spark, sfSmoke))
+    val sampleCount = Similarity.ivfFitSample(norm).count()
+    val corpusCount = norm.count()
+    assert(sampleCount > 0 && sampleCount < corpusCount / 2,
+      s"sample $sampleCount should be a strict sketch of corpus $corpusCount")
+    val km = Similarity.ivfQuantizer(norm, nlist = 8)
+    // the model's training summary records exactly what the fit consumed
+    assert(km.hasSummary && km.summary.predictions.count() == sampleCount,
+      "KMeans fit input must be the deterministic sample")
+  }
+
   test("d07 prefilter prunes hard AND loses nothing vs exact all-pairs at floor 0.9") {
     import spark.implicits._
     val aug = Similarity.plantNearDups(graft.Tables.embeddings(spark, sfSmoke)).cache()

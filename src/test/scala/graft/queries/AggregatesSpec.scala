@@ -26,10 +26,10 @@ class AggregatesSpec extends AnyFunSuite with SparkSpec {
     val rows = Aggregates.q30(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("hll_users_ok"),
+        s"${r.getString(0)}: users sketch off by >5% of ${r.getAs[Long]("exact_users")}")
+      assert(r.getAs[Boolean]("hll_props_ok"),
+        s"${r.getString(0)}: props sketch off by >5% of ${r.getAs[Long]("exact_props")}")
     }
   }
 }
