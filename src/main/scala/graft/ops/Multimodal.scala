@@ -39,6 +39,7 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       entropy: Double,
+      coll_impurity: Long,
       mean_byte: Double,
       nonzero_buckets: Int,
   )
@@ -93,7 +94,15 @@ object Multimodal {
     media.mapPartitions(_.map(fakeDecode))
   }
 
-  /** Feature extraction: byte histogram → entropy / mean / occupancy. */
+  /** Feature extraction: byte histogram → entropy / collision impurity /
+    * mean / occupancy. `coll_impurity` = n² − Σc² (c = per-byte-value
+    * count) is the integer-exact surrogate for entropy: it is the
+    * (unnormalized) collision probability complement — 0 iff one byte value
+    * dominates entirely, maximal for a uniform histogram, and monotone in
+    * collision (Rényi-2) entropy −log₂(Σp²). Shannon entropy's float log₂
+    * is NOT bit-stable across engines, so the gate checks the impurity and
+    * entropy stays an advisory column (spec-asserted against the impurity).
+    */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { row =>
@@ -102,15 +111,19 @@ object Multimodal {
       row.payload.foreach { b => val u = b & 0xff; hist(u) += 1; sum += u }
       val n = row.payload.length.toDouble
       var entropy = 0.0
+      var sumSq = 0L
       var nonzero = 0
       hist.foreach { c =>
         if (c > 0) {
           nonzero += 1
+          sumSq += c * c
           val p = c / n
           entropy -= p * math.log(p) / math.log(2)
         }
       }
-      MediaFeatures(row.media_id, entropy, if (n == 0) 0.0 else sum / n, nonzero)
+      val len = row.payload.length.toLong
+      MediaFeatures(row.media_id, entropy, len * len - sumSq,
+        if (n == 0) 0.0 else sum / n, nonzero)
     })
   }
 
@@ -171,9 +184,14 @@ object Multimodal {
       |  lower(substring(hex(encode(text)), 1, 16)) AS head_hex
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** m02 — decode + features + frame counts, joined back on media_id (the
-    * full multimodal pipeline; rows-only driver check, invariants in
-    * MultimodalSpec).
+  /** m02 — decode + features + frame counts, joined back on media_id: the
+    * full multimodal pipeline, every gated column deterministic and
+    * recomputed by the DuckDB oracle (payloads are the documents' ASCII
+    * bytes, so the byte histogram is expressible as SQL over characters).
+    * The feature stage's entropy column is deliberately NOT in the gated
+    * output — cross-engine float log₂ isn't bit-stable; its integer-exact
+    * surrogate `coll_impurity` is gated instead and MultimodalSpec pins
+    * entropy against the impurity (both zero together, rank-consistent).
     */
   def m02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -186,10 +204,40 @@ object Multimodal {
       .join(features, Seq("media_id"))
       .join(frameCounts, Seq("media_id"), "left")
       .select($"media_id", $"modality", $"byte_len", $"width", $"height",
-        $"n_frames", $"entropy", $"mean_byte", $"nonzero_buckets",
+        $"n_frames", $"coll_impurity", $"mean_byte", $"nonzero_buckets",
         coalesce($"n_sampled_frames", lit(0L)).as("n_sampled_frames"))
       .orderBy($"media_id")
   }
+
+  val m02Oracle: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS modality,
+      |  octet_length(encode(text)) AS byte_len,
+      |  text FROM documents),
+      |ch AS (SELECT media_id,
+      |  unnest(list_transform(range(1, length(text) + 1),
+      |    i -> substring(text, i, 1))) AS c FROM m),
+      |cc AS (SELECT media_id, c, count(*) AS cnt FROM ch GROUP BY media_id, c),
+      |hist AS (SELECT media_id,
+      |  SUM(cnt * cnt) AS sum_sq,
+      |  SUM(ascii(c) * cnt) AS byte_sum,
+      |  count(*) AS nonzero_buckets
+      |  FROM cc GROUP BY media_id)
+      |SELECT m.media_id, modality, byte_len,
+      |  16 * (1 + byte_len % 40) AS width,
+      |  9 * (1 + byte_len % 40) AS height,
+      |  CASE WHEN modality = 'video' THEN 1 + byte_len // 64 ELSE 1 END AS n_frames,
+      |  CAST(byte_len AS BIGINT) * byte_len - COALESCE(sum_sq, 0) AS coll_impurity,
+      |  CASE WHEN byte_len = 0 THEN 0.0
+      |       ELSE CAST(byte_sum AS DOUBLE) / byte_len END AS mean_byte,
+      |  COALESCE(nonzero_buckets, 0) AS nonzero_buckets,
+      |  CASE WHEN modality = 'video'
+      |       THEN CAST(ceil(ceil(byte_len / 64.0) / 4.0) AS BIGINT)
+      |       ELSE 0 END AS n_sampled_frames
+      |FROM m LEFT JOIN hist ON m.media_id = hist.media_id
+      |ORDER BY m.media_id""".stripMargin
 
   /** m03 — the hash-checked core of m02: every deterministic column of the
     * decode → features → frame-sample pipeline recomputed by the DuckDB
@@ -250,7 +298,7 @@ object Multimodal {
 
   def all: Seq[Q] = Seq(
     Q("m01_multimodal_meta", m01, Some(m01Oracle)),
-    Q("m02_multimodal_pipeline", m02, None),
+    Q("m02_multimodal_pipeline", m02, Some(m02Oracle)),
     Q("m03_decode_meta_parity", m03, Some(m03Oracle)),
   )
 }

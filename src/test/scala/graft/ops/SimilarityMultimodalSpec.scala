@@ -82,6 +82,18 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.forall(f => f.entropy > 0 && f.entropy <= 8.0)) // ≤ log2(256)
     assert(feats.forall(f => f.mean_byte > 0 && f.mean_byte < 256))
+    // the advisory entropy agrees with its gated integer surrogate: both
+    // zero together, and the Rényi-2 entropy −log2(Σp²) reconstructed from
+    // the impurity (Σp² = 1 − impurity/n²) lower-bounds Shannon entropy
+    val lenById = d.map(r => r.media_id -> r.byte_len.toLong).toMap
+    feats.foreach { f =>
+      assert((f.entropy == 0.0) == (f.coll_impurity == 0L))
+      val n2 = lenById(f.media_id) * lenById(f.media_id)
+      val collision = 1.0 - f.coll_impurity.toDouble / n2
+      val renyi2 = -math.log(collision) / math.log(2)
+      assert(f.entropy >= renyi2 - 1e-9,
+        s"media ${f.media_id}: Shannon ${f.entropy} < Rényi-2 $renyi2")
+    }
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_idx % 4 == 0)) // stride honored
