@@ -155,17 +155,21 @@ object Dedup {
     * distinct word-trigram shingles, md5-seeded h1/h2, 64 modular
     * permutation mins as columns s0..s63.
     */
-  private def sigCtes: String = {
-    val mins = (0 until NumPerms)
-      .map(p => s"MIN((h1 + $p*h2) % 2147483647) AS s$p").mkString(", ")
-    s"""WITH w AS (SELECT doc_id,
+  /** Word-shingle CTEs (w/sh0/sh) alone — reused by t10's verify oracle. */
+  private[ops] def shingleCtes: String =
+    s"""w AS (SELECT doc_id,
        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
        |  FROM documents),
        |sh0 AS (SELECT doc_id, ws,
        |  unnest(range(1, greatest(len(ws) - ${ShingleSize - 1}, 1) + 1)) AS i FROM w),
        |sh AS (SELECT DISTINCT doc_id,
        |  array_to_string(list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ') AS shingle
-       |  FROM sh0),
+       |  FROM sh0)""".stripMargin
+
+  private def sigCtes: String = {
+    val mins = (0 until NumPerms)
+      .map(p => s"MIN((h1 + $p*h2) % 2147483647) AS s$p").mkString(", ")
+    s"""WITH $shingleCtes,
        |hv AS (SELECT doc_id,
        |  ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
        |  ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2 FROM sh),

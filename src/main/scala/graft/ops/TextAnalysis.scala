@@ -469,27 +469,109 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** t09's oracle: positional polynomial hashes (congruent to the rolling
-    * form) + windowed minima in pure SQL.
+  /** t09's oracle CTEs: positional polynomial hashes (congruent to the
+    * rolling form) + windowed minima in pure SQL — shared with t10.
     */
-  val t09Oracle: String = {
+  val t09Ctes: String = {
     val powers = (0 until WinnowK).map { j =>
       var x = 1L; (1 until WinnowK - j).foreach(_ => x = x * WinnowB); x
     } // B^(k-1-j), un-reduced: terms stay far below 2^63
     val terms = powers.zipWithIndex.map { case (p, j) =>
       s"CAST(ascii(substring(t, i + $j, 1)) AS BIGINT) * $p"
     }.mkString(" + ")
-    s"""WITH n AS (SELECT doc_id,
+    s"""n AS (SELECT doc_id,
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
        |h AS (SELECT doc_id, list_transform(range(1, greatest(length(t) - ${WinnowK - 2}, 1)),
        |    i -> ($terms) % $WinnowM) AS hs FROM n),
        |f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - ${WinnowW - 2}, 1)),
-       |    i -> list_min(list_slice(hs, i, i + ${WinnowW - 1})))) AS fps FROM h)
+       |    i -> list_min(list_slice(hs, i, i + ${WinnowW - 1})))) AS fps FROM h)""".stripMargin
+  }
+
+  val t09Oracle: String =
+    s"""WITH $t09Ctes
        |SELECT doc_id, len(fps) AS n_fp,
        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp,
        |  CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS sum_fp
        |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Per-doc winnowing fingerprints EXPLODED to (doc_id, fp) rows — the
+    * inverted-index form the pair query joins on. Same narrow pass as t09.
+    */
+  def winnowSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".cast("long"), $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        winnowFingerprints(normalizeJvm(text)).map(fp => (id, fp))
+      })
+      .toDF("doc_id", "fp")
   }
+
+  val MinSharedFp = 2
+  val WinnowJaccardFloor = 0.5
+
+  /** t10 — MOSS-style candidate pairs from the winnowing fingerprints t09
+    * produces: the fingerprint inverted index is self-joined, pairs with
+    * winnow-set Jaccard ≥ [[WinnowJaccardFloor]] become candidates, and the
+    * d04 exact word-n-gram Jaccard verify runs on candidates ONLY. The
+    * floor sits in a measured chasm: on this corpus coincidental 8-char
+    * gram overlap tops out at winnow-Jaccard 0.18 while true near-dups
+    * start at 0.94 — so 25 candidates survive from 125k possible pairs,
+    * and the expensive shingle verify touches just those. The self-join
+    * shuffles on fp value (posting-list occupancy, never corpus²); at web
+    * scale the one extra step is dropping stop-fingerprints (fps in > x%
+    * of docs: boilerplate) before the join, exactly like stop-words in an
+    * inverted index. Hash-checked end to end: the oracle recomputes every
+    * fingerprint positionally, the pair counts, the winnow-set Jaccard,
+    * AND the exact shingle Jaccard.
+    */
+  def t10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val fps = winnowSets(s, dir).cache() // both self-join sides + the count
+    val counts = fps.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+    val cand = fps.alias("x")
+      .join(fps.alias("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter($"shared_fp" >= MinSharedFp)
+      .join(counts.select($"doc_id".as("a"), $"n_fp".as("na")), Seq("a"))
+      .join(counts.select($"doc_id".as("b"), $"n_fp".as("nb")), Seq("b"))
+      .select($"a", $"b", $"shared_fp",
+        ($"na" + $"nb" - $"shared_fp").as("union_fp"),
+        ($"shared_fp".cast("double") / ($"na" + $"nb" - $"shared_fp"))
+          .as("winnow_jaccard"))
+      .filter($"winnow_jaccard" >= WinnowJaccardFloor)
+      .cache() // feeds the output projection and the ngram verify
+    cand
+      .join(Dedup.ngramJaccard(docs, cand.select($"a", $"b")), Seq("a", "b"))
+      .orderBy($"a", $"b")
+  }
+
+  val t10Oracle: String =
+    s"""WITH $t09Ctes,
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fp
+       |       FROM e x JOIN e y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2 HAVING count(*) >= $MinSharedFp),
+       |pm AS (SELECT * FROM (
+       |    SELECT a, b, shared_fp,
+       |      len(fa.fps) + len(fb.fps) - shared_fp AS union_fp,
+       |      CAST(shared_fp AS DOUBLE)
+       |        / (len(fa.fps) + len(fb.fps) - shared_fp) AS winnow_jaccard
+       |    FROM pr JOIN f fa ON pr.a = fa.doc_id JOIN f fb ON pr.b = fb.doc_id)
+       |  WHERE winnow_jaccard >= $WinnowJaccardFloor),
+       |${Dedup.shingleCtes},
+       |sets AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id)
+       |SELECT a, b, shared_fp, union_fp, winnow_jaccard,
+       |  CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(sa.shs, sb.shs))) AS jaccard
+       |FROM pm
+       |JOIN sets sa ON pm.a = sa.doc_id
+       |JOIN sets sb ON pm.b = sb.doc_id
+       |ORDER BY a, b""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
@@ -501,6 +583,7 @@ object TextAnalysis {
     Q("t07_top_bigrams", t07, Some(t07Oracle)),
     Q("t08_term_importance", t08, Some(t08Oracle)),
     Q("t09_winnowing_fingerprints", t09, Some(t09Oracle)),
+    Q("t10_winnowing_pairs", t10, Some(t10Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
   )
 }

@@ -91,6 +91,27 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(101L) == "de")
   }
 
+  test("t10 winnowing pairs prune to verified near-dups that match the minhash pipeline") {
+    val n = graft.Tables.documents(spark, sfSmoke).count()
+    val pairs = TextAnalysis.t10(spark, sfSmoke).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.length < n * (n - 1) / 2 / 100,
+      s"${pairs.length} candidates from ${n * (n - 1) / 2} pairs — index must prune")
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("winnow_jaccard") >= TextAnalysis.WinnowJaccardFloor)
+      assert(r.getAs[Double]("jaccard") > 0.5,
+        s"candidate (${r.getLong(0)},${r.getLong(1)}) failed exact verify")
+    }
+    // two independent sketches (winnowing fps, minhash bands) surface the
+    // SAME verified near-dup set on this corpus
+    val winnow = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = Dedup.d04(spark, sfSmoke).collect()
+      .filter(_.getAs[Double]("jaccard") > 0.5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnow == minhash,
+      s"winnow-only=${winnow -- minhash} minhash-only=${minhash -- winnow}")
+  }
+
   test("winnowing guarantee: shared substrings of length >= w+k-1 share a fingerprint") {
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
     val a = TextAnalysis.winnowFingerprints(s"intro words here $shared and a tail")
