@@ -15,6 +15,9 @@ import graft.queries.Q
   * AQE's skew-join handling covers the sort-merge case automatically at
   * runtime; explicit salting remains the tool for (a) skewed AGGREGATION
   * (AQE doesn't split hot groups) and (b) broadcast-ineligible skewed joins.
+  * SkewSpec demonstrates both halves of that rule: AQE's `skew=true` split
+  * on q29-shaped data, and salting's exact equivalence on the hot-group
+  * aggregation AQE can't help with.
   */
 object Skew {
 
