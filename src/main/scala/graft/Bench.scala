@@ -83,22 +83,42 @@ object Bench {
         finally qj.stop()
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      // a failed query reports -1, never a plausible-looking duration
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // median of `reps` full passes: a single contended rep (GC, JIT, CPU
+    // neighbors) can't masquerade as a plan regression; the spread map
+    // records how noisy each query's reps were. The cache is cleared
+    // between passes so later reps don't ride the previous pass's cached
+    // sketch relations (cache reuse is plan-keyed in Spark).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 1 to reps) {
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        // a failed rep records -1, never a plausible-looking duration
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        times(name) = times.getOrElse(name, Vector.empty) :+ t
+      }
+      spark.catalog.clearCache()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = names.map { case (name, _) =>
+      val ok = times(name).filter(_ >= 0)
+      if (ok.isEmpty) (name, -1.0, -1.0)
+      else (name, median(ok), ok.max - ok.min)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spreads}""")
     spark.stop()
   }
 }

@@ -125,6 +125,16 @@ object Warehouse {
     * scan-sized files keeps read amplification flat. Plan-stats sizing, a
     * single repartition (round-robin — no key skew), and an atomic
     * directory swap via a temp dir + rename.
+    *
+    * STORAGE CONTRACT: the swap's atomicity (and the delete+rename window's
+    * crash safety) relies on the filesystem's atomic directory rename —
+    * true on HDFS and POSIX, NOT on object stores (S3-style rename is
+    * copy+delete, and the delete/rename window leaves readers with a
+    * missing or partial table on crash). On object storage this operation
+    * must go through a manifest-committing table format (Iceberg/Delta
+    * style: write new files, then atomically swap the pointer to the
+    * manifest list) — the rewrite-to-⌈size/target⌉-files sizing logic here
+    * is unchanged in that world; only the commit step differs.
     */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
     val df = spark.read.parquet(dir)

@@ -510,26 +510,38 @@ object TextAnalysis {
 
   val MinSharedFp = 2
   val WinnowJaccardFloor = 0.5
+  val StopFpMinDf = 16L     // absolute floor for the stop-fingerprint cap
+  val StopFpMaxFrac = 0.01  // fps in more docs than max(floor, 1% of corpus) drop
 
   /** t10 — MOSS-style candidate pairs from the winnowing fingerprints t09
-    * produces: the fingerprint inverted index is self-joined, pairs with
-    * winnow-set Jaccard ≥ [[WinnowJaccardFloor]] become candidates, and the
-    * d04 exact word-n-gram Jaccard verify runs on candidates ONLY. The
-    * floor sits in a measured chasm: on this corpus coincidental 8-char
-    * gram overlap tops out at winnow-Jaccard 0.18 while true near-dups
-    * start at 0.94 — so 25 candidates survive from 125k possible pairs,
-    * and the expensive shingle verify touches just those. The self-join
-    * shuffles on fp value (posting-list occupancy, never corpus²); at web
-    * scale the one extra step is dropping stop-fingerprints (fps in > x%
-    * of docs: boilerplate) before the join, exactly like stop-words in an
-    * inverted index. Hash-checked end to end: the oracle recomputes every
-    * fingerprint positionally, the pair counts, the winnow-set Jaccard,
-    * AND the exact shingle Jaccard.
+    * produces: STOP-FINGERPRINTS are dropped (any fp whose posting list
+    * exceeds max([[StopFpMinDf]], [[StopFpMaxFrac]]·|docs|) is boilerplate
+    * — exactly stop-words in an inverted index), the surviving index is
+    * self-joined, pairs with winnow-set Jaccard ≥ [[WinnowJaccardFloor]]
+    * become candidates, and the d04 exact word-n-gram Jaccard verify runs
+    * on candidates ONLY. The stop-fp drop is what makes the self-join
+    * scale: the pair stream is Σ C(df, 2) over posting lists, so one
+    * common 8-char gram shared by 1000 docs would alone contribute 500k
+    * pair rows — capping df bounds every list's contribution to C(cap, 2)
+    * (measured at sf0.1: 60 s → ~2 s). True near-dup clusters are small,
+    * so their ~150 shared fingerprints sit far below any sane cap; the
+    * Jaccard floor then sits in a measured chasm (coincidental overlap
+    * ≤ 0.18, true near-dups ≥ 0.94). Hash-checked end to end: the oracle
+    * recomputes every fingerprint positionally, the document-frequency
+    * cap, the pair counts, the winnow-set Jaccard, AND the exact shingle
+    * Jaccard.
     */
   def t10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val fps = winnowSets(s, dir).cache() // both self-join sides + the count
+    val all = winnowSets(s, dir).cache() // feeds df counts + the semi join
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val keepFp = all.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .crossJoin(nd) // 1-row broadcast
+      .filter($"df" <= greatest(lit(StopFpMinDf),
+        ceil($"nd" * lit(StopFpMaxFrac)).cast("long")))
+      .select($"fp")
+    val fps = all.join(keepFp, Seq("fp"), "left_semi").cache() // 3 subtrees
     val counts = fps.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
     val cand = fps.alias("x")
       .join(fps.alias("y"),
@@ -552,16 +564,21 @@ object TextAnalysis {
 
   val t10Oracle: String =
     s"""WITH $t09Ctes,
-       |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |keep AS (SELECT fp FROM e0 GROUP BY fp
+       |         HAVING count(*) <= greatest($StopFpMinDf,
+       |           CAST(ceil($StopFpMaxFrac * (SELECT count(*) FROM documents)) AS BIGINT))),
+       |e AS (SELECT e0.* FROM e0 JOIN keep USING (fp)),
+       |nf AS (SELECT doc_id, count(*) AS n_fp FROM e GROUP BY doc_id),
        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared_fp
        |       FROM e x JOIN e y ON x.fp = y.fp AND x.doc_id < y.doc_id
        |       GROUP BY 1, 2 HAVING count(*) >= $MinSharedFp),
        |pm AS (SELECT * FROM (
        |    SELECT a, b, shared_fp,
-       |      len(fa.fps) + len(fb.fps) - shared_fp AS union_fp,
+       |      fa.n_fp + fb.n_fp - shared_fp AS union_fp,
        |      CAST(shared_fp AS DOUBLE)
-       |        / (len(fa.fps) + len(fb.fps) - shared_fp) AS winnow_jaccard
-       |    FROM pr JOIN f fa ON pr.a = fa.doc_id JOIN f fb ON pr.b = fb.doc_id)
+       |        / (fa.n_fp + fb.n_fp - shared_fp) AS winnow_jaccard
+       |    FROM pr JOIN nf fa ON pr.a = fa.doc_id JOIN nf fb ON pr.b = fb.doc_id)
        |  WHERE winnow_jaccard >= $WinnowJaccardFloor),
        |${Dedup.shingleCtes},
        |sets AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id)

@@ -70,7 +70,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("s02 sign-LSH: corpus side broadcast-joins the query bands (no corpus shuffle before candidates)") {
-    val p = plan("s02_knn_lsh")
+    // the raw ANN operator (the registered s02_knn_lsh entry wraps it in
+    // the recall-gate evaluation, whose extra joins are not the op's plan)
+    val p = graft.ops.Similarity.s02(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     // the only hash exchanges are for candidate distinct + the final heap
     // agg — both on candidate-id cardinality, never corpus rows
