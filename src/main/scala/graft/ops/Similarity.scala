@@ -362,9 +362,14 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val norm = normalized(Tables.embeddings(s, dir))
     val km = ivfQuantizer(norm, nlist)
+    // cached: the index relation (IVF inverted lists) feeds both the query
+    // lookup and the candidate side — uncached, the assignment pass (a
+    // model-UDF scan over the corpus) would run once per subtree. This IS
+    // the persisted index of a real IVF deployment, built once offline.
     val assigned = km.transform(norm)
       .join(Tables.embeddings(s, dir), Seq("vec_id"))
       .select($"vec_id", $"cluster", $"embedding")
+      .cache()
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat).toSeq)
     }.toSeq.toDF("cluster", "centroid")
