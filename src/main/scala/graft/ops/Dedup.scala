@@ -459,11 +459,71 @@ object Dedup {
        |FROM comp ORDER BY doc_id""".stripMargin
   }
 
+  /** c02 — the dedup CONSOLIDATION record a training pipeline materializes
+    * when it deduplicates a corpus: per near-dup cluster, the kept
+    * representative (min doc_id — exactly what the min-label components
+    * converge to), the cluster size, the sorted dropped ids, and the bytes
+    * the drop saves. This is the decision log that makes a dedup run
+    * auditable/reversible — the piece d02→d04→d06 stop short of. Only
+    * cluster members reach the per-cluster aggregation; the corpus outside
+    * the candidate graph is untouched (at 100 TB: the log is
+    * candidate-graph-sized, the kept corpus is an anti-join against it).
+    * Oracle: recursive-SQL closure → same per-cluster aggregates.
+    */
+  def c02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSignatures(Tables.documents(s, dir)).cache()
+    val edges = minhashCandidates(sigs)
+      .filter($"est_jaccard" >= 0.5)
+      .select("a", "b")
+      .cache()
+    val comps = connectedComponents(edges).cache() // sizes + drops subtrees
+    val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    val drops = comps.filter($"id" =!= $"comp")
+      .join(Tables.documents(s, dir).select($"doc_id".as("id"), length($"text").as("len")),
+        Seq("id"))
+      .groupBy($"comp")
+      .agg(
+        sort_array(collect_list($"id")).as("dropped_ids"),
+        sum($"len").as("saved_chars"),
+      )
+    sizes.join(drops, Seq("comp"))
+      .select($"comp".as("kept_doc_id"), $"cluster_size", $"dropped_ids",
+        $"saved_chars")
+      .orderBy($"kept_doc_id")
+  }
+
+  val c02Oracle: String = {
+    val est = (0 until NumPerms)
+      .map(p => s"(CASE WHEN x.s$p = y.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""${sigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)
+       |  WHERE CAST(($est) AS DOUBLE) / $NumPerms >= 0.5),
+       |nodes AS (SELECT a AS id FROM cand UNION SELECT b FROM cand),
+       |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |reach AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+       |comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
+       |drops AS (SELECT cluster_id,
+       |    list(id ORDER BY id) AS dropped_ids,
+       |    CAST(SUM(length(d.text)) AS BIGINT) AS saved_chars
+       |  FROM comp JOIN documents d ON comp.id = d.doc_id
+       |  WHERE comp.id <> comp.cluster_id GROUP BY cluster_id)
+       |SELECT s.cluster_id AS kept_doc_id, s.cluster_size, dropped_ids, saved_chars
+       |FROM sizes s JOIN drops USING (cluster_id)
+       |ORDER BY kept_doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Oracle)),
     Q("d02_minhash_lsh_candidates", d02, Some(d02Oracle)),
     Q("d03_simhash_signatures", d03, Some(d03Oracle)),
     Q("d04_ngram_jaccard_verify", d04, Some(d04Oracle)),
     Q("d06_dup_clusters", d06, Some(d06Oracle)),
+    Q("c02_neardup_consolidation", c02, Some(c02Oracle)),
   )
 }

@@ -287,10 +287,51 @@ object Streams {
       }
   }
 
+  /** st05 — streaming INGEST DEDUP: the d01 exact-dedup collapse as a
+    * continuous query over a documents file stream (the dedup-on-arrival
+    * stage of a training-data ingest pipeline). The ledger aggregates
+    * (min keep_id, copy count per content fingerprint) are
+    * arrival-order-INSENSITIVE, so however the source splits into
+    * micro-batches, the converged ledger is byte-identical to the batch
+    * dedup — the oracle IS d01's. Complete mode deliberately: a dedup
+    * ledger's state is the fingerprint set itself and lives as long as the
+    * dedup horizon; bounding it is a retention-policy choice (fingerprint
+    * TTL via dropDuplicatesWithinWatermark), not a correctness one. State
+    * is one ~56-byte row per DISTINCT document — at 10B docs that is
+    * store-partitioned across the cluster, the standard ingest-dedup
+    * shape.
+    */
+  def st05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    val src = s.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val ledger = src
+      .groupBy(md5(graft.ops.TextAnalysis.normalize($"text")).as("fingerprint"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    val sink = s"st05_ingest_dedup_${sinkCounter.incrementAndGet()}"
+    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // ledger-key-sized stores
+    try {
+      val q = ledger.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    s.table(sink).orderBy($"keep_id")
+  }
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
     Q("st02_session_windows", st02, Some(st02Oracle)),
     Q("st03_stream_append_rollup", st03, Some(st03Oracle)),
     Q("st04_stream_interval_join", st04, Some(st04Oracle)),
+    Q("st05_stream_ingest_dedup", st05, Some(graft.ops.Dedup.d01Oracle)),
   )
 }

@@ -112,6 +112,25 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
       s"winnow-only=${winnow -- minhash} minhash-only=${minhash -- winnow}")
   }
 
+  test("c02 consolidation log partitions each cluster into one kept rep + dropped rest") {
+    val log = Dedup.c02(spark, sfSmoke).collect()
+    assert(log.nonEmpty)
+    val clusters = Dedup.d06(spark, sfSmoke).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    log.foreach { r =>
+      val kept = r.getAs[Long]("kept_doc_id")
+      val dropped = r.getAs[scala.collection.Seq[Long]]("dropped_ids").toSeq
+      assert(dropped.forall(_ > kept)) // min-label rep is the cluster min
+      assert(dropped.sorted == dropped)
+      assert(r.getAs[Long]("cluster_size") == dropped.size + 1)
+      assert(r.getAs[Long]("saved_chars") > 0)
+      // kept + dropped is exactly the d06 cluster membership
+      assert(clusters(kept) == (dropped.toSet + kept))
+    }
+    assert(log.length == clusters.size)
+  }
+
   test("winnowing guarantee: shared substrings of length >= w+k-1 share a fingerprint") {
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
     val a = TextAnalysis.winnowFingerprints(s"intro words here $shared and a tail")

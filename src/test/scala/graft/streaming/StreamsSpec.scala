@@ -27,6 +27,13 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("st05 streaming ingest dedup converges to the batch dedup ledger exactly") {
+    val streamed = Streams.st05(spark, sfSmoke).collect()
+    val batch = graft.ops.Dedup.d01(spark, sfSmoke).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("foreachBatch maintains a serving table via Warehouse.upsert per micro-batch") {
     // the streaming → warehouse integration path: each micro-batch merges
     // into the serving table with last-wins upsert semantics; the batch
