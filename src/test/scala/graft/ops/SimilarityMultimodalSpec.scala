@@ -36,6 +36,24 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
       "KMeans fit input must be the deterministic sample")
   }
 
+  test("s06 PQ: 16-byte codes, recall >= 0.6 vs exact, codebooks fitted on the sample") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+    val norm = Similarity.normalized(e)
+    val cb = Similarity.pqCodebooks(norm)
+    assert(cb.length == Similarity.PqM && cb.forall(_.length == Similarity.PqK))
+    val codes = Similarity.pqEncode(e, cb)
+    // the compression claim: every vector is exactly M code bytes
+    assert(codes.select($"codes").as[Array[Byte]].collect()
+      .forall(_.length == Similarity.PqM))
+    val exact = Similarity.s01(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s06(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= Similarity.S04RecallFloor, s"PQ recall $recall too low")
+  }
+
   test("d07 prefilter prunes hard AND loses nothing vs exact all-pairs at floor 0.9") {
     import spark.implicits._
     val aug = Similarity.plantNearDups(graft.Tables.embeddings(spark, sfSmoke)).cache()
