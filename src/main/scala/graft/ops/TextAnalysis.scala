@@ -590,6 +590,74 @@ object TextAnalysis {
        |JOIN sets sb ON pm.b = sb.doc_id
        |ORDER BY a, b""".stripMargin
 
+  val DupWordRatioMax = 0.3
+  val TopBigramFracMax = 0.18
+
+  /** t11 — repetition-based quality rules (the Gopher-style filters of
+    * web-scale corpus curation): duplicate-word fraction and
+    * most-frequent-bigram fraction per document, plus the repetitive
+    * verdict combining them. Generated text loops; these per-doc rational
+    * statistics are the cheap detector. Per-doc bigram tallies use the
+    * word-count shuffle shape (two exchanges on doc-keyed rows — at 100 TB
+    * the first aggregation is map-side-combined to (doc, bigram)
+    * cardinality); bigram generation reuses t07's codegen zip/slice (no
+    * interpreted HOF lambdas). All arithmetic is counts and one division —
+    * fully oracle-checkable, verdict boolean included.
+    */
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = split(normalize($"text"), " ")
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", ws.as("ws"))
+      .select($"doc_id", size($"ws").as("n_words"),
+        size(array_distinct($"ws")).as("distinct_words"), $"ws")
+    val bigramStats = words.filter($"n_words" >= 2)
+      .select($"doc_id", explode(arrays_zip(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1))).as("pair"))
+      .select($"doc_id", concat_ws(" ", $"pair.0", $"pair.1").as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("top_bigram_n"), sum($"n").as("n_bigrams"))
+    val dupRatio =
+      ($"n_words" - $"distinct_words").cast("double") / when($"n_words" =!= 0, $"n_words")
+    val bigramFrac =
+      $"top_bigram_n".cast("double") / when($"n_bigrams" > 0, $"n_bigrams")
+    words.drop("ws")
+      .join(bigramStats, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words", $"distinct_words",
+        dupRatio.as("dup_word_ratio"),
+        coalesce($"top_bigram_n", lit(0L)).as("top_bigram_n"),
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        bigramFrac.as("top_bigram_frac"),
+        (dupRatio > DupWordRatioMax ||
+          coalesce(bigramFrac, lit(0.0)) > TopBigramFracMax).as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  val t11Oracle: String =
+    s"""WITH w AS (SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |base AS (SELECT doc_id, len(ws) AS n_words,
+       |    len(list_distinct(ws)) AS distinct_words FROM w),
+       |b AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       |  FROM w WHERE len(ws) >= 2),
+       |bc AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, MAX(n) AS top_bigram_n,
+       |    CAST(SUM(n) AS BIGINT) AS n_bigrams FROM bc GROUP BY doc_id)
+       |SELECT base.doc_id, n_words, distinct_words,
+       |  CAST(n_words - distinct_words AS DOUBLE) / NULLIF(n_words, 0) AS dup_word_ratio,
+       |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  CAST(top_bigram_n AS DOUBLE) / NULLIF(n_bigrams, 0) AS top_bigram_frac,
+       |  (CAST(n_words - distinct_words AS DOUBLE) / NULLIF(n_words, 0) > $DupWordRatioMax
+       |   OR COALESCE(CAST(top_bigram_n AS DOUBLE) / NULLIF(n_bigrams, 0), 0.0)
+       |      > $TopBigramFracMax) AS repetitive
+       |FROM base LEFT JOIN bs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -601,6 +669,7 @@ object TextAnalysis {
     Q("t08_term_importance", t08, Some(t08Oracle)),
     Q("t09_winnowing_fingerprints", t09, Some(t09Oracle)),
     Q("t10_winnowing_pairs", t10, Some(t10Oracle)),
+    Q("t11_repetition_quality", t11, Some(t11Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
   )
 }

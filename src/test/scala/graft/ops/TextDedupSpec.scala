@@ -131,6 +131,26 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(log.length == clusters.size)
   }
 
+  test("t11 repetition stats are internally consistent and bounded") {
+    val rows = TextAnalysis.t11(spark, sfSmoke).collect()
+    assert(rows.length == graft.Tables.documents(spark, sfSmoke).count())
+    rows.foreach { r =>
+      val nWords = r.getAs[Int]("n_words")
+      val distinct = r.getAs[Int]("distinct_words")
+      assert(distinct >= 1 && distinct <= nWords)
+      val dup = r.getAs[Double]("dup_word_ratio")
+      assert(dup >= 0.0 && dup <= 1.0)
+      val top = r.getAs[Long]("top_bigram_n")
+      val total = r.getAs[Long]("n_bigrams")
+      assert(top >= 1 && top <= total && total == nWords - 1)
+      val frac = r.getAs[Double]("top_bigram_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+      // the verdict is exactly the documented rule
+      assert(r.getAs[Boolean]("repetitive") ==
+        (dup > TextAnalysis.DupWordRatioMax || frac > TextAnalysis.TopBigramFracMax))
+    }
+  }
+
   test("winnowing guarantee: shared substrings of length >= w+k-1 share a fingerprint") {
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
     val a = TextAnalysis.winnowFingerprints(s"intro words here $shared and a tail")
