@@ -399,31 +399,82 @@ object Similarity {
   val PqK = 16         // centroids per subspace codebook (4-bit codes)
   val PqShortlist = 50 // ADC shortlist size fed to the exact rerank
 
-  /** Per-subspace PQ codebooks, each fitted on the SAME deterministic
-    * hash-prefix sample as the IVF quantizer ([[ivfFitSample]]) — the
-    * codebooks are index artifacts, built once offline, never from the
-    * full corpus. Returns [m][k][dsub] centroid arrays (doubles from
-    * MLlib, narrowed to float at use).
+  val PqTrainCap = 2048 // max training vectors for codebook fitting
+
+  /** BOUNDED deterministic codebook-training sample: the [[PqTrainCap]]
+    * vectors with the smallest xxhash64(vec_id) — a uniform, order-free,
+    * rerun-stable draw that stays [[PqTrainCap]] rows at ANY corpus size
+    * (TakeOrdered, one pass, no full sort materialized). Collecting it is
+    * the offline index-build pattern: PQ codebooks train on a few thousand
+    * points regardless of corpus scale (FAISS-style ~256·K per
+    * subquantizer), so the driver holds ≤ cap×dim floats, never
+    * corpus-proportional data. Vectors are returned L2-normalized.
     */
-  def pqCodebooks(norm: DataFrame, m: Int = PqM, k: Int = PqK): Array[Array[Array[Float]]] = {
-    val session = norm.sparkSession
+  def pqTrainSample(e: DataFrame, cap: Int = PqTrainCap): Array[Array[Float]] = {
+    val session = e.sparkSession
     import session.implicits._
-    val sample = ivfFitSample(norm).cache()
-    try {
-      val dim = 64
-      val dsub = dim / m
-      (0 until m).map { mi =>
-        val subDf = sample.select(
-          org.apache.spark.ml.functions.array_to_vector(
-            slice(org.apache.spark.ml.functions.vector_to_array(col("vec")),
-              mi * dsub + 1, dsub)).as("sub"))
-        new org.apache.spark.ml.clustering.KMeans()
-          .setK(k).setSeed(42L + mi).setMaxIter(5)
-          .setFeaturesCol("sub").setPredictionCol("code")
-          .fit(subDf)
-          .clusterCenters.map(_.toArray.map(_.toFloat))
-      }.toArray
-    } finally sample.unpersist()
+    e.select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cap)
+      .select(col("embedding")).as[Array[Float]]
+      .collect()
+      .map { emb =>
+        var n2 = 0.0
+        emb.foreach(x => n2 += x.toDouble * x)
+        val inv = if (n2 == 0) 0.0 else 1.0 / math.sqrt(n2)
+        emb.map(x => (x * inv).toFloat)
+      }
+  }
+
+  /** Per-subspace PQ codebooks via local seeded Lloyd's iterations over the
+    * bounded training sample — the codebooks are index artifacts, built
+    * once offline. A distributed fit per subspace would pay M job launches
+    * to cluster a few thousand points (measured: 16 MLlib fits cost ~10 s
+    * of pure scheduling at any SF); the local loop is microseconds and
+    * bit-deterministic. Returns [m][k][dsub] centroids.
+    */
+  def pqCodebooks(train: Array[Array[Float]], m: Int = PqM, k: Int = PqK,
+      iters: Int = 10): Array[Array[Array[Float]]] = {
+    val dim = train.head.length
+    val dsub = dim / m
+    Array.tabulate(m) { mi =>
+      val pts = train.map(v => java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      // deterministic init: k points in splitmix-shuffled hash order
+      val centers = Array.tabulate(k) { ki =>
+        pts(math.floorMod(graft.util.Hashing.mix64(mi.toLong * 1024 + ki), pts.length).toInt)
+          .map(_.toDouble)
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        pts.foreach { p =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var ki = 0
+          while (ki < k) {
+            var d = 0.0
+            var j = 0
+            while (j < dsub) { val diff = p(j) - centers(ki)(j); d += diff * diff; j += 1 }
+            if (d < bestD) { bestD = d; best = ki }
+            ki += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += p(j); j += 1 }
+          counts(best) += 1
+        }
+        var ki = 0
+        while (ki < k) {
+          if (counts(ki) > 0) {
+            var j = 0
+            while (j < dsub) { centers(ki)(j) = sums(ki)(j) / counts(ki); j += 1 }
+          } // empty cluster: keep previous center (deterministic)
+          ki += 1
+        }
+        it += 1
+      }
+      centers.map(_.map(_.toFloat))
+    }
   }
 
   /** PQ-encode the corpus: one NARROW pass maps every vector to M argmin
@@ -492,7 +543,7 @@ object Similarity {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val cb = pqCodebooks(normalized(e))
+    val cb = pqCodebooks(pqTrainSample(e))
     val codes = pqEncode(e.filter($"vec_id" >= 5), cb)
     // bounded query batch → LUTs on the driver, broadcast to the scan
     val queries = e.filter($"vec_id" < 5)

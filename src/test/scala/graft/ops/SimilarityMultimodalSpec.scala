@@ -39,8 +39,11 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
   test("s06 PQ: 16-byte codes, recall >= 0.6 vs exact, codebooks fitted on the sample") {
     import spark.implicits._
     val e = graft.Tables.embeddings(spark, sfSmoke)
-    val norm = Similarity.normalized(e)
-    val cb = Similarity.pqCodebooks(norm)
+    // the training draw is bounded and rerun-stable
+    val train = Similarity.pqTrainSample(e)
+    assert(train.length == math.min(Similarity.PqTrainCap, e.count()))
+    assert(train.map(_.toSeq).toSeq == Similarity.pqTrainSample(e).map(_.toSeq).toSeq)
+    val cb = Similarity.pqCodebooks(train)
     assert(cb.length == Similarity.PqM && cb.forall(_.length == Similarity.PqK))
     val codes = Similarity.pqEncode(e, cb)
     // the compression claim: every vector is exactly M code bytes
