@@ -130,11 +130,8 @@ object Warehouse {
     * crash safety) relies on the filesystem's atomic directory rename —
     * true on HDFS and POSIX, NOT on object stores (S3-style rename is
     * copy+delete, and the delete/rename window leaves readers with a
-    * missing or partial table on crash). On object storage this operation
-    * must go through a manifest-committing table format (Iceberg/Delta
-    * style: write new files, then atomically swap the pointer to the
-    * manifest list) — the rewrite-to-⌈size/target⌉-files sizing logic here
-    * is unchanged in that world; only the commit step differs.
+    * missing or partial table on crash). On object storage use
+    * [[compactManifest]]: same sizing logic, manifest-committed publish.
     */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
     val df = spark.read.parquet(dir)
@@ -148,6 +145,88 @@ object Warehouse {
     fs.delete(path, true)
     fs.rename(tmpPath, path)
     nFiles
+  }
+
+  /** Object-store-safe table layout: data file sets are published through
+    * versioned MANIFESTS instead of directory listings, so a "commit" is
+    * one atomic object PUT (every object store gives atomic single-object
+    * writes; none gives atomic directory rename). `_manifests/
+    * manifest-%08d.json` holds the absolute data-file list for that
+    * version; readers take the highest version present. Writers never
+    * mutate or delete live data files — a crash mid-compaction leaves
+    * either the old manifest (new orphan files, swept by a later vacuum)
+    * or the new one (fully written, because the manifest is PUT last).
+    * This is the Iceberg/Delta commit protocol in miniature, enough to
+    * make compaction crash-safe where [[compact]]'s rename is not.
+    */
+  object Manifest {
+    private def fs(spark: SparkSession, dir: String) =
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def manifestDir(dir: String) = new org.apache.hadoop.fs.Path(dir, "_manifests")
+
+    /** (version, data files) of the newest manifest; None if the table has
+      * never been manifest-committed.
+      */
+    def latest(spark: SparkSession, dir: String): Option[(Int, Seq[String])] = {
+      val f = fs(spark, dir)
+      val md = manifestDir(dir)
+      if (!f.exists(md)) return None
+      val versions = f.listStatus(md).map(_.getPath.getName)
+        .filter(_.matches("manifest-\\d{8}\\.json")).sorted
+      versions.lastOption.map { name =>
+        val v = name.stripPrefix("manifest-").stripSuffix(".json").toInt
+        val in = f.open(new org.apache.hadoop.fs.Path(md, name))
+        val json = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        // minimal, dependency-free: one JSON string array of file paths
+        val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+        (v, files)
+      }
+    }
+
+    /** Publish `files` as version `v` — ONE object PUT, the commit point. */
+    def commit(spark: SparkSession, dir: String, v: Int, files: Seq[String]): Unit = {
+      val f = fs(spark, dir)
+      f.mkdirs(manifestDir(dir))
+      val body = files.map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",\n ", "]")
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(manifestDir(dir), f"manifest-$v%08d.json"), false)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    /** Read the table at its newest committed version (falls back to a
+      * plain directory read for never-committed tables).
+      */
+    def read(spark: SparkSession, dir: String): DataFrame =
+      latest(spark, dir) match {
+        case Some((_, files)) => spark.read.parquet(files: _*)
+        case None             => spark.read.parquet(dir)
+      }
+  }
+
+  /** [[compact]] with object-store commit semantics: new files land in a
+    * fresh `data-v{N}` prefix (never touching live files), and the new
+    * manifest is PUT last — the single atomic commit point. Returns the
+    * committed version. Old versions' files remain until vacuumed, so
+    * in-flight readers of version N−1 are undisturbed.
+    */
+  def compactManifest(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
+    val df = Manifest.read(spark, dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val v = Manifest.latest(spark, dir).map(_._1 + 1).getOrElse(1)
+    val dataDir = new org.apache.hadoop.fs.Path(dir, f"data-v$v%08d")
+    df.repartition(nFiles).write.mode("errorifexists").parquet(dataDir.toString)
+    val f = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = f.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    Manifest.commit(spark, dir, v, files)
+    v
   }
 
   /** Bucketed + sorted managed table: both sides of a recurring equi-join

@@ -102,6 +102,40 @@ class WarehouseScd2Spec extends AnyFunSuite with SparkSpec {
       .getLong(0) == 49995000L)
   }
 
+  test("compactManifest: manifest-committed compaction is crash-safe and non-destructive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString + "/t"
+    val df = spark.range(0, 10000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(32).write.mode("overwrite").parquet(dir)
+    assert(Warehouse.Manifest.latest(spark, dir).isEmpty) // plain-dir fallback
+    assert(Warehouse.Manifest.read(spark, dir).count() == 10000)
+
+    val v1 = Warehouse.compactManifest(spark, dir, targetBytes = 1L << 20)
+    assert(v1 == 1)
+    val (ver1, files1) = Warehouse.Manifest.latest(spark, dir).get
+    assert(ver1 == 1 && files1.nonEmpty && files1.forall(_.contains("data-v00000001")))
+    assert(Warehouse.Manifest.read(spark, dir).count() == 10000)
+
+    // second compaction: version bumps, v1's files remain on disk — an
+    // in-flight reader of v1 is undisturbed
+    val v2 = Warehouse.compactManifest(spark, dir, targetBytes = 1L << 20)
+    assert(v2 == 2)
+    assert(files1.forall(p => new java.io.File(new java.net.URI(p).getPath).exists ||
+      new java.io.File(p.stripPrefix("file:")).exists))
+    assert(Warehouse.Manifest.read(spark, dir).count() == 10000)
+
+    // crash simulation: data files written but NO manifest PUT — readers
+    // still see the last committed version, untouched
+    val orphan = new java.io.File(new java.io.File(dir), "data-v00000099")
+    spark.range(0, 5).toDF("id").write.parquet(orphan.toString)
+    val (verAfter, _) = Warehouse.Manifest.latest(spark, dir).get
+    assert(verAfter == 2)
+    assert(Warehouse.Manifest.read(spark, dir).count() == 10000)
+
+    val total = Warehouse.Manifest.read(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"id")).collect()(0).getLong(0)
+    assert(total == 49995000L)
+  }
+
   test("scd2: null attribute values compare null-safely") {
     val v1 = Warehouse.scd2Merge(empty,
       Seq((1L, Option.empty[String])).toDF("id", "segment"),
