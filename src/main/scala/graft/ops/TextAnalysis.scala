@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -658,6 +659,47 @@ object TextAnalysis {
        |FROM base LEFT JOIN bs USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  val PackContextLen = 512L // tokens per packed training sequence
+
+  /** t12 — SEQUENCE PACKING: assign documents to fixed-size training
+    * sequences the way GPT-style pipelines do — concatenate the token
+    * stream in a deterministic order and cut every `ctx` tokens
+    * (documents may straddle a cut; `seq_id`/`seq_offset` say where each
+    * doc's tokens begin). Packing is per `source` shard: the window
+    * partitions by source, so shards pack independently and in parallel —
+    * the global-total-order window a naive packer would need never
+    * exists. At 100 TB: shard count × (sort within shard) is exactly the
+    * write-side shuffle a sharded corpus already pays; the cumulative sum
+    * is one window pass. All integer arithmetic — every column
+    * oracle-checked.
+    */
+  def t12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ctx = PackContextLen
+    val toks = size(filter(split($"text", "\\s+"), x => x =!= "")).cast("long")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens",
+        (($"cum_tokens" - $"n_tokens") / ctx).cast("long").as("seq_id"),
+        (($"cum_tokens" - $"n_tokens") % ctx).as("seq_offset"))
+      .orderBy($"doc_id")
+  }
+
+  val t12Oracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  (CAST(cum_tokens AS BIGINT) - n_tokens) // $PackContextLen AS seq_id,
+       |  (CAST(cum_tokens AS BIGINT) - n_tokens) % $PackContextLen AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -670,6 +712,7 @@ object TextAnalysis {
     Q("t09_winnowing_fingerprints", t09, Some(t09Oracle)),
     Q("t10_winnowing_pairs", t10, Some(t10Oracle)),
     Q("t11_repetition_quality", t11, Some(t11Oracle)),
+    Q("t12_sequence_packing", t12, Some(t12Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
   )
 }

@@ -151,6 +151,23 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t12 packing: per-shard cumulative cut points are consistent") {
+    val rows = TextAnalysis.t12(spark, sfSmoke).collect()
+    assert(rows.length == graft.Tables.documents(spark, sfSmoke).count())
+    // multiple shards → the packing window is genuinely partitioned
+    assert(rows.map(_.getAs[String]("source")).distinct.length > 1)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val start = cum
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+        assert(r.getAs[Long]("seq_id") == start / TextAnalysis.PackContextLen)
+        assert(r.getAs[Long]("seq_offset") == start % TextAnalysis.PackContextLen)
+      }
+    }
+  }
+
   test("winnowing guarantee: shared substrings of length >= w+k-1 share a fingerprint") {
     val shared = "the quick brown fox jumps over the lazy dog near the river bank"
     val a = TextAnalysis.winnowFingerprints(s"intro words here $shared and a tail")
