@@ -478,8 +478,8 @@ object Similarity {
   }
 
   /** PQ-encode the corpus: one NARROW pass maps every vector to M argmin
-    * codebook indices — 8 bytes per vector instead of 256 (32×
-    * compression). At 100 TB this is the whole point: the ADC scan reads
+    * codebook indices — M bytes per vector instead of 256 (16× at the
+    * default M=16). At 100 TB this is the whole point: the ADC scan reads
     * the code table, not the vectors.
     */
   def pqEncode(e: DataFrame, codebooks: Array[Array[Array[Float]]]): DataFrame = {
