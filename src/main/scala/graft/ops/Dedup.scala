@@ -284,8 +284,10 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** d03's oracle, generated: the same 64-vote SimHash in pure SQL. */
-  val d03Oracle: String = {
+  /** The SimHash recomputation CTEs (words → md5 halves → 64 votes →
+    * 16-bit chunks), shared by d03's and d08's oracles.
+    */
+  private def d03Ctes: String = {
     val votes = (0 until 64).map { b =>
       val half = if (b < 32) "lo" else "hi"
       s"SUM(CASE WHEN (($half >> ${b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
@@ -303,12 +305,42 @@ object Dedup {
        |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
        |c AS (SELECT doc_id,
        |  CAST(${chunk(3)} AS BIGINT) AS chunk3, CAST(${chunk(2)} AS BIGINT) AS chunk2,
-       |  CAST(${chunk(1)} AS BIGINT) AS chunk1, CAST(${chunk(0)} AS BIGINT) AS chunk0 FROM v)
+       |  CAST(${chunk(1)} AS BIGINT) AS chunk1, CAST(${chunk(0)} AS BIGINT) AS chunk0 FROM v)""".stripMargin
+  }
+
+  /** d03's oracle, generated: the same 64-vote SimHash in pure SQL. */
+  val d03Oracle: String =
+    s"""$d03Ctes
        |SELECT doc_id,
        |  lpad(to_hex(chunk3), 4, '0') || lpad(to_hex(chunk2), 4, '0')
        |    || lpad(to_hex(chunk1), 4, '0') || lpad(to_hex(chunk0), 4, '0') AS simhash_hex,
        |  chunk3, chunk2, chunk1, chunk0
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** d08 — the SimHash PAIR stage gated: chunk-banded candidate generation
+    * + hamming filter at radius 3, where 4-chunk banding is LOSSLESS by
+    * pigeonhole (≤ 3 differing bits cannot touch all 4 16-bit chunks, so
+    * every qualifying pair shares at least one chunk bucket) — which is
+    * exactly what lets the oracle be the exact all-pairs hamming scan:
+    * a hash match proves the banding dropped nothing. Quadratic work
+    * stays inside chunk buckets (the d02/d07 shape); radius > 3 needs
+    * more/narrower bands (16 × 4-bit catches ≤ 15) — the standard
+    * bits-per-band dial.
+    */
+  def d08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSignatures(Tables.documents(s, dir)).cache() // banding explodes it 4×
+    simhashPairs(sigs, maxHamming = 3).orderBy($"a", $"b")
+  }
+
+  val d08Oracle: String = {
+    val hamming = (0 until 4)
+      .map(k => s"bit_count(xor(x.chunk$k, y.chunk$k))").mkString(" + ")
+    s"""${d03Ctes}
+       |SELECT x.doc_id AS a, y.doc_id AS b, CAST($hamming AS INT) AS hamming
+       |FROM c x JOIN c y ON x.doc_id < y.doc_id
+       |WHERE $hamming <= 3
+       |ORDER BY a, b""".stripMargin
   }
 
   /** Exact word-n-gram Jaccard for a pair table (a, b) — set intersection /
@@ -524,6 +556,7 @@ object Dedup {
     Q("d03_simhash_signatures", d03, Some(d03Oracle)),
     Q("d04_ngram_jaccard_verify", d04, Some(d04Oracle)),
     Q("d06_dup_clusters", d06, Some(d06Oracle)),
+    Q("d08_simhash_pairs", d08, Some(d08Oracle)),
     Q("c02_neardup_consolidation", c02, Some(c02Oracle)),
   )
 }
