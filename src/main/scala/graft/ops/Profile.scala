@@ -65,7 +65,119 @@ object Profile {
       |    COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
       |) ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dq01 — declarative expectations suite (Deequ-style constraint checks)
+  // ---------------------------------------------------------------------
+
+  /** Scalar constraint over one table: one aggregation pass counting rows
+    * that violate `violation`. No shuffle beyond the final 1-row agg —
+    * partial counts collapse map-side, so the check costs one scan at any
+    * scale (and multiple checks on the same table can share that scan via
+    * one fused agg; kept separate here for per-check clarity).
+    */
+  def scalarCheck(name: String, df: DataFrame, violation: org.apache.spark.sql.Column): DataFrame =
+    df.agg(
+      count(when(violation, lit(1))).as("n_violations"),
+      count(lit(1)).as("n_checked"),
+    ).select(lit(name).as("check_name"), col("n_violations"), col("n_checked"),
+      (col("n_violations") === 0).as("passed"))
+
+  /** Key-uniqueness constraint: violations = rows beyond one per key. */
+  def uniqueCheck(name: String, df: DataFrame, key: String): DataFrame =
+    df.agg(
+      (count(lit(1)) - countDistinct(col(key))).as("n_violations"),
+      count(lit(1)).as("n_checked"),
+    ).select(lit(name).as("check_name"), col("n_violations"), col("n_checked"),
+      (col("n_violations") === 0).as("passed"))
+
+  /** Referential-integrity constraint: child rows whose key has no parent.
+    * left_anti on the key — at scale the parent side ships only its key
+    * column, broadcast when it is a dim; the count partial-aggregates so
+    * nothing but the violating keys' tallies crosses the wire.
+    */
+  def fkCheck(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val viol = child.join(parent.select(col(parentKey)),
+        child(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val tot = child.agg(count(lit(1)).as("n_checked"))
+    viol.crossJoin(tot)
+      .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"),
+        (col("n_violations") === 0).as("passed"))
+  }
+
+  /** dq01 — the pre-training data-quality audit as ONE queryable relation:
+    * pk uniqueness, FK integrity across the star schema, domain ranges,
+    * null contracts, and a content-consistency invariant
+    * (n_chars == length(text)). One row per constraint with the violation
+    * count, so the pipeline can gate ingestion on `passed` and alert on the
+    * delta. The `discount_le_5pct` check is a deliberately tight threshold
+    * that FAILS on this data — the suite must prove it reports violations,
+    * not just echo green. Each check is a single scan (+ an anti-join for
+    * FKs); checks on different tables parallelize as independent jobs.
+    */
+  def dq01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val events = Tables.events(s, dir)
+    val documents = Tables.documents(s, dir)
+    val checks = Seq(
+      uniqueCheck("customer_pk_unique", customer, "c_custkey"),
+      fkCheck("orders_fk_customer", orders, "o_custkey", customer, "c_custkey"),
+      fkCheck("lineitem_fk_orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      scalarCheck("orders_totalprice_positive", orders, $"o_totalprice" <= 0),
+      scalarCheck("lineitem_discount_unit_range", lineitem,
+        !$"l_discount".between(0.0, 1.0)),
+      scalarCheck("lineitem_discount_le_5pct", lineitem, $"l_discount" > 0.05),
+      scalarCheck("events_value_nonnull", events, $"value".isNull),
+      scalarCheck("documents_nchars_consistent", documents,
+        $"n_chars" =!= length($"text")),
+    )
+    checks.reduce(_ unionByName _).orderBy($"check_name")
+  }
+
+  val dq01Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'customer_pk_unique' AS check_name,
+      |    COUNT(*) - COUNT(DISTINCT c_custkey) AS n_violations,
+      |    COUNT(*) AS n_checked,
+      |    COUNT(*) - COUNT(DISTINCT c_custkey) = 0 AS passed FROM customer
+      |  UNION ALL
+      |  SELECT 'orders_fk_customer',
+      |    COUNT(CASE WHEN c_custkey IS NULL THEN 1 END), COUNT(*),
+      |    COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) = 0
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders',
+      |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END), COUNT(*),
+      |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_positive',
+      |    COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END), COUNT(*),
+      |    COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0 FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_unit_range',
+      |    COUNT(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 END), COUNT(*),
+      |    COUNT(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 END) = 0 FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_le_5pct',
+      |    COUNT(CASE WHEN l_discount > 0.05 THEN 1 END), COUNT(*),
+      |    COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) = 0 FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events_value_nonnull',
+      |    COUNT(CASE WHEN value IS NULL THEN 1 END), COUNT(*),
+      |    COUNT(CASE WHEN value IS NULL THEN 1 END) = 0 FROM events
+      |  UNION ALL
+      |  SELECT 'documents_nchars_consistent',
+      |    COUNT(CASE WHEN n_chars <> length(text) THEN 1 END), COUNT(*),
+      |    COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) = 0 FROM documents
+      |) ORDER BY check_name""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
+    Q("dq01_expectations", dq01, Some(dq01Oracle)),
   )
 }

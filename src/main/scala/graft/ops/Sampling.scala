@@ -54,7 +54,77 @@ object Sampling {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // c03 — source-weighted corpus mixing
+  // ---------------------------------------------------------------------
+
+  /** Per-source sampling weights for the mixing demo: upweight the "high
+    * quality" sources, downsample the tail — the standard pre-training
+    * mixture move (books×2, common-crawl×0.3, …) expressed as keep-rates.
+    */
+  val MixWeights: Seq[(Seq[String], Int)] = Seq(
+    (Seq("src0", "src1", "src2", "src3"), 90),
+    (Seq("src4", "src5", "src6", "src7", "src8", "src9"), 50),
+    (Seq("src10", "src11", "src12", "src13", "src14",
+      "src15", "src16", "src17", "src18", "src19"), 10),
+  )
+
+  private def pctThreshold(percent: Int): String =
+    f"${(percent / 100.0 * 0xFFFFFFFFL).toLong}%08x"
+
+  /** Keep-filter implementing a per-source mixture: row kept iff
+    * md5(doc_id) falls under its source's rate threshold. Same
+    * content-hash determinism as [[hashSampleFilter]] — the mixture a
+    * 1000-executor run materializes is byte-identical to any rerun or
+    * resize, and downweighting a source later yields a strict subset
+    * (stable incremental re-mixes, no reshuffling of what was kept).
+    */
+  def mixFilter(key: Column, source: Column,
+      weights: Seq[(Seq[String], Int)]): Column = {
+    val threshold = weights.foldLeft(lit("00000000")) {
+      case (acc, (srcs, pct)) =>
+        when(source.isin(srcs: _*), lit(pctThreshold(pct))).otherwise(acc)
+    }
+    substring(md5(key.cast("string")), 1, 8) < threshold
+  }
+
+  /** c03 — source-weighted corpus mixing, summarized per source: total
+    * docs, docs kept by the mixture, and the configured rate. One scan +
+    * one low-cardinality groupBy (the keep-decision is a scalar projection
+    * — no join against a weights table, the mixture compiles into the
+    * filter). The oracle applies the identical md5-threshold rule per
+    * source, so the exact kept-set (not just its size) is what's being
+    * pinned: counts are per-source and the keep rule is a pure function of
+    * (doc_id, source).
+    */
+  def c03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keep = mixFilter($"doc_id", $"source", MixWeights)
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(keep, lit(1))).as("n_kept"),
+        min(when(keep, $"doc_id")).as("first_kept_id"),
+      )
+      .orderBy($"source")
+  }
+
+  val c03Oracle: String = {
+    val cases = MixWeights.map { case (srcs, pct) =>
+      val in = srcs.map(x => s"'$x'").mkString(", ")
+      s"WHEN source IN ($in) THEN '${pctThreshold(pct)}'"
+    }.mkString(" ")
+    s"""SELECT source, COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |    (CASE $cases ELSE '00000000' END) THEN 1 END) AS n_kept,
+       |  MIN(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |    (CASE $cases ELSE '00000000' END) THEN doc_id END) AS first_kept_id
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q38_hash_sample", q38, Some(q38Oracle)),
+    Q("c03_source_mixing", c03, Some(c03Oracle)),
   )
 }

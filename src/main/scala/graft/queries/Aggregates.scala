@@ -228,6 +228,42 @@ object Aggregates {
       |  quantile_cont(l_extendedprice, 0.9) AS price_p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q46 — t-digest quantile sketch evaluated against the exact quantiles,
+    * the q30 pattern applied to percentiles: the gated output carries the
+    * exact per-group medians/p90s (oracle recomputes them via
+    * quantile_cont) plus a ≤5% relative-error bound on the
+    * `approx_percentile` sketch pinned TRUE — sketch quality enforced
+    * inside the driver's gate. At 100 TB the sketch is the only affordable
+    * form: a fixed-size centroid buffer per group that merges
+    * associatively (partial agg map-side), vs the exact form's full
+    * per-group sort. q33 is the exact baseline; this is its scale path.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", lit(0.5)).as("p50_exact"),
+        percentile($"l_extendedprice", lit(0.9)).as("p90_exact"),
+        approx_percentile($"l_extendedprice", lit(0.5), lit(1000)).as("p50_approx"),
+        approx_percentile($"l_extendedprice", lit(0.9), lit(1000)).as("p90_approx"),
+        count(lit(1)).as("n_rows"),
+      )
+      .select($"l_returnflag", $"p50_exact", $"p90_exact", $"n_rows",
+        (abs($"p50_approx" / $"p50_exact" - 1.0) <= 0.05).as("p50_ok"),
+        (abs($"p90_approx" / $"p90_exact" - 1.0) <= 0.05).as("p90_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q46Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_exact,
+      |  COUNT(*) AS n_rows,
+      |  TRUE AS p50_ok,
+      |  TRUE AS p90_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q34 — pivot (long → wide): per-year order totals by status. Spark's
     * `pivot` with explicit values compiles to the same conditional
     * aggregation the oracle spells out — no second pass to discover pivot
@@ -353,5 +389,6 @@ object Aggregates {
     Q("q36_array_agg_json", q36, Some(q36Oracle)),
     Q("q39_cube_grouping", q39, Some(q39Oracle)),
     Q("q43_conditional_agg", q43, Some(q43Oracle)),
+    Q("q46_approx_quantile", q46, Some(q46Oracle)),
   )
 }

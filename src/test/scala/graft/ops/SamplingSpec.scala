@@ -24,6 +24,29 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(s10.subsetOf(s30a))
   }
 
+  test("c03 mixing: per-source rates follow the weight tiers; downweight is a subset") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val kept = docs.filter(Sampling.mixFilter($"doc_id", $"source", Sampling.MixWeights))
+    val rateOf: Map[String, Double] = {
+      val total = docs.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      kept.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble / total(r.getString(0))).toMap
+    }
+    // tier means separate: 90% tier must clearly exceed the 10% tier
+    val hi = Sampling.MixWeights.head._1.flatMap(rateOf.get)
+    val lo = Sampling.MixWeights.last._1.flatMap(rateOf.get)
+    assert(hi.nonEmpty && lo.nonEmpty)
+    assert(hi.sum / hi.size > 0.6, s"high tier ${hi.sum / hi.size}")
+    assert(lo.sum / lo.size < 0.4, s"low tier ${lo.sum / lo.size}")
+    // halving every weight keeps a strict subset (prefix-threshold property)
+    val halved = Sampling.MixWeights.map { case (srcs, pct) => (srcs, pct / 2) }
+    val keptHalf = docs.filter(Sampling.mixFilter($"doc_id", $"source", halved))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptFull = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptHalf.subsetOf(keptFull))
+  }
+
   test("stratified sample honors per-stratum fractions") {
     val docs = Tables.documents(spark, sfSmoke)
     val fractions = Map("en" -> 0.5, "de" -> 0.1, "fr" -> 0.0, "es" -> 0.0, "zh" -> 0.0)

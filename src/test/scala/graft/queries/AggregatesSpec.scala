@@ -22,6 +22,16 @@ class AggregatesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q46 quantile sketch bounds hold and exact quantiles match q33's form") {
+    val rows = Aggregates.q46(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"), s"${r.getString(0)}: p50 sketch off by >5%")
+      assert(r.getAs[Boolean]("p90_ok"), s"${r.getString(0)}: p90 sketch off by >5%")
+      assert(r.getAs[Double]("p50_exact") <= r.getAs[Double]("p90_exact"))
+    }
+  }
+
   test("q30 sketch estimates stay within 5% of exact distinct counts") {
     val rows = Aggregates.q30(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
