@@ -550,6 +550,76 @@ object Dedup {
        |ORDER BY kept_doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d09 — chunk-level (paragraph/line) dedup, CCNet/RefinedWeb-style
+  // ---------------------------------------------------------------------
+
+  /** Words per non-overlapping chunk for d09. The testdata has no newlines,
+    * so "paragraphs" are fixed word windows; on real web text the chunker
+    * would split on '\n' instead — everything downstream is identical.
+    */
+  val ChunkWords = 4
+
+  /** d09 — WITHIN-corpus chunk dedup: the CCNet move of dropping repeated
+    * paragraphs (boilerplate, headers, licence blocks) from otherwise
+    * distinct documents. Chunk every doc into fixed word windows, count
+    * each chunk's occurrences corpus-wide, drop chunks seen ≥2 times, and
+    * reassemble the cleaned text in chunk order. Output per doc: chunk
+    * totals + the cleaned text itself (the oracle recomputes the full
+    * reassembly, so the exact surviving text is what's pinned).
+    *
+    * Scale shape (the standard CCNet topology): one narrow chunk explode,
+    * one hash-partitioned count on the chunk key (partial agg collapses
+    * repeats map-side), one shuffle join back on the same key — co-
+    * partitioned with the count, so no extra exchange — then one groupBy
+    * doc_id to reassemble. No driver state, no broadcast of the chunk
+    * table; repeated-chunk skew (a boilerplate chunk appearing 10⁹ times)
+    * lands on the count side as ONE post-agg row, and AQE splits the join
+    * side if a single chunk's occurrences skew a partition. In production
+    * the chunk key crossing the wire is an 8-byte hash, not the string
+    * (here the string itself is grouped so the oracle can recompute).
+    */
+  def chunkDedup(docs: DataFrame): DataFrame = {
+    val words = split(normalize(col("text")), " ")
+    val nChunks = ceil(size(words).cast("double") / ChunkWords).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * ChunkWords + 1, lit(ChunkWords))))
+    val chunked = docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+    val counts = chunked.groupBy(col("chunk")).agg(count(lit(1)).as("n_occ"))
+    chunked
+      .join(counts, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("n_occ") >= 2, lit(1))).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("n_occ") < 2, struct(col("chunk_idx"), col("chunk"))))),
+          x => x.getField("chunk"))).as("kept_text"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  def d09(s: SparkSession, dir: String): DataFrame =
+    chunkDedup(Tables.documents(s, dir))
+
+  val d09Oracle: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |ch AS (SELECT doc_id, i AS chunk_idx,
+       |  array_to_string(ws[(i*$ChunkWords+1):(i*$ChunkWords+$ChunkWords)], ' ') AS chunk
+       |  FROM (SELECT doc_id, ws,
+       |    unnest(range(0, CAST(ceil(len(ws)/$ChunkWords.0) AS BIGINT))) AS i FROM w)),
+       |cnt AS (SELECT chunk, COUNT(*) AS n_occ FROM ch GROUP BY chunk),
+       |j AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk, cnt.n_occ
+       |  FROM ch JOIN cnt USING (chunk))
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN n_occ >= 2 THEN 1 END) AS n_dropped,
+       |  COALESCE(string_agg(CASE WHEN n_occ < 2 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS kept_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Oracle)),
     Q("d02_minhash_lsh_candidates", d02, Some(d02Oracle)),
@@ -557,6 +627,7 @@ object Dedup {
     Q("d04_ngram_jaccard_verify", d04, Some(d04Oracle)),
     Q("d06_dup_clusters", d06, Some(d06Oracle)),
     Q("d08_simhash_pairs", d08, Some(d08Oracle)),
+    Q("d09_chunk_dedup", d09, Some(d09Oracle)),
     Q("c02_neardup_consolidation", c02, Some(c02Oracle)),
   )
 }

@@ -131,6 +131,29 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(log.length == clusters.size)
   }
 
+  test("d09 chunk dedup drops the planted repeated chunk and keeps unique text intact") {
+    // plant one shared 4-word chunk ("alpha beta gamma delta") at a chunk
+    // boundary in two otherwise-distinct docs; pad doc B so the repeated
+    // chunk lands exactly on a window boundary in both
+    val boiler = "alpha beta gamma delta"
+    val docs = Seq(
+      (10L, s"$boiler one two three four five six seven eight"),
+      (11L, s"$boiler nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (12L, "totally unrelated words with no shared window at all here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dropped"), r.getAs[String]("kept_text"))))
+      .toMap
+    assert(out(10L)._2 == 1 && out(11L)._2 == 1, s"boilerplate chunk should drop: $out")
+    assert(out(10L)._3 == "one two three four five six seven eight")
+    assert(out(11L)._3 == "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    assert(out(12L)._2 == 0)
+    assert(out(12L)._3 == "totally unrelated words with no shared window at all here")
+    // chunk accounting: ceil(words/4)
+    assert(out(10L)._1 == 3 && out(12L)._1 == 3)
+  }
+
   test("t11 repetition stats are internally consistent and bounded") {
     val rows = TextAnalysis.t11(spark, sfSmoke).collect()
     assert(rows.length == graft.Tables.documents(spark, sfSmoke).count())
