@@ -60,6 +60,28 @@ object Warehouse {
       .drop("__priority", "__rn")
   }
 
+  /** CDC latest-wins merge: fold a change batch into the current table,
+    * keeping per-pk the row with the highest `ordering` tuple (e.g.
+    * (ts, event_id) — the change's own version, NOT arrival order). Because
+    * the winner is an argmax over a total order carried BY the rows, the
+    * fold is associative and commutative across batch splits: however a
+    * changelog is chopped into micro-batches (and whatever order files
+    * arrive in), the converged table is identical to applying the whole
+    * log at once — the property st06 gates. Unlike [[upsert]] (whose
+    * updates always beat existing), re-applying an old batch here is a
+    * no-op: idempotent recovery after replay.
+    */
+  def cdcApply(existing: DataFrame, changes: DataFrame, pk: String,
+      ordering: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pk)).orderBy(ordering.map(c => col(c).desc): _*)
+    existing.unionByName(changes)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Batch delete-by-key (CRUD delete): anti join on the key set. */
   def deleteByKey(existing: DataFrame, keys: DataFrame, pk: String): DataFrame =
     existing.join(keys.select(pk), Seq(pk), "left_anti")

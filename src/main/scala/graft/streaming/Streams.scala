@@ -327,11 +327,81 @@ object Streams {
     s.table(sink).orderBy($"keep_id")
   }
 
+  /** st06 — streaming CDC APPLY: treat events as a changelog keyed by
+    * user_id and maintain the "current state per user" table incrementally
+    * with [[graft.Warehouse.cdcApply]] (latest-wins on the row's own
+    * (ts, event_id) version, not arrival order). The stream is deliberately
+    * chopped into MANY micro-batches — the events table is re-written as 8
+    * chunk files into a temp dir and consumed with maxFilesPerTrigger=1 —
+    * so the gate genuinely exercises multi-batch convergence: cdcApply is
+    * associative/commutative over batch splits, hence the converged table
+    * equals the batch DISTINCT ON regardless of file arrival order. The
+    * oracle is that batch form (QUALIFY row_number = 1).
+    *
+    * foreachBatch + merge is the standard production CDC sink (the target
+    * there is a transactional table and the merge a MERGE INTO; here the
+    * target is an in-memory frame localCheckpoint'd per batch — same
+    * topology, swap the sink). Per batch the work is one shuffle at
+    * CURRENT-STATE cardinality (users), and the changelog never accumulates
+    * anywhere: state size is O(distinct keys), the 100 TB/day CDC shape.
+    */
+  def st06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunkDir = java.nio.file.Files
+      .createTempDirectory("st06_changelog_").toString
+    graft.Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .repartition(8) // 8 chunk files → 8 micro-batches
+      .write.mode("overwrite").parquet(chunkDir)
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+      )))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunkDir)
+    var state: DataFrame = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), src.schema)
+    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // state-cardinality-sized
+    try {
+      val q = src.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = graft.Warehouse
+            .cdcApply(state, batch, "user_id", Seq("ts", "event_id"))
+            .localCheckpoint(true) // truncate lineage each fold
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    state
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  val st06Oracle: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |  event_type AS last_event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |  value AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
     Q("st02_session_windows", st02, Some(st02Oracle)),
     Q("st03_stream_append_rollup", st03, Some(st03Oracle)),
     Q("st04_stream_interval_join", st04, Some(st04Oracle)),
     Q("st05_stream_ingest_dedup", st05, Some(graft.ops.Dedup.d01Oracle)),
+    Q("st06_stream_cdc_apply", st06, Some(st06Oracle)),
   )
 }

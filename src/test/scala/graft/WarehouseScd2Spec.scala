@@ -87,6 +87,31 @@ class WarehouseScd2Spec extends AnyFunSuite with SparkSpec {
     assert(Set("x", "y").contains(w1))
   }
 
+  test("cdcApply: confluent over batch splits, idempotent on replay") {
+    // changelog of versioned rows: (pk, version, payload)
+    val log = Seq(
+      (1L, 1L, "a1"), (1L, 3L, "a3"), (1L, 2L, "a2"),
+      (2L, 5L, "b5"), (2L, 4L, "b4"),
+      (3L, 7L, "c7"),
+    ).toDF("id", "ver", "v")
+    val empty = log.limit(0)
+    def applyAll(batches: Seq[org.apache.spark.sql.DataFrame]) =
+      batches.foldLeft(empty)((st, b) => Warehouse.cdcApply(st, b, "id", Seq("ver")))
+        .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val oneShot = applyAll(Seq(log))
+    assert(oneShot == Seq((1L, 3L, "a3"), (2L, 5L, "b5"), (3L, 7L, "c7")))
+    // chop three ways, apply in opposite orders → same converged table
+    val chunks = (0 until 3).map(k => log.filter($"ver" % 3 === k))
+    assert(applyAll(chunks) == oneShot)
+    assert(applyAll(chunks.reverse) == oneShot)
+    // replaying a stale batch is a no-op (unlike upsert, version wins)
+    val state = Warehouse.cdcApply(empty, log, "id", Seq("ver"))
+    val stale = Seq((1L, 1L, "a1")).toDF("id", "ver", "v")
+    val replayed = Warehouse.cdcApply(state, stale, "id", Seq("ver"))
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(replayed == oneShot)
+  }
+
   test("compact: many small files rewrite to few, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
     val df = spark.range(0, 10000).selectExpr("id", "id % 7 AS grp")
