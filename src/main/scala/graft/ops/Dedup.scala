@@ -585,8 +585,13 @@ object Dedup {
     val chunks = transform(
       sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(words, i * ChunkWords + 1, lit(ChunkWords))))
+    // cached: the chunk relation feeds BOTH the corpus-wide count and the
+    // join back — uncached, the explode (and its interpreted chunk-building
+    // lambda) runs twice; at corpus scale the chunk pass is the dominant
+    // cost and must run once
     val chunked = docs
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .cache()
     val counts = chunked.groupBy(col("chunk")).agg(count(lit(1)).as("n_occ"))
     chunked
       .join(counts, Seq("chunk"))
