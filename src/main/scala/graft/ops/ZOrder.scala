@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Z-order (Morton curve) clustering — the multi-dimensional data-layout
+  * move: interleave the bits of two sort keys so rows close in EITHER
+  * dimension land in the same files, giving parquet min/max zone maps
+  * skipping power on both predicates at once (a plain sort gives it on the
+  * leading column only). This is the layout strategy behind Delta/Iceberg
+  * `OPTIMIZE ZORDER BY`; here it is a write-path primitive
+  * ([[zorderWrite]]) plus a gated query proving the curve math itself.
+  *
+  * The z-value is pure bit arithmetic (no hashing, no floats), so the
+  * DuckDB oracle recomputes every interleaved bit — and the locality
+  * property (per-file key spans ≪ global span) is spec-asserted on real
+  * written files.
+  */
+object ZOrder {
+
+  val Bits = 16 // per-dimension quantized domain: [0, 65536)
+
+  /** Morton interleave of two `Bits`-bit non-negative ints: bit k of `a`
+    * goes to position 2k, bit k of `b` to 2k+1. Pure codegen'd integer
+    * expression — one projection, no shuffle, vectorizes in the scan.
+    */
+  def zValue(a: Column, b: Column): Column =
+    (0 until Bits).map { k =>
+      shiftleft(shiftright(a.cast("long"), k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(b.cast("long"), k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+
+  /** The identical interleave as DuckDB SQL over expressions `a`/`b`. */
+  def zValueSql(a: String, b: String): String =
+    (0 until Bits).map { k =>
+      s"((($a >> $k) & 1) << ${2 * k}) + ((($b >> $k) & 1) << ${2 * k + 1})"
+    }.mkString(" + ")
+
+  /** Min-max quantization of a key onto the full [0, 2^Bits) domain, as an
+    * exact integer-division SQL fragment (Spark `div` ≡ DuckDB `//` for
+    * non-negative operands). Interleaving RAW bits degenerates when the
+    * dimensions' ranges differ (a 13-bit key vs an 8-bit key → the curve's
+    * high bits come only from the wide key and the layout collapses to a
+    * single-column sort); both dimensions must occupy the same bit width
+    * over their ACTUAL ranges, which is what this rescaling guarantees.
+    */
+  def quantizeExpr(x: String, lo: String, hi: String): String =
+    s"(($x - $lo) * ${1 << Bits}) div ($hi - $lo + 1)"
+
+  /** Write `df` clustered along the z-curve of (colA, colB): quantize both
+    * keys onto the shared domain (one cheap stats pass — the same pass a
+    * layout job does anyway), range-partition by z-value into `files`
+    * output files, sort within each file. Range partitioning (not hash) is
+    * what makes file-level min/max tight: each file covers one contiguous
+    * z-range = one bounded rectangle-ish region of the (A, B) plane. At
+    * 100 TB this is the layout job you run once per partition after load;
+    * every later scan with a predicate on A or B skips most files on
+    * footer stats alone — no index structure needed.
+    */
+  def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
+      files: Int): Unit = {
+    val st = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    val qa = expr(quantizeExpr(colA, st.getLong(0).toString, st.getLong(1).toString))
+    val qb = expr(quantizeExpr(colB, st.getLong(2).toString, st.getLong(3).toString))
+    df.withColumn("__z", zValue(qa, qb))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** z01 — the z-curve math + its locality, as a gated relation: bucket
+    * lineitem rows by the top 6 bits of z(l_orderkey, l_partkey) (64
+    * curve segments ≈ 64 files) and report per-bucket row counts and the
+    * min/max of BOTH quantized dimensions. The oracle recomputes all 32
+    * interleaved bits per row in SQL. The per-bucket spans being small on
+    * both dimensions at once IS the data-skipping property; the written-
+    * file form of the same claim is ZOrderSpec.
+    */
+  def z01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    // in-plan stats (one 1-row agg, broadcast into the projection) — the
+    // quantization bounds come from the data, not config
+    val stats = li.agg(
+      min($"l_orderkey").as("amin"), max($"l_orderkey").as("amax"),
+      min($"l_partkey").as("bmin"), max($"l_partkey").as("bmax"))
+    li.crossJoin(broadcast(stats))
+      .selectExpr(
+        s"${quantizeExpr("l_orderkey", "amin", "amax")} AS qa",
+        s"${quantizeExpr("l_partkey", "bmin", "bmax")} AS qb")
+      .withColumn("bucket", shiftright(zValue($"qa", $"qb"), 2 * Bits - 6))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"qa").as("min_a"), max($"qa").as("max_a"),
+        min($"qb").as("min_b"), max($"qb").as("max_b"),
+      )
+      .orderBy($"bucket")
+  }
+
+  val z01Oracle: String = {
+    def q(x: String, lo: String, hi: String): String =
+      s"(($x - $lo) * ${1 << Bits}) // ($hi - $lo + 1)"
+    s"""WITH st AS (SELECT MIN(l_orderkey) AS amin, MAX(l_orderkey) AS amax,
+       |    MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax FROM lineitem),
+       |qz AS (SELECT ${q("l_orderkey", "amin", "amax")} AS qa,
+       |    ${q("l_partkey", "bmin", "bmax")} AS qb FROM lineitem, st),
+       |z AS (SELECT qa, qb, (${zValueSql("qa", "qb")}) AS zv FROM qz)
+       |SELECT zv >> ${2 * Bits - 6} AS bucket, COUNT(*) AS n_rows,
+       |  MIN(qa) AS min_a, MAX(qa) AS max_a,
+       |  MIN(qb) AS min_b, MAX(qb) AS max_b
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("z01_zorder_buckets", z01, Some(z01Oracle)),
+  )
+}
