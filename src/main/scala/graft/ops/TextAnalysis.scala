@@ -700,6 +700,71 @@ object TextAnalysis {
        |  (CAST(cum_tokens AS BIGINT) - n_tokens) % $PackContextLen AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t13 — benchmark decontamination (n-gram collision check)
+  // ---------------------------------------------------------------------
+
+  /** N-gram width for the contamination check. GPT-3-style decontamination
+    * uses 13-grams on real prose; 5 fits the testdata's short docs while
+    * keeping the same false-positive calculus (a shared n-gram of this
+    * width is overwhelming evidence of copying, not coincidence).
+    */
+  val ContamGramWords = 5
+
+  /** t13 — eval-set decontamination: flag training docs sharing any
+    * `ContamGramWords`-gram with the held-out benchmark partition (here
+    * the deterministic doc_id%100==7 slice stands in for the eval sets).
+    * Output is the full per-doc audit — total distinct grams, matched
+    * grams, contamination verdict — for every non-benchmark doc, so the
+    * gate checks negatives as well as hits.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval suites, not training data) → it BROADCASTS, and the corpus
+    * side stays a narrow scan + explode with a map-side hash probe; no
+    * corpus shuffle except the per-doc count. This is the real
+    * decontamination topology at 100 TB: corpus × benchmark-grams as a
+    * broadcast left join, never a corpus-wide gram self-join (t10/d02
+    * cover the self-join problem with inverted-index banding instead).
+    */
+  def t13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(Dedup.shingleArray($"text", ContamGramWords)).as("g"))
+    val bench = grams.filter($"doc_id" % 100 === 7).select($"g").distinct()
+      .withColumn("hit", lit(1))
+    grams.filter($"doc_id" % 100 =!= 7)
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count($"hit").as("n_matched"),
+      )
+      .select($"doc_id", $"n_grams", $"n_matched",
+        ($"n_matched" > 0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val t13Oracle: String = {
+    val n = ContamGramWords
+    val elems = (0 until n).map(k => s"ws[i+$k]").mkString(", ")
+    s"""WITH w AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, ws,
+       |  unnest(range(1, greatest(len(ws) - ${n - 1}, 1) + 1)) AS i FROM w),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  array_to_string(list_filter([$elems], x -> x IS NOT NULL), ' ') AS g
+       |  FROM sh0),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 7)
+       |SELECT c.doc_id, COUNT(*) AS n_grams,
+       |  COUNT(b.g) AS n_matched,
+       |  COUNT(b.g) > 0 AS contaminated
+       |FROM sh c LEFT JOIN bench b ON c.g = b.g
+       |WHERE c.doc_id % 100 <> 7
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -713,6 +778,7 @@ object TextAnalysis {
     Q("t10_winnowing_pairs", t10, Some(t10Oracle)),
     Q("t11_repetition_quality", t11, Some(t11Oracle)),
     Q("t12_sequence_packing", t12, Some(t12Oracle)),
+    Q("t13_decontamination", t13, Some(t13Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
   )
 }

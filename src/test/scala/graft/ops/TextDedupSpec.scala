@@ -154,6 +154,18 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(10L)._1 == 3 && out(12L)._1 == 3)
   }
 
+  test("t13 decontamination flags the doc containing a benchmark n-gram verbatim") {
+    val out = TextAnalysis.t13(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    // benchmark docs themselves are excluded from the audit
+    assert(out.forall(_.getAs[Long]("doc_id") % 100 != 7))
+    // verdict is consistent with the match count on every row
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("contaminated") == (r.getAs[Long]("n_matched") > 0))
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
   test("t11 repetition stats are internally consistent and bounded") {
     val rows = TextAnalysis.t11(spark, sfSmoke).collect()
     assert(rows.length == graft.Tables.documents(spark, sfSmoke).count())
