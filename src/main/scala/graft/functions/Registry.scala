@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CosineSimilarity, TopKByScore}
+import org.apache.spark.sql.graft.{CosineSimilarity, MisraGries, TopKByScore}
 
 /** graft-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -24,12 +24,21 @@ object VectorFunctions {
         s"top_k_by expects (score, id, k-literal), got ${other.length} args")
   }
 
+  val misraGriesBuilder: Seq[Expression] => Expression = {
+    case Seq(item, Literal(k: Int, _)) => MisraGries(item, k)
+    case other =>
+      throw new IllegalArgumentException(
+        s"misra_gries expects (item, k-literal), got ${other.length} args")
+  }
+
   /** Imperative per-session registration (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_by", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries", misraGriesBuilder, "built-in")
   }
 
   /** Column-API entry: `cosine_sim($"a", $"b")` (requires [[register]] or
@@ -43,6 +52,14 @@ object VectorFunctions {
   def top_k_by(score: Column, id: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("top_k_by", score, id, lit(k))
+  }
+
+  /** Misra–Gries heavy-hitters sketch (see
+    * [[org.apache.spark.sql.graft.MisraGries]]).
+    */
+  def misra_gries(item: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("misra_gries", item, lit(k))
   }
 }
 
@@ -63,6 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_by"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by"),
       VectorFunctions.topKBuilder,
+    ))
+    e.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      VectorFunctions.misraGriesBuilder,
     ))
     // windowed top-k (row_number <= k) → bounded-heap aggregate, when
     // provably semantics-preserving (see WindowTopKToHeap's guards)
