@@ -91,4 +91,54 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("runtime bloom filter: a selective dim filter is pushed into the fact scan side") {
+    // Spark's InjectRuntimeFilter: when the creation side of a shuffle
+    // join carries a selective filter, the application (fact) side gets a
+    // bloom_filter_might_contain probe — rows that cannot join are dropped
+    // BEFORE the exchange. At 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~join-surviving
+    // slice; it composes with (does not replace) static partition pruning.
+    val s = spark
+    import s.implicits._
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> s.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> s.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> s.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+    ).toMap
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = graft.Tables.lineitem(s, sfSmoke)
+      val o = graft.Tables.orders(s, sfSmoke).filter($"o_orderpriority" === "1-URGENT")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_orderpriority").count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+        optimized.contains("bloom_filter_agg"), optimized)
+      // and the filter changed nothing semantically
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally conf.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  test("schema evolution: mergeSchema reads old + new file generations as one relation") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    // generation 1: (id, v) — generation 2 adds a column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    // old-generation rows surface the new column as null (additive
+    // evolution only — the object-store contract Warehouse documents)
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("score")))
+    assert(byId(3L).getDouble(merged.columns.indexOf("score")) == 9.5)
+  }
 }
