@@ -603,11 +603,10 @@ object Dedup {
           array_sort(collect_list(when(col("n_occ") < 2, struct(col("chunk_idx"), col("chunk"))))),
           x => x.getField("chunk"))).as("kept_text"),
       )
-      .orderBy(col("doc_id"))
   }
 
   def d09(s: SparkSession, dir: String): DataFrame =
-    chunkDedup(Tables.documents(s, dir))
+    chunkDedup(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
   val d09Oracle: String =
     s"""WITH w AS (SELECT doc_id,

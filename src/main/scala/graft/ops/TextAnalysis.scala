@@ -765,6 +765,112 @@ object TextAnalysis {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // c04 — the full shard-curation job, end to end, as one gated relation
+  // ---------------------------------------------------------------------
+
+  /** c04 — what a training-data shard actually goes through, composed into
+    * ONE query the gate hash-checks end to end:
+    *
+    *   quality gate → language gate → exact dedup (min-id winner, carrying
+    *   the text through) → chunk-level boilerplate removal over the KEPT
+    *   corpus (CCNet order: dedup first, then paragraph cleaning) → token
+    *   recount of the CLEANED text → per-source-shard sequence packing.
+    *
+    * Output per surviving doc: its shard, chunks dropped, cleaned token
+    * count, and the exact (seq_id, seq_offset) cut point of the packed
+    * training stream. Every intermediate rule is recomputed by the DuckDB
+    * oracle, so a regression in ANY stage (gate thresholds, dedup winner,
+    * chunk counting, reassembly, packing arithmetic) fails the one entry.
+    *
+    * Scale shape = the union of its parts, each already audited: fused
+    * scalar gates on one scan (c01), one dedup exchange on a 128-bit key,
+    * the d09 chunk topology over the (smaller) kept corpus, and t12's
+    * shard-local cumulative window — no global sort, no driver state.
+    */
+  def c04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val wordsC = size(filter(split($"text", " "), x => x =!= ""))
+    val chars = length($"text")
+    val digits = chars - length(regexp_replace($"text", "[0-9]", ""))
+    val hits = langHits($"text").toMap
+    val gated = docs
+      .select($"doc_id", $"text", $"source", wordsC.as("n_words"),
+        (digits.cast("double") / when(chars =!= 0, chars)).as("digit_ratio"),
+        langArgmax(hits("en"), hits("de"), hits("fr"), hits("es")).as("lang_pred"))
+      .filter($"n_words" >= 20 && $"digit_ratio" <= 0.2 && $"lang_pred" === "en")
+    val dedupW = Window
+      .partitionBy(md5(normalize($"text"))).orderBy($"doc_id")
+    val kept = gated
+      .withColumn("__rn", row_number().over(dedupW)).filter($"__rn" === 1)
+      .select($"doc_id", $"text", $"source")
+    val cleaned = Dedup.chunkDedup(kept)
+    val toks = size(filter(split($"kept_text", " "), x => x =!= "")).cast("long")
+    val packW = Window.partitionBy($"source").orderBy($"doc_id")
+    cleaned
+      .join(kept.select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"doc_id", $"source", $"n_dropped", toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(packW))
+      .select($"doc_id", $"source", $"n_dropped", $"n_tokens", $"cum_tokens",
+        (($"cum_tokens" - $"n_tokens") / PackContextLen).cast("long").as("seq_id"),
+        (($"cum_tokens" - $"n_tokens") % PackContextLen).as("seq_offset"))
+      .orderBy($"doc_id")
+  }
+
+  val c04Oracle: String = {
+    val en = s"${duckMarker(" the ")} + ${duckMarker(" a ")}"
+    val de = s"${duckMarker(" der ")} + ${duckMarker(" und ")}"
+    val fr = s"${duckMarker(" le ")} + ${duckMarker(" et ")}"
+    val es = s"${duckMarker(" el ")} + ${duckMarker(" y ")}"
+    val cw = Dedup.ChunkWords
+    s"""WITH q AS (SELECT doc_id, text, source,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |      / NULLIF(length(text), 0) AS digit_ratio
+       |  FROM documents),
+       |k1 AS (SELECT doc_id, text, source FROM q
+       |       WHERE n_words >= 20 AND digit_ratio <= 0.2),
+       |p AS (SELECT doc_id,
+       |  ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS padded
+       |  FROM documents),
+       |hits AS (SELECT doc_id, $en AS en_hits, $de AS de_hits, $fr AS fr_hits, $es AS es_hits
+       |  FROM p),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr'
+       |       ELSE 'es' END AS lang_pred FROM hits),
+       |gated AS (SELECT k1.* FROM k1 JOIN lang USING (doc_id) WHERE lang_pred = 'en'),
+       |kept AS (SELECT doc_id, text, source FROM (
+       |    SELECT g.*, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn FROM gated g) WHERE rn = 1),
+       |w AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM kept),
+       |ch AS (SELECT doc_id, i AS chunk_idx,
+       |  array_to_string(ws[(i*$cw+1):(i*$cw+$cw)], ' ') AS chunk
+       |  FROM (SELECT doc_id, ws,
+       |    unnest(range(0, CAST(ceil(len(ws)/$cw.0) AS BIGINT))) AS i FROM w)),
+       |cnt AS (SELECT chunk, COUNT(*) AS n_occ FROM ch GROUP BY chunk),
+       |j AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk, cnt.n_occ
+       |  FROM ch JOIN cnt USING (chunk)),
+       |clean AS (SELECT doc_id,
+       |    COUNT(CASE WHEN n_occ >= 2 THEN 1 END) AS n_dropped,
+       |    COALESCE(string_agg(CASE WHEN n_occ < 2 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS kept_text
+       |  FROM j GROUP BY doc_id),
+       |tok AS (SELECT c.doc_id, k.source, c.n_dropped,
+       |    CAST(len(list_filter(string_split(c.kept_text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM clean c JOIN kept k USING (doc_id)),
+       |cum AS (SELECT doc_id, source, n_dropped, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens FROM tok)
+       |SELECT doc_id, source, n_dropped, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  (CAST(cum_tokens AS BIGINT) - n_tokens) // $PackContextLen AS seq_id,
+       |  (CAST(cum_tokens AS BIGINT) - n_tokens) % $PackContextLen AS seq_offset
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -780,5 +886,6 @@ object TextAnalysis {
     Q("t12_sequence_packing", t12, Some(t12Oracle)),
     Q("t13_decontamination", t13, Some(t13Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
+    Q("c04_curation_pipeline", c04, Some(c04Oracle)),
   )
 }

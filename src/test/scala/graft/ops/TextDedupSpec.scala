@@ -166,6 +166,28 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c04 capstone agrees with its component stages") {
+    val c04 = TextAnalysis.c04(spark, sfSmoke).collect()
+    assert(c04.nonEmpty)
+    // survivors are exactly c01's kept representatives
+    val c01Ids = TextAnalysis.c01(spark, sfSmoke).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(c04.map(_.getAs[Long]("doc_id")).toSet == c01Ids)
+    // packing arithmetic: cum_tokens strictly accumulates per source and
+    // every cut point is consistent
+    c04.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+        val start = cum - r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("seq_id") == start / TextAnalysis.PackContextLen)
+        assert(r.getAs[Long]("seq_offset") == start % TextAnalysis.PackContextLen)
+      }
+    }
+  }
+
   test("t11 repetition stats are internally consistent and bounded") {
     val rows = TextAnalysis.t11(spark, sfSmoke).collect()
     assert(rows.length == graft.Tables.documents(spark, sfSmoke).count())
