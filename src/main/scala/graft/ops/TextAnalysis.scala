@@ -728,9 +728,12 @@ object TextAnalysis {
     */
   def t13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached: the gram relation feeds both the benchmark-set subtree and
+    // the corpus probe side — uncached, the shingle build runs twice
     val grams = Tables.documents(s, dir)
       .select($"doc_id",
         explode(Dedup.shingleArray($"text", ContamGramWords)).as("g"))
+      .cache()
     val bench = grams.filter($"doc_id" % 100 === 7).select($"g").distinct()
       .withColumn("hit", lit(1))
     grams.filter($"doc_id" % 100 =!= 7)
