@@ -674,7 +674,50 @@ object Similarity {
        |  TRUE AS recall_ok
        |FROM exact""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s07 — per-label embedding centroids (distributed vector aggregation)
+  // ---------------------------------------------------------------------
+
+  /** s07 — class centroids over the embedding corpus: the vector-mean
+    * aggregation behind SemDeDup-style semantic clustering, k-means init,
+    * per-class prototypes, and embedding-drift monitoring. Long-form
+    * (label, dim) grouping: one posexplode (narrow) + one hash aggregation
+    * whose partial sums collapse map-side — labels × dims cells cross the
+    * wire, never vectors. That long-form partial-agg IS the scalable
+    * shape; a collect-and-average would ship every vector to one place.
+    *
+    * Cross-engine float determinism: per-cell sums use FIXED-POINT
+    * integers — floor(x · 10⁹) as BIGINT — so the aggregation is
+    * associative (long adds) and immune to float reassociation; the mean
+    * then applies the identical two IEEE divisions in both engines. The
+    * quantization bias (<10⁻⁹ per element) is far below the corpus's own
+    * noise floor and is applied identically by the oracle.
+    */
+  def s07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"label", $"dim",
+        floor($"x".cast("double") * 1e9).cast("long").as("qx"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"qx").as("sq"))
+      .select($"label", $"dim", $"n", $"sq",
+        (($"sq".cast("double") / 1e9) / $"n").as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+
+  val s07Oracle: String =
+    """WITH e AS (SELECT label, i - 1 AS dim, embedding[i] AS x
+      |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)),
+      |q AS (SELECT label, dim,
+      |  CAST(FLOOR(CAST(x AS DOUBLE) * 1000000000) AS BIGINT) AS qx FROM e)
+      |SELECT label, dim, COUNT(*) AS n, CAST(SUM(qx) AS BIGINT) AS sq,
+      |  (CAST(SUM(qx) AS DOUBLE) / 1000000000) / COUNT(*) AS centroid
+      |FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("s07_label_centroids", s07, Some(s07Oracle)),
     Q("s01_knn_bruteforce", s01, Some(s01Oracle)),
     Q("s03_knn_heap", s03, Some(s01Oracle)),
     Q("s05_knn_rule_rewrite", s05, Some(s05Oracle)),

@@ -79,6 +79,26 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
       s"missing=${exact -- got} extra=${got -- exact}")
   }
 
+  test("s07 centroids match a driver-side float mean within quantization error") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.s07(spark, sfSmoke).collect()
+    assert(rows.nonEmpty && rows.length % 64 == 0)
+    // independent truth for one (label, dim) cell, computed on the driver
+    val (label, dim) = (rows.head.getAs[Int]("label"), 3)
+    val xs = graft.Tables.embeddings(spark, sfSmoke)
+      .filter($"label" === label)
+      .select(element_at($"embedding", dim + 1).cast("double"))
+      .collect().map(_.getDouble(0))
+    val truth = xs.sum / xs.length
+    val got = rows.find(r => r.getAs[Int]("label") == label && r.getAs[Int]("dim") == dim)
+      .get.getAs[Double]("centroid")
+    // fixed-point floor(x*1e9) undercounts each element by < 1e-9
+    assert(math.abs(got - truth) < 1e-8, s"$got vs $truth")
+    assert(got <= truth + 1e-12) // quantization only rounds DOWN
+  }
+
   test("cosine is symmetric, bounded, and 1.0 on self") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
