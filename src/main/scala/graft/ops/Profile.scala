@@ -176,8 +176,56 @@ object Profile {
       |    COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) = 0 FROM documents
       |) ORDER BY check_name""".stripMargin
 
+  /** q48 — winsorization (percentile clipping), the outlier treatment a
+    * feature pipeline applies before scaling: clamp each group's values
+    * into [p05, p95] and report the clip counts + the exact sum of the
+    * clipped column. Two passes over the fact (quantile agg, then clip) —
+    * the bounds relation is group-cardinality-sized and broadcasts, so the
+    * clip pass is a map-side projection with no fact shuffle before the
+    * final summary agg. The 100 TB variant swaps the exact `percentile`
+    * for the q46 t-digest sketch; the clip/apply topology is unchanged.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.util.Exact.dsum
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", lit(0.05)).as("lo"),
+        percentile($"l_extendedprice", lit(0.95)).as("hi"))
+    val clipped = when($"l_extendedprice" < $"lo", $"lo")
+      .when($"l_extendedprice" > $"hi", $"hi")
+      .otherwise($"l_extendedprice")
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(when($"l_extendedprice" < $"lo", lit(1))).as("n_clipped_low"),
+        count(when($"l_extendedprice" > $"hi", lit(1))).as("n_clipped_high"),
+        count(lit(1)).as("n_rows"),
+        dsum(clipped).as("sum_winsorized"),
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  val q48Oracle: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS lo,
+      |    quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag,
+      |  COUNT(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_clipped_low,
+      |  COUNT(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_clipped_high,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(CASE WHEN l_extendedprice < lo THEN lo
+      |                     WHEN l_extendedprice > hi THEN hi
+      |                     ELSE l_extendedprice END AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_winsorized
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
+    Q("q48_winsorize", q48, Some(q48Oracle)),
   )
 }

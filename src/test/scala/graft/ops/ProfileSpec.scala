@@ -23,6 +23,26 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
       s"violations ${tight._1} should be a proper subset of ${tight._2} rows")
   }
 
+  test("q48 winsorization clips ~5% on each tail and never widens the sum") {
+    import graft.util.Exact.dsum
+    import org.apache.spark.sql.functions._
+    val rows = Profile.q48(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.Tables.lineitem(spark, sfSmoke)
+      .groupBy(col("l_returnflag")).agg(dsum(col("l_extendedprice")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val lowFrac = r.getAs[Long]("n_clipped_low").toDouble / n
+      val highFrac = r.getAs[Long]("n_clipped_high").toDouble / n
+      assert(lowFrac > 0.0 && lowFrac <= 0.06, s"low $lowFrac")
+      assert(highFrac > 0.0 && highFrac <= 0.06, s"high $highFrac")
+      // clipping a right-skewed-or-symmetric tail pulls the sum toward the
+      // body; at minimum it must differ from the raw sum
+      assert(r.getAs[Double]("sum_winsorized") != raw(r.getString(0)))
+    }
+  }
+
   test("fkCheck counts orphans when the parent side is truncated") {
     import spark.implicits._
     val customer = graft.Tables.customer(spark, sfSmoke)
