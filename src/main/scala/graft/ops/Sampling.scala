@@ -123,8 +123,60 @@ object Sampling {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q49 — token-budget selection per source shard
+  // ---------------------------------------------------------------------
+
+  /** Per-source token budget for q49 (the "take the best N tokens from
+    * each source" knob of a data-mixing recipe).
+    */
+  val TokenBudget = 500L
+
+  /** q49 — budgeted selection: rank each source's docs by a quality proxy
+    * (longer docs first; unique doc_id tiebreak makes the order total) and
+    * keep docs while the source's cumulative token count stays within
+    * budget. This is how mixture recipes are actually materialized —
+    * "100B tokens of source X, best-first" — and it composes with c03
+    * (rate-based mixing) and t12 (packing the survivors). One window pass
+    * per source partition, no global sort; the budget filter is a scalar
+    * predicate on the running sum, so the plan is scan → window → agg.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(filter(split($"text", "\\s+"), x => x =!= "")).cast("long")
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars", toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"cum_tokens" <= TokenBudget, lit(1))).as("n_kept"),
+        sum(when($"cum_tokens" <= TokenBudget, $"n_tokens")).cast("long").as("tokens_kept"),
+        min(when($"cum_tokens" <= TokenBudget, $"n_chars")).as("shortest_kept_chars"),
+      )
+      .orderBy($"source")
+  }
+
+  val q49Oracle: String =
+    s"""WITH t AS (SELECT doc_id, source, n_chars,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_chars, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS cum_tokens
+       |  FROM t)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(CASE WHEN cum_tokens <= $TokenBudget THEN 1 END) AS n_kept,
+       |  CAST(SUM(CASE WHEN cum_tokens <= $TokenBudget THEN n_tokens END) AS BIGINT) AS tokens_kept,
+       |  MIN(CASE WHEN cum_tokens <= $TokenBudget THEN n_chars END) AS shortest_kept_chars
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q38_hash_sample", q38, Some(q38Oracle)),
     Q("c03_source_mixing", c03, Some(c03Oracle)),
+    Q("q49_token_budget", q49, Some(q49Oracle)),
   )
 }

@@ -47,6 +47,16 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(keptHalf.subsetOf(keptFull))
   }
 
+  test("q49 budget selection keeps a best-first prefix within the token budget") {
+    val rows = Sampling.q49(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 1 && kept <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_kept") <= Sampling.TokenBudget)
+    }
+  }
+
   test("stratified sample honors per-stratum fractions") {
     val docs = Tables.documents(spark, sfSmoke)
     val fractions = Map("en" -> 0.5, "de" -> 0.1, "fr" -> 0.0, "es" -> 0.0, "zh" -> 0.0)
