@@ -228,6 +228,35 @@ object Aggregates {
       |  quantile_cont(l_extendedprice, 0.9) AS price_p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q50 — the q26 JSON aggregation through Spark 4's VARIANT type:
+    * `parse_json` once into the binary-encoded variant, then typed
+    * `variant_get` paths. At 100 TB this is the semi-structured scale
+    * path — parse once, shred to binary, every downstream path access is
+    * a byte-offset lookup instead of a re-parse (get_json_object re-parses
+    * the string per call). Same answer as the string path by construction;
+    * the oracle is the plain JSON extraction.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", parse_json($"props").as("v"))
+      .select($"event_type", try_variant_get($"v", "$.k", "int").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        lsum($"k").as("sum_k"),
+        count($"k").as("n_k"),
+        countDistinct($"k").as("n_distinct_k"),
+      )
+      .orderBy($"event_type")
+  }
+
+  val q50Oracle: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  COUNT(CAST(json_extract(props, '$.k') AS INT)) AS n_k,
+      |  COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS n_distinct_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q46 — t-digest quantile sketch evaluated against the exact quantiles,
     * the q30 pattern applied to percentiles: the gated output carries the
     * exact per-group medians/p90s (oracle recomputes them via
@@ -390,5 +419,6 @@ object Aggregates {
     Q("q39_cube_grouping", q39, Some(q39Oracle)),
     Q("q43_conditional_agg", q43, Some(q43Oracle)),
     Q("q46_approx_quantile", q46, Some(q46Oracle)),
+    Q("q50_variant_json", q50, Some(q50Oracle)),
   )
 }

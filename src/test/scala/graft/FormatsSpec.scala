@@ -65,6 +65,19 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(decoded.filter($"media_id" === 1L).collect()(0).byte_len == 256)
   }
 
+  test("XML source (built-in since Spark 4) round-trips with an explicit schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString + "/t"
+    val df = Seq((1L, "alpha", 9.5), (2L, "beta", 1.25)).toDF("id", "name", "score")
+    df.write.option("rootTag", "rows").option("rowTag", "row").format("xml").save(dir)
+    val back = spark.read
+      .schema("id BIGINT, name STRING, score DOUBLE")
+      .option("rowTag", "row").format("xml").load(dir)
+      .orderBy($"id")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "alpha", 9.5), (2L, "beta", 1.25)))
+  }
+
   test("text and wholetext sources round-trip line/document granularity") {
     val dir = java.nio.file.Paths.get(tmp, "txt")
     java.nio.file.Files.createDirectories(dir)

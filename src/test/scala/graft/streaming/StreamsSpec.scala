@@ -27,6 +27,27 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("RocksDB state store produces the same rollup as the default provider") {
+    // the large-state production path: RocksDB keeps streaming state
+    // off-heap/on-disk, so state size is bounded by disk, not executor
+    // memory — at 10^9 keys the HDFS-backed in-memory provider OOMs long
+    // before the operator logic is wrong. Same query, same answer.
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    val defaultRows = graft.streaming.Streams.st01(s, sfSmoke).collect().toSeq
+    try {
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocksRows = graft.streaming.Streams.st01(s, sfSmoke).collect().toSeq
+      assert(rocksRows == defaultRows)
+      assert(rocksRows.nonEmpty)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   test("st05 streaming ingest dedup converges to the batch dedup ledger exactly") {
     val streamed = Streams.st05(spark, sfSmoke).collect()
     val batch = graft.ops.Dedup.d01(spark, sfSmoke).collect()
