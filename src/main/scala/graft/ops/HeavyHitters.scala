@@ -20,6 +20,8 @@ object HeavyHitters {
 
   val K = 15 // sketch capacity → detection threshold n/(k+1) = n/16
 
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** hh01 — the sketch's guarantees gated cross-engine. The key domain is
     * deliberately skew-shaped (one hot key owning ~1/3 of lineitem + a
     * ~40k-key unique-ish cold tail) so the 15-counter buffer is under
@@ -34,28 +36,74 @@ object HeavyHitters {
     * (0 ≤ exact − est, (exact − est)·(k+1) ≤ n). The oracle recomputes the
     * exact counts and pins both booleans TRUE.
     */
+  /** The hh01/hh02 key domain over lineitem rows. */
+  def keyedItems(li: DataFrame): DataFrame = li.select(
+    when(col("l_orderkey") % 3 === 0, lit("hot"))
+      .otherwise(concat(lit("cold_"), col("l_orderkey").cast("string")))
+      .as("item"))
+
+  /** Audit a 1-row (mg, n) sketch relation against the exact counts:
+    * guarantee-derived, merge-order-invariant facts only.
+    */
+  def auditSketch(sketch: DataFrame, keyed: DataFrame): DataFrame = {
+    val exact = keyed.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .crossJoin(broadcast(sketch))
+      .filter(col("exact_cnt") * (K + 1) > col("n")) // true heavy hitters only
+      .withColumn("entry", filter(col("mg"), e => e.getField("item") === col("item")))
+      .select(
+        col("item"), col("exact_cnt"),
+        (size(col("entry")) === 1).as("in_sketch"),
+        (size(col("entry")) === 1 &&
+          element_at(col("entry"), 1).getField("est") <= col("exact_cnt") &&
+          (col("exact_cnt") - element_at(col("entry"), 1).getField("est")) * (K + 1) <= col("n"))
+          .as("bounds_ok"))
+      .orderBy(col("item"))
+  }
+
   def hh01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keyed = Tables.lineitem(s, dir).select(
-      when($"l_orderkey" % 3 === 0, lit("hot"))
-        .otherwise(concat(lit("cold_"), $"l_orderkey".cast("string")))
-        .as("item"))
+    val keyed = keyedItems(Tables.lineitem(s, dir))
     val sketch = keyed.agg(
       misra_gries($"item", K).as("mg"),
       count(lit(1)).as("n"))
-    val exact = keyed.groupBy($"item").agg(count(lit(1)).as("exact_cnt"))
-    exact
-      .crossJoin(broadcast(sketch))
-      .filter($"exact_cnt" * (K + 1) > $"n") // true heavy hitters only
-      .withColumn("entry", filter($"mg", e => e.getField("item") === $"item"))
-      .select(
-        $"item", $"exact_cnt",
-        (size($"entry") === 1).as("in_sketch"),
-        (size($"entry") === 1 &&
-          element_at($"entry", 1).getField("est") <= $"exact_cnt" &&
-          ($"exact_cnt" - element_at($"entry", 1).getField("est")) * (K + 1) <= $"n")
-          .as("bounds_ok"))
-      .orderBy($"item")
+    auditSketch(sketch, keyed)
+  }
+
+  /** hh02 — the SAME sketch maintained incrementally by Structured
+    * Streaming: the global misra_gries aggregation runs over a file stream
+    * of the fact, its k-counter buffer living in the state store and
+    * merging batch-by-batch (exactly the mergeable-summaries path the
+    * aggregate implements). Because the guarantees are merge-tree
+    * invariant, the CONVERGED sketch passes the identical audit as the
+    * batch hh01 — same oracle — which is the streaming-equals-batch claim
+    * for sketches: hot-key monitoring over an infinite stream in O(k)
+    * state. Complete mode: the sketch row is the state, re-emitted per
+    * batch; the audit reads the final one.
+    */
+  def hh02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val src = s.readStream
+      .schema("l_orderkey BIGINT")
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+    val sketchStream = keyedItems(src).agg(
+      misra_gries($"item", K).as("mg"),
+      count(lit(1)).as("n"))
+    val sink = s"hh02_sketch_${sinkCounter.incrementAndGet()}"
+    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "1") // one global sketch row
+    try {
+      val q = sketchStream.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    auditSketch(s.table(sink), keyedItems(Tables.lineitem(s, dir)))
   }
 
   val hh01Oracle: String =
@@ -68,5 +116,6 @@ object HeavyHitters {
 
   def all: Seq[Q] = Seq(
     Q("hh01_heavy_hitters", hh01, Some(hh01Oracle)),
+    Q("hh02_heavy_hitters_stream", hh02, Some(hh01Oracle)),
   )
 }
