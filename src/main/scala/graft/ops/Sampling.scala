@@ -174,9 +174,67 @@ object Sampling {
        |  MIN(CASE WHEN cum_tokens <= $TokenBudget THEN n_chars END) AS shortest_kept_chars
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ml03 — deterministic k-fold cross-validation assignment
+  // ---------------------------------------------------------------------
+
+  /** Fold count for ml03 (power of two → exact md5-prefix quartiles). */
+  val KFolds = 4
+
+  /** Content-hash fold id in [0, 4): which md5-prefix quartile the key's
+    * hash lands in. Same determinism contract as [[hashSampleFilter]] —
+    * fold membership is a pure function of the key, so training pipelines
+    * get identical folds across engines, reruns, and cluster resizes, and
+    * fold k's holdout never leaks into fold k's training split on a retry.
+    * Quartile boundaries are string compares on the hex prefix (16^8
+    * values split exactly 4 ways) — no hex→int parsing, which keeps the
+    * rule portable to any engine with md5 + substring.
+    */
+  def foldOf(key: Column): Column = {
+    val h = substring(md5(key.cast("string")), 1, 8)
+    when(h < "40000000", 0).when(h < "80000000", 1)
+      .when(h < "c0000000", 2).otherwise(3)
+  }
+
+  /** ml03 — k-fold assignment audit over customers: per (fold, segment)
+    * row counts plus exact mean balance. This is the table an ML engineer
+    * eyeballs before trusting a CV split — folds should be ~equal sized
+    * and stratification-balanced within each segment. One scan, one
+    * low-cardinality groupBy (the fold id is a scalar projection); at
+    * 100 TB the split never materializes — downstream trainers re-derive
+    * membership from the same pure predicate.
+    */
+  def ml03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.util.Exact
+    Tables.customer(s, dir)
+      .select(foldOf($"c_custkey").as("fold"), $"c_mktsegment", $"c_acctbal", $"c_custkey")
+      .groupBy($"fold", $"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Exact.davg($"c_acctbal").as("avg_acctbal"),
+        min($"c_custkey").as("first_key"),
+      )
+      .orderBy($"fold", $"c_mktsegment")
+  }
+
+  val ml03Oracle: String =
+    """WITH f AS (SELECT
+      |    CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8) < '40000000' THEN 0
+      |         WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8) < '80000000' THEN 1
+      |         WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8) < 'c0000000' THEN 2
+      |         ELSE 3 END AS fold,
+      |    c_mktsegment, c_acctbal, c_custkey
+      |  FROM customer)
+      |SELECT fold, c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal,
+      |  MIN(c_custkey) AS first_key
+      |FROM f GROUP BY fold, c_mktsegment ORDER BY fold, c_mktsegment""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q38_hash_sample", q38, Some(q38Oracle)),
     Q("c03_source_mixing", c03, Some(c03Oracle)),
     Q("q49_token_budget", q49, Some(q49Oracle)),
+    Q("ml03_kfold_split", ml03, Some(ml03Oracle)),
   )
 }

@@ -716,8 +716,151 @@ object Similarity {
       |  (CAST(SUM(qx) AS DOUBLE) / 1000000000) / COUNT(*) AS centroid
       |FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s08 — SemDeDup-style semantic dedup (cluster → within-cluster pairs)
+  // ---------------------------------------------------------------------
+
+  /** Per-label centroids as ordered DOUBLE arrays — s07's fixed-point
+    * aggregation reshaped wide. Bit-stable cross-engine: per-cell sums are
+    * BIGINT adds of floor(x·10⁹), and the array is assembled by sorting
+    * (dim, value) structs, so element order never depends on row order.
+    */
+  def labelCentroids(e: DataFrame): DataFrame = {
+    val session = e.sparkSession
+    import session.implicits._
+    e.select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"label", $"dim", floor($"x".cast("double") * 1e9).cast("long").as("qx"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"qx").as("sq"))
+      .select($"label", $"dim", (($"sq".cast("double") / 1e9) / $"n").as("cx"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("cells"))
+      .select($"label", transform($"cells", c => c("cx")).as("centroid"))
+  }
+
+  /** Fixed-point dot product: Σ floor(xᵢ·yᵢ·10⁹) as BIGINT. The per-element
+    * double product and ×10⁹ round identically in any IEEE engine, and the
+    * integer sum is ASSOCIATIVE — no ordered fold needed, so both Spark's
+    * partial aggregation and the oracle's hash aggregate are free to
+    * combine in any order (an ordered-`SUM` oracle forces a per-group sort
+    * the other engine must mirror; measured 60× slower on the s08 pair
+    * stage). Quantization error is ≤ dims·10⁻⁹ absolute on the dot.
+    */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => floor(x.cast("double") * y.cast("double") * 1e9).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Quantized cosine over [[qdot]]/[[qnorm2]] — identical IEEE steps in
+    * both engines on identical integers, within ~10⁻⁸ of true cosine.
+    */
+  def cosineQ(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") /
+      (sqrt(qnorm2(a).cast("double")) * sqrt(qnorm2(b).cast("double")))
+
+  /** s08 — semantic dedup, SemDeDup-shaped (Abbas et al. 2023): cluster the
+    * corpus around prototype centroids, then search for near-duplicates
+    * ONLY within each cluster, and for every duplicate pair drop the member
+    * MORE similar to its centroid (keeping the outlier preserves diversity
+    * — the paper's keep-low-centroid-sim rule; vec_id breaks exact ties).
+    *
+    * This is the third embedding-dedup scale strategy in the suite, and the
+    * one that needs no tuned banding: d05 is the exact O(n²) oracle form,
+    * d07 prunes via sign-LSH buckets, s08 prunes via cluster locality — the
+    * quadratic verify runs inside a cluster (n/k)² and never across
+    * clusters. Centroids here are the deterministic per-label prototypes
+    * (a production run would k-means-fit them offline like s04's
+    * quantizer); assignment is one narrow pass against broadcast centroids
+    * (k×d doubles); the pair join shuffles on cluster id, so its width
+    * follows cluster occupancy. Every similarity is the fixed-point
+    * [[cosineQ]], so the DuckDB oracle recomputes centroids, assignment
+    * argmax, and every pair cosine bit-for-bit — including which member of
+    * each pair gets dropped — with plain associative aggregates.
+    */
+  def s08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val aug = plantNearDups(e)
+    val centroids = labelCentroids(e)
+    // nearest-prototype assignment; keeps centroid_sim for the drop rule
+    val assigned = aug.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"label",
+        cosineQ($"embedding", $"centroid").as("centroid_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"centroid_sim".desc, $"label")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"label".as("cluster"), $"centroid_sim")
+      .cache() // read by both sides of the within-cluster pair join
+    val a = assigned.select($"cluster", $"vec_id".as("a"), $"embedding".as("ea"),
+      $"centroid_sim".as("sim_a"))
+    val b = assigned.select($"cluster".as("cluster_b"), $"vec_id".as("b"),
+      $"embedding".as("eb"), $"centroid_sim".as("sim_b"))
+    a.join(b, $"cluster" === $"cluster_b" && $"a" < $"b")
+      .select($"cluster", $"a", $"b", cosineQ($"ea", $"eb").as("cosine"),
+        $"sim_a", $"sim_b")
+      .filter($"cosine" >= NearDupFloor)
+      .select($"cluster", $"a", $"b", $"cosine",
+        when($"sim_a" > $"sim_b", $"a")
+          .when($"sim_b" > $"sim_a", $"b")
+          .otherwise(greatest($"a", $"b")).as("drop_id"))
+      .orderBy($"a", $"b")
+  }
+
+  val s08Oracle: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT vec_id, label, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+      |  FROM embeddings),
+      |v AS MATERIALIZED (SELECT vec_id, e, i FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 100000 AS vec_id,
+      |             CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE e END AS e, i
+      |      FROM base WHERE vec_id % 10 = 0),
+      |cent AS MATERIALIZED (SELECT label, i,
+      |    (CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000000) AS BIGINT)) AS DOUBLE)
+      |       / 1000000000) / COUNT(*) AS cx
+      |  FROM base GROUP BY label, i),
+      |norms AS MATERIALIZED (SELECT vec_id,
+      |    SUM(CAST(FLOOR(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) * 1000000000) AS BIGINT)) AS qn2
+      |  FROM v GROUP BY vec_id),
+      |cnorms AS MATERIALIZED (SELECT label,
+      |    SUM(CAST(FLOOR(cx * cx * 1000000000) AS BIGINT)) AS qcn2
+      |  FROM cent GROUP BY label),
+      |sims AS MATERIALIZED (SELECT v.vec_id, cent.label,
+      |    SUM(CAST(FLOOR(CAST(v.e AS DOUBLE) * cent.cx * 1000000000) AS BIGINT)) AS qdot
+      |  FROM v JOIN cent ON v.i = cent.i GROUP BY 1, 2),
+      |assign AS MATERIALIZED (SELECT vec_id, label AS cluster, centroid_sim FROM (
+      |    SELECT s.vec_id, s.label,
+      |      CAST(s.qdot AS DOUBLE)
+      |        / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(qcn2 AS DOUBLE))) AS centroid_sim,
+      |      row_number() OVER (PARTITION BY s.vec_id
+      |        ORDER BY CAST(s.qdot AS DOUBLE)
+      |          / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(qcn2 AS DOUBLE))) DESC, s.label) AS rn
+      |    FROM sims s JOIN norms USING (vec_id) JOIN cnorms USING (label))
+      |  WHERE rn = 1),
+      |pairs AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+      |    SUM(CAST(FLOOR(CAST(x.e AS DOUBLE) * CAST(y.e AS DOUBLE) * 1000000000) AS BIGINT)) AS qdot
+      |  FROM v x JOIN assign ax ON x.vec_id = ax.vec_id
+      |       JOIN assign ay ON ay.cluster = ax.cluster
+      |       JOIN v y ON y.vec_id = ay.vec_id AND x.i = y.i AND x.vec_id < y.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT ax.cluster, a, b, cosine,
+      |  CASE WHEN ax.centroid_sim > ay.centroid_sim THEN a
+      |       WHEN ay.centroid_sim > ax.centroid_sim THEN b
+      |       ELSE greatest(a, b) END AS drop_id
+      |FROM (SELECT a, b,
+      |        CAST(p.qdot AS DOUBLE)
+      |          / (sqrt(CAST(na.qn2 AS DOUBLE)) * sqrt(CAST(nb.qn2 AS DOUBLE))) AS cosine
+      |      FROM pairs p JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id) p
+      |JOIN assign ax ON p.a = ax.vec_id JOIN assign ay ON p.b = ay.vec_id
+      |WHERE cosine >= 0.9
+      |ORDER BY a, b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s07_label_centroids", s07, Some(s07Oracle)),
+    Q("s08_semantic_dedup", s08, Some(s08Oracle)),
     Q("s01_knn_bruteforce", s01, Some(s01Oracle)),
     Q("s03_knn_heap", s03, Some(s01Oracle)),
     Q("s05_knn_rule_rewrite", s05, Some(s05Oracle)),

@@ -890,6 +890,73 @@ object TextAnalysis {
        |FROM cum ORDER BY doc_id""".stripMargin
   }
 
+  /** Char length of the t14 duplicated-substring grams. */
+  val DupGramK = 16
+
+  /** t14 — cross-document duplicated-substring fraction (the per-document
+    * metric behind exact-substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): slide a
+    * [[DupGramK]]-char window over the canonical text, and for each
+    * document report how many of its distinct grams also occur in ANOTHER
+    * document. High dup_ratio = boilerplate / templated text, the standard
+    * drop signal that MinHash (whole-doc granularity, d02) misses.
+    *
+    * Scale shape: the gram pass is narrow (per-row array expansion); each
+    * gram immediately collapses to a 64-bit-prefix md5 key, so the only
+    * exchanges carry (doc_id, 16-byte key) — never raw text — into two
+    * aggregations (per-doc distinct, per-gram doc count) and a semi-join
+    * back, all hashed on the same key. The production form at 100 TB is
+    * the same plan with the gram relation bucketed by key; Lee et al.'s
+    * suffix array is the single-machine alternative — this is the
+    * shuffle-native one.
+    */
+  def t14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = DupGramK
+    val docs = Tables.documents(s, dir)
+    val canon = normalize($"text")
+    val grams = docs
+      .select($"doc_id", canon.as("canon"))
+      .select($"doc_id",
+        explode(
+          when(length($"canon") >= k,
+            transform(sequence(lit(1), length($"canon") - (k - 1)),
+              i => $"canon".substr(i, lit(k))))
+            .otherwise(array())).as("gram"))
+      .select($"doc_id", substring(md5($"gram"), 1, 16).as("g"))
+      .distinct() // dup detection is set semantics: one vote per (doc, gram)
+      .cache() // read by the per-doc totals, the gram-df agg, and the semi-join
+    val perDoc = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val dupGrams = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"g")
+    val dupPerDoc = grams.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+        (coalesce($"n_dup_grams", lit(0L)).cast("double") /
+          when($"n_grams" =!= 0, $"n_grams")).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val t14Oracle: String =
+    s"""WITH c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS canon
+       |           FROM documents),
+       |g AS (SELECT DISTINCT doc_id, substring(md5(substring(canon, i, $DupGramK)), 1, 16) AS g
+       |      FROM (SELECT doc_id, canon, unnest(range(1, length(canon) - $DupGramK + 2)) AS i
+       |            FROM c WHERE length(canon) >= $DupGramK)),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+       |dup AS (SELECT g FROM (SELECT g, COUNT(*) AS nd FROM g GROUP BY 1) WHERE nd >= 2),
+       |dupdoc AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM g JOIN dup USING (g) GROUP BY 1)
+       |SELECT c.doc_id, COALESCE(n_grams, 0) AS n_grams,
+       |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+       |  CAST(COALESCE(n_dup_grams, 0) AS DOUBLE) / NULLIF(n_grams, 0) AS dup_ratio
+       |FROM c LEFT JOIN perdoc USING (doc_id) LEFT JOIN dupdoc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -904,6 +971,7 @@ object TextAnalysis {
     Q("t11_repetition_quality", t11, Some(t11Oracle)),
     Q("t12_sequence_packing", t12, Some(t12Oracle)),
     Q("t13_decontamination", t13, Some(t13Oracle)),
+    Q("t14_dup_substrings", t14, Some(t14Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
     Q("c04_curation_pipeline", c04, Some(c04Oracle)),
   )

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics operators over the `events` stream table: cohort
+  * retention and funnel conversion — the two workhorse queries of every
+  * event-warehouse serving layer (the reference's Grafana layer asks the
+  * same shape of question of its weekly panels: "of the users who arrived
+  * in week W, how many were still active k weeks later?").
+  *
+  * Both are exact integer analytics (counts of distinct users), so they
+  * hash-match the DuckDB oracle with no decimal machinery.
+  */
+object EventAnalytics {
+
+  /** q51 — weekly cohort retention. A user's cohort is the Monday-aligned
+    * week of their FIRST event; the cell (cohort_week, week_offset) counts
+    * distinct users of that cohort active in cohort_week + offset.
+    *
+    * Scale shape: both aggregations key on user_id first — the raw event
+    * scan collapses to one row per (user, week) map-side before anything
+    * wide runs, so the shuffled volume is active-user-weeks, not events.
+    * The cohort join is user_id ⋈ user_id on two already-aggregated
+    * relations of identical partitioning (one exchange each, reused), and
+    * the final rollup is cohorts × offsets — tiny. No window over the raw
+    * stream, no per-event state.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weeks = Tables.events(s, dir)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+      .distinct() // one row per (user, active-week): the retention grain
+    val cohorts = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weeks
+      .join(cohorts, Seq("user_id"))
+      .select(
+        $"cohort_week",
+        (datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(
+        date_format($"cohort_week", "yyyy-MM-dd").as("cohort_week"),
+        $"week_offset", $"n_users")
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q51Oracle: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+      |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+      |  COUNT(DISTINCT w.user_id) AS n_users
+      |FROM weeks w JOIN cohorts USING (user_id)
+      |GROUP BY cohorts.cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** q52 — strict-order funnel: view → click → purchase. Step k counts the
+    * users with a step-k event STRICTLY AFTER their earliest step-(k−1)
+    * completion time (the standard "did they progress" semantics; an
+    * unordered intersect would count a purchase that preceded the view).
+    *
+    * Scale shape: each step is filter → per-user min — partial-aggregated
+    * map-side to one row per user before its exchange — then a join against
+    * the previous step's (already per-user) result on the same key, so
+    * every stage is user-cardinality, not event-cardinality, and the
+    * surviving set only shrinks step over step. Step counts are single-row
+    * aggregates unioned at the end; nothing wide survives the funnel.
+    *
+    * Timestamps are compared at microsecond precision in both engines (the
+    * oracle casts the parquet nanos down) so "strictly after" agrees
+    * bit-for-bit.
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, Seq("user_id")).filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, Seq("user_id")).filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    def step(label: String, users: DataFrame): DataFrame =
+      users.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), $"n_users")
+    step("1_view", s1)
+      .unionByName(step("2_click", s2))
+      .unionByName(step("3_purchase", s3))
+      .orderBy($"step")
+  }
+
+  val q52Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, MIN(ts) AS t2 FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts > t1 GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, MIN(ts) AS t3 FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY ev.user_id)
+      |SELECT step, n_users FROM (
+      |  SELECT '1_view' AS step, COUNT(*) AS n_users FROM s1
+      |  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+      |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+      |ORDER BY step""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q51_cohort_retention", q51, Some(q51Oracle)),
+    Q("q52_funnel_steps", q52, Some(q52Oracle)),
+  )
+}

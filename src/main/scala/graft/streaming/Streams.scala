@@ -396,6 +396,56 @@ object Streams {
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
       |ORDER BY user_id""".stripMargin
 
+  /** st07 — stream-static ENRICHMENT join: the events stream joins the
+    * static `customer` dimension (user_id = c_custkey) and rolls revenue up
+    * by market segment. This is the canonical streaming-ETL enrich step —
+    * facts arrive, dimensions sit in the warehouse — and it is STATELESS:
+    * Spark re-plans the static side into each micro-batch (a broadcast
+    * hash join; no join state store, nothing to watermark on the dim side).
+    * Only the downstream aggregation keeps state, sized at segments ×
+    * event types (25 keys). At 100 TB/day the same topology holds — the
+    * dim broadcast refreshes per batch, so slowly-changing dimensions are
+    * picked up without restarting the query.
+    */
+  def st07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val dim = graft.Tables.customer(s, dir)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val agg = src
+      .join(broadcast(dim), Seq("user_id")) // stateless stream-static join
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("total_value"),
+      )
+    val sink = s"st07_enrich_${sinkCounter.incrementAndGet()}"
+    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // 25 agg keys
+    try {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    s.table(sink)
+      .select($"c_mktsegment", $"event_type", $"n_events", $"total_value")
+      .orderBy($"c_mktsegment", $"event_type")
+  }
+
+  val st07Oracle: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
     Q("st02_session_windows", st02, Some(st02Oracle)),
@@ -403,5 +453,6 @@ object Streams {
     Q("st04_stream_interval_join", st04, Some(st04Oracle)),
     Q("st05_stream_ingest_dedup", st05, Some(graft.ops.Dedup.d01Oracle)),
     Q("st06_stream_cdc_apply", st06, Some(st06Oracle)),
+    Q("st07_stream_static_enrich", st07, Some(st07Oracle)),
   )
 }

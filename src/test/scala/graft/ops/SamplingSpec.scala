@@ -57,6 +57,22 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ml03 k-fold: every row lands in exactly one fold, folds roughly balanced") {
+    val rows = Sampling.ml03(spark, sfSmoke).collect()
+    assert(rows.map(_.getAs[Int]("fold")).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables.customer(spark, sfSmoke).count()) // a partition, not a sample
+    val perFold = rows.groupBy(_.getAs[Int]("fold")).view.mapValues(_.map(_.getAs[Long]("n_rows")).sum)
+    val (mn, mx) = (perFold.values.min, perFold.values.max)
+    assert(mx <= 2 * mn, s"fold imbalance $perFold") // md5 quartiles ≈ uniform
+    // fold assignment is a pure function of the key: recompute one row
+    val f0 = Tables.customer(spark, sfSmoke)
+      .select(Sampling.foldOf($"c_custkey").as("fold")).collect().map(_.getInt(0))
+    val f1 = Tables.customer(spark, sfSmoke)
+      .select(Sampling.foldOf($"c_custkey").as("fold")).collect().map(_.getInt(0))
+    assert(f0.toSeq == f1.toSeq)
+  }
+
   test("stratified sample honors per-stratum fractions") {
     val docs = Tables.documents(spark, sfSmoke)
     val fractions = Map("en" -> 0.5, "de" -> 0.1, "fr" -> 0.0, "es" -> 0.0, "zh" -> 0.0)

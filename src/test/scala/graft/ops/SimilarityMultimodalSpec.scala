@@ -99,6 +99,42 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got <= truth + 1e-12) // quantization only rounds DOWN
   }
 
+  test("s08 semantic dedup finds every planted pair inside one cluster and drops by centroid-sim") {
+    import spark.implicits._
+    val rows = Similarity.s08(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    // all reported pairs clear the floor, and the drop is one of the pair
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= Similarity.NearDupFloor)
+      val d = r.getAs[Long]("drop_id")
+      assert(d == r.getAs[Long]("a") || d == r.getAs[Long]("b"))
+    }
+    // the planted (v, v+offset) pairs dominate: each plant is a near-dup of
+    // its source, and nothing in the raw corpus sits above the 0.9 floor
+    val planted = rows.filter(r =>
+      r.getAs[Long]("b") == r.getAs[Long]("a") + Similarity.PlantOffset)
+    assert(planted.length == rows.length, "unexpected non-planted pair above floor")
+    val nPlants = graft.Tables.embeddings(spark, sfSmoke)
+      .filter($"vec_id" % 10 === 0).count()
+    // a plant can only be missed if prototype assignment split the pair
+    assert(planted.length >= (nPlants * 9) / 10,
+      s"found ${planted.length} of $nPlants planted pairs")
+    // drop rule: the dropped member is the one MORE similar to its centroid
+    val sims = Similarity
+      .labelCentroids(graft.Tables.embeddings(spark, sfSmoke))
+      .crossJoin(Similarity.plantNearDups(graft.Tables.embeddings(spark, sfSmoke)))
+      .select($"vec_id", $"label",
+        Similarity.cosineQ($"embedding", $"centroid").as("sim"))
+      .groupBy($"vec_id").agg(org.apache.spark.sql.functions.max($"sim").as("best"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (a, b, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("drop_id"))
+      val kept = if (d == a) b else a
+      assert(sims(d) >= sims(kept),
+        s"pair ($a,$b): dropped $d sim=${sims(d)} < kept $kept sim=${sims(kept)}")
+    }
+  }
+
   test("cosine is symmetric, bounded, and 1.0 on self") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

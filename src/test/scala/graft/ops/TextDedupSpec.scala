@@ -166,6 +166,29 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t14 dup-substring grams: per-doc totals match a driver-side sliding window") {
+    val rows = TextAnalysis.t14(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"))
+      assert(dup >= 0 && dup <= n)
+      if (n > 0) {
+        val ratio = r.getAs[Double]("dup_ratio")
+        assert(ratio >= 0.0 && ratio <= 1.0 && math.abs(ratio - dup.toDouble / n) < 1e-12)
+      }
+    }
+    // recompute one document's distinct-gram count by hand
+    val doc = graft.Tables.documents(spark, sfSmoke)
+      .orderBy($"doc_id").select($"doc_id", $"text").head()
+    val canon = doc.getString(1).trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+    val k = TextAnalysis.DupGramK
+    val expected =
+      if (canon.length < k) 0 else (0 to canon.length - k).map(i => canon.substring(i, i + k)).distinct.size
+    val got = rows.find(_.getAs[Long]("doc_id") == doc.getLong(0)).get.getAs[Long]("n_grams")
+    assert(got == expected, s"doc ${doc.getLong(0)}: got $got grams, expected $expected")
+  }
+
   test("c04 capstone agrees with its component stages") {
     val c04 = TextAnalysis.c04(spark, sfSmoke).collect()
     assert(c04.nonEmpty)

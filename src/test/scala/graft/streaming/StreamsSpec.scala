@@ -27,6 +27,20 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("st07 stream-static enrich equals the batch join+rollup") {
+    val streamed = Streams.st07(spark, sfSmoke).collect()
+    val dim = Tables.customer(spark, sfSmoke)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val batch = Tables.events(spark, sfSmoke)
+      .join(dim, Seq("user_id"))
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n_events"), Exact.dsum($"value").as("total_value"))
+      .orderBy($"c_mktsegment", $"event_type")
+      .collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("RocksDB state store produces the same rollup as the default provider") {
     // the large-state production path: RocksDB keeps streaming state
     // off-heap/on-disk, so state size is bounded by disk, not executor
