@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.graft.{CosineSimilarity, MisraGries, TopKByScore}
+import org.apache.spark.sql.graft.{CosineSimilarity, MisraGries, QuantizedDot, TopKByScore}
 
 /** graft-facing API for the native vector expressions. */
 object VectorFunctions {
@@ -31,6 +31,13 @@ object VectorFunctions {
         s"misra_gries expects (item, k-literal), got ${other.length} args")
   }
 
+  val quantizedDotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => QuantizedDot(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"quantized_dot expects 2 arguments, got ${other.length}")
+  }
+
   /** Imperative per-session registration (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -39,12 +46,17 @@ object VectorFunctions {
       "top_k_by", topKBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries", misraGriesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantized_dot", quantizedDotBuilder, "built-in")
   }
 
   /** Column-API entry: `cosine_sim($"a", $"b")` (requires [[register]] or
     * [[GraftExtensions]] on the session).
     */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Fixed-point dot product (see [[org.apache.spark.sql.graft.QuantizedDot]]). */
+  def quantized_dot(a: Column, b: Column): Column = call_function("quantized_dot", a, b)
 
   /** Bounded-heap per-group top-k aggregate (see
     * [[org.apache.spark.sql.graft.TopKByScore]]).
@@ -85,6 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       VectorFunctions.misraGriesBuilder,
+    ))
+    e.injectFunction((
+      FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+      VectorFunctions.quantizedDotBuilder,
     ))
     // windowed top-k (row_number <= k) → bounded-heap aggregate, when
     // provably semantics-preserving (see WindowTopKToHeap's guards)

@@ -7,7 +7,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native cosine similarity over two ARRAY<FLOAT> columns.
   *
@@ -76,6 +76,65 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $ny += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fixed-point dot product over two ARRAY<DOUBLE> columns:
+  * Σ floor(aᵢ·bᵢ·10⁹) as BIGINT.
+  *
+  * The cross-engine-deterministic complement to [[CosineSimilarity]]: each
+  * per-element term rounds identically in any IEEE engine, and the integer
+  * sum is ASSOCIATIVE — so an oracle can recompute it with a plain
+  * (parallel, unordered) SUM instead of the per-group sort an ordered
+  * double fold forces. Used by the semantic-dedup pair stage
+  * (graft.ops.Similarity.qdot), where the `aggregate(zip_with(...))`
+  * formulation was measured ~10× slower: higher-order functions interpret
+  * a lambda per element and allocate the zipped array per row, and they
+  * fall out of whole-stage codegen; this compiles to one fused loop.
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "quantized_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(x.getDouble(i) * y.getDouble(i) * 1e9).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) java.lang.Math.floor(
+         |    $a.getDouble($i) * $b.getDouble($i) * 1.0E9);
+         |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -536,6 +536,8 @@ object TextAnalysis {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val all = winnowSets(s, dir).cache() // feeds df counts + the semi join
+    all.count() // eager: both readers must find the cache built — racing
+    // materializations would each rerun the rolling-hash pass
     val nd = docs.agg(count(lit(1)).as("nd"))
     val keepFp = all.groupBy($"fp").agg(count(lit(1)).as("df"))
       .crossJoin(nd) // 1-row broadcast
@@ -543,6 +545,7 @@ object TextAnalysis {
         ceil($"nd" * lit(StopFpMaxFrac)).cast("long")))
       .select($"fp")
     val fps = all.join(keepFp, Seq("fp"), "left_semi").cache() // 3 subtrees
+    fps.count() // eager, same reason (3 concurrent readers)
     val counts = fps.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
     val cand = fps.alias("x")
       .join(fps.alias("y"),
@@ -558,6 +561,7 @@ object TextAnalysis {
           .as("winnow_jaccard"))
       .filter($"winnow_jaccard" >= WinnowJaccardFloor)
       .cache() // feeds the output projection and the ngram verify
+    cand.count() // eager (2 concurrent readers)
     cand
       .join(Dedup.ngramJaccard(docs, cand.select($"a", $"b")), Seq("a", "b"))
       .orderBy($"a", $"b")

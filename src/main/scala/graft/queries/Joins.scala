@@ -184,6 +184,123 @@ object Joins {
       |JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY qty DESC, s_name, yr, wk LIMIT 50""".stripMargin
 
+  /** q53 — FULL OUTER join (the one join shape the suite lacked; LEFT is
+    * q05, INNER is everywhere, SEMI/ANTI are q21): urgent-order months vs
+    * return-lineitem months. The sides genuinely diverge — l_shipdate runs
+    * past the last o_orderdate, so the tail months exist only on the
+    * returns side and the null-padding semantics are actually exercised,
+    * not vacuously true. Both inputs aggregate to month grain BEFORE the
+    * join (post-agg cardinality ≈ dozens of rows), so the full-outer
+    * shuffle is over month keys, never raw facts.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mon"))
+      .agg(count(lit(1)).as("n_urgent"))
+    val b = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .groupBy(year($"l_shipdate").as("yr_b"), month($"l_shipdate").as("mon_b"))
+      .agg(count(lit(1)).as("n_returns"))
+    a.join(b, $"yr" === $"yr_b" && $"mon" === $"mon_b", "full_outer")
+      .select(
+        coalesce($"yr", $"yr_b").as("yr"),
+        coalesce($"mon", $"mon_b").as("mon"),
+        $"n_urgent", $"n_returns")
+      .orderBy($"yr", $"mon")
+  }
+
+  val q53Oracle: String =
+    """WITH a AS (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon, COUNT(*) AS n_urgent
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2),
+      |b AS (SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mon, COUNT(*) AS n_returns
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+      |SELECT COALESCE(a.yr, b.yr) AS yr, COALESCE(a.mon, b.mon) AS mon,
+      |  a.n_urgent, b.n_returns
+      |FROM a FULL OUTER JOIN b ON a.yr = b.yr AND a.mon = b.mon
+      |ORDER BY yr, mon""".stripMargin
+
+  /** q54 — LATERAL join (Spark 4 correlated table subquery): per-region
+    * top-2 nations by high-balance customer count. The lateral subquery
+    * sees each outer row's r_regionkey and carries its own ORDER BY +
+    * LIMIT — the "top-k per outer row" idiom that window functions express
+    * with a full partition sort; Catalyst decorrelates it into a join +
+    * per-group limit instead. The outer side is tiny (regions); the inner
+    * aggregate reduces customers to nation grain before any per-region
+    * work.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("region_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT r_name, t.n_name, t.n_high
+      FROM region_v r, LATERAL (
+        SELECT n_name, COUNT(*) AS n_high
+        FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey AND c.c_acctbal > 9000
+        GROUP BY n_name
+        ORDER BY n_high DESC, n_name
+        LIMIT 2) t
+      ORDER BY r_name, n_high DESC, n_name""")
+  }
+
+  val q54Oracle: String =
+    """SELECT r_name, t.n_name, t.n_high
+      |FROM region r, LATERAL (
+      |  SELECT n_name, COUNT(*) AS n_high
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey AND c.c_acctbal > 9000
+      |  GROUP BY n_name
+      |  ORDER BY n_high DESC, n_name
+      |  LIMIT 2) t
+      |ORDER BY r_name, n_high DESC, n_name""".stripMargin
+
+  /** q55 — RECURSIVE CTE (Spark 4): a data-driven monthly calendar spine
+    * from min to max order month, left-joined to urgent-order rollups so
+    * empty months still appear — the warehouse gap-fill complement to
+    * q41's window-based forward fill. The recursion is depth = #months
+    * (bounded by the data's time span, not its volume); each step is a
+    * one-row frame, and the spine join is a broadcast against the
+    * pre-aggregated month rollup. DuckDB runs the identical recursion, so
+    * the fixpoint semantics (anchor + step + termination) are oracle-pinned.
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi FROM orders_v),
+      months(mon, hi) AS (
+        SELECT lo, hi FROM bounds
+        UNION ALL
+        SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE mon < hi),
+      m AS (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon, COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders_v WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2)
+      SELECT date_format(months.mon, 'yyyy-MM') AS month, COALESCE(m.n, 0) AS n_orders,
+        COALESCE(m.total, 0.0) AS total_urgent
+      FROM months LEFT JOIN m ON year(months.mon) = m.yr AND month(months.mon) = m.mon
+      ORDER BY month""")
+  }
+
+  val q55Oracle: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+      |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi FROM orders),
+      |months(mon, hi) AS (
+      |  SELECT lo, hi FROM bounds
+      |  UNION ALL
+      |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE mon < hi),
+      |m AS (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon, COUNT(*) AS n,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2)
+      |SELECT strftime(months.mon, '%Y-%m') AS month, COALESCE(m.n, 0) AS n_orders,
+      |  COALESCE(m.total, 0.0) AS total_urgent
+      |FROM months LEFT JOIN m ON year(months.mon) = m.yr AND month(months.mon) = m.mon
+      |ORDER BY month""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q05_left_join_counts", q05, Some(q05Oracle)),
     Q("q06_computed_key_join", q06, Some(q06Oracle)),
@@ -191,5 +308,8 @@ object Joins {
     Q("q20_scalar_subquery", q20, Some(q20Oracle)),
     Q("q21_semi_anti_join", q21, Some(q21Oracle)),
     Q("q22_cte_chained_joins", q22, Some(q22Oracle)),
+    Q("q53_full_outer_join", q53, Some(q53Oracle)),
+    Q("q54_lateral_topk", q54, Some(q54Oracle)),
+    Q("q55_recursive_calendar", q55, Some(q55Oracle)),
   )
 }

@@ -24,6 +24,27 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
     assert(diffs == 0)
   }
 
+  test("quantized_dot == the HOF aggregate(zip_with) formulation, bit for bit") {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfSmoke)
+    val a = e.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val pairs = a.filter($"ida" < 20).crossJoin(b.filter($"idb".between(20, 40)))
+    val hof = aggregate(
+      zip_with($"va", $"vb",
+        (x, y) => floor(x.cast("double") * y.cast("double") * 1e9).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val diffs = pairs.select(
+      Similarity.qdot($"va", $"vb").as("native"), hof.as("composed"),
+    ).filter($"native" =!= $"composed").count()
+    assert(diffs == 0)
+    // null propagation
+    val rows = Seq((Some(Seq(1.0f, 2.0f)), None: Option[Seq[Float]]))
+      .toDF("a", "b")
+      .select(Similarity.qdot($"a", $"b").as("q")).collect()
+    assert(rows(0).isNullAt(0))
+  }
+
   test("registered for SQL via extensions-style builder") {
     VectorFunctions.register(spark)
     Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
