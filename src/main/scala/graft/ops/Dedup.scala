@@ -196,7 +196,7 @@ object Dedup {
     // signature pass runs 3×. At sf0.1 the saving is hidden by plan
     // compilation, but at corpus scale the signature scan IS the dominant
     // cost and must run once
-    val sigs = minhashSignatures(Tables.documents(s, dir)).cache()
+    val sigs = graft.util.Eager.cached(minhashSignatures(Tables.documents(s, dir)))
     minhashCandidates(sigs).orderBy(col("a"), col("b"))
   }
 
@@ -329,7 +329,8 @@ object Dedup {
     */
   def d08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = simhashSignatures(Tables.documents(s, dir)).cache() // banding explodes it 4×
+    val sigs = graft.util.Eager.cached( // banding reads it 4× in one plan
+      simhashSignatures(Tables.documents(s, dir)))
     simhashPairs(sigs, maxHamming = 3).orderBy($"a", $"b")
   }
 
@@ -357,10 +358,9 @@ object Dedup {
       .distinct()
     // cached: both pair-side joins read the shingle sets; the interpreted
     // shingle construction is the expensive part and must run once per doc
-    val sets = docs
+    val sets = graft.util.Eager.cached(docs
       .join(candidateIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
-      .cache()
+      .select(col("doc_id"), shingleArray(col("text")).as("sh")))
     pairs
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
@@ -379,8 +379,8 @@ object Dedup {
     // two cache points: signatures feed three subtrees of the candidate
     // join; the candidate pairs feed three subtrees of the verify stage
     // (both id-set branches + the pair join) — uncached this multiplies
-    val sigs = minhashSignatures(docs).cache()
-    val candidates = minhashCandidates(sigs).select("a", "b").cache()
+    val sigs = graft.util.Eager.cached(minhashSignatures(docs))
+    val candidates = graft.util.Eager.cached(minhashCandidates(sigs).select("a", "b"))
     ngramJaccard(docs, candidates).orderBy(col("a"), col("b"))
   }
 
@@ -460,11 +460,10 @@ object Dedup {
     */
   def d06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = minhashSignatures(Tables.documents(s, dir)).cache()
-    val edges = minhashCandidates(sigs)
+    val sigs = graft.util.Eager.cached(minhashSignatures(Tables.documents(s, dir)))
+    val edges = graft.util.Eager.cached(minhashCandidates(sigs)
       .filter($"est_jaccard" >= 0.5)
-      .select("a", "b")
-      .cache()
+      .select("a", "b"))
     val comps = connectedComponents(edges)
     val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     comps.join(sizes, Seq("comp"))
@@ -504,12 +503,12 @@ object Dedup {
     */
   def c02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = minhashSignatures(Tables.documents(s, dir)).cache()
-    val edges = minhashCandidates(sigs)
+    val sigs = graft.util.Eager.cached(minhashSignatures(Tables.documents(s, dir)))
+    val edges = graft.util.Eager.cached(minhashCandidates(sigs)
       .filter($"est_jaccard" >= 0.5)
-      .select("a", "b")
-      .cache()
-    val comps = connectedComponents(edges).cache() // sizes + drops subtrees
+      .select("a", "b"))
+    val comps = graft.util.Eager.cached( // sizes + drops subtrees
+      connectedComponents(edges))
     val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     val drops = comps.filter($"id" =!= $"comp")
       .join(Tables.documents(s, dir).select($"doc_id".as("id"), length($"text").as("len")),
@@ -589,9 +588,8 @@ object Dedup {
     // join back — uncached, the explode (and its interpreted chunk-building
     // lambda) runs twice; at corpus scale the chunk pass is the dominant
     // cost and must run once
-    val chunked = docs
-      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
-      .cache()
+    val chunked = graft.util.Eager.cached(docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk"))))
     val counts = chunked.groupBy(col("chunk")).agg(count(lit(1)).as("n_occ"))
     chunked
       .join(counts, Seq("chunk"))

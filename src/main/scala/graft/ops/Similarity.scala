@@ -241,9 +241,9 @@ object Similarity {
     * (band, key), so its width scales with bucket occupancy, not corpus².
     */
   def d07Candidates(aug: DataFrame): DataFrame = {
-    val sigs = signBandKeys(aug, planes = 128, bands = 16)
-      .select(col("vec_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
-      .cache() // both sides of the self-join read it
+    val sigs = graft.util.Eager.cached( // both sides of the self-join read it
+      signBandKeys(aug, planes = 128, bands = 16)
+        .select(col("vec_id"), posexplode(col("band_keys")).as(Seq("band", "key"))))
     sigs.alias("x")
       .join(sigs.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -266,7 +266,7 @@ object Similarity {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
     // cached: feeds the signature pass and both sides of the verify join
-    val aug = plantNearDups(Tables.embeddings(s, dir)).cache()
+    val aug = graft.util.Eager.cached(plantNearDups(Tables.embeddings(s, dir)))
     d07Candidates(aug)
       .join(aug.select($"vec_id".as("a"), $"embedding".as("ea")), Seq("a"))
       .join(aug.select($"vec_id".as("b"), $"embedding".as("eb")), Seq("b"))
@@ -366,10 +366,9 @@ object Similarity {
     // lookup and the candidate side — uncached, the assignment pass (a
     // model-UDF scan over the corpus) would run once per subtree. This IS
     // the persisted index of a real IVF deployment, built once offline.
-    val assigned = km.transform(norm)
+    val assigned = graft.util.Eager.cached(km.transform(norm)
       .join(Tables.embeddings(s, dir), Seq("vec_id"))
-      .select($"vec_id", $"cluster", $"embedding")
-      .cache()
+      .select($"vec_id", $"cluster", $"embedding"))
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat).toSeq)
     }.toSeq.toDF("cluster", "centroid")

@@ -919,7 +919,9 @@ object TextAnalysis {
     val k = DupGramK
     val docs = Tables.documents(s, dir)
     val canon = normalize($"text")
-    val grams = docs
+    // eagerly cached: read by the per-doc totals, the gram-df agg, and the
+    // semi-join (3 concurrent scans in one plan)
+    val grams = graft.util.Eager.cached(docs
       .select($"doc_id", canon.as("canon"))
       .select($"doc_id",
         explode(
@@ -928,8 +930,7 @@ object TextAnalysis {
               i => $"canon".substr(i, lit(k))))
             .otherwise(array())).as("gram"))
       .select($"doc_id", substring(md5($"gram"), 1, 16).as("g"))
-      .distinct() // dup detection is set semantics: one vote per (doc, gram)
-      .cache() // read by the per-doc totals, the gram-df agg, and the semi-join
+      .distinct()) // dup detection is set semantics: one vote per (doc, gram)
     val perDoc = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     val dupGrams = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
       .filter($"nd" >= 2).select($"g")

@@ -222,11 +222,10 @@ object Windows {
     import s.implicits._
     // cached: both the spine-bounds aggregate and the left join read this
     // relation — uncached, the events scan + aggregation runs twice
-    val daily = Tables.events(s, dir)
+    val daily = graft.util.Eager.cached(Tables.events(s, dir)
       .filter($"value" > 300.0)
       .groupBy($"event_type", to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("n_events"), dsum($"value").as("day_value"))
-      .cache()
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("day_value")))
     val spine = daily.groupBy($"event_type")
       .agg(min($"day").as("mn"), max($"day").as("mx"))
       .select($"event_type", explode(sequence($"mn", $"mx")).as("day"))
