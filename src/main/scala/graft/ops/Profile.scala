@@ -223,9 +223,52 @@ object Profile {
       |FROM lineitem l JOIN b USING (l_returnflag)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q56 — z-score outlier detection per group, in EXACT integer
+    * arithmetic: quantize to cents (round(v·100) — associative BIGINT
+    * sums), then test (q·n − Σq)² > 9·(n·Σq² − (Σq)²), which is
+    * |q − μ| > 3σ with both sides multiplied by n² — no float mean, no
+    * float variance, no per-engine reassociation anywhere. Two passes:
+    * one aggregation to (n, Σq, Σq²) per group (5 rows, broadcast), one
+    * scan counting violations against the broadcast stats — the shape of
+    * every streaming-friendly anomaly sweep. Magnitudes: (q·n)² here is
+    * ≤ ~10¹⁸ (fits BIGINT, and DuckDB errors loudly on overflow rather
+    * than wrapping); at corpus scales beyond ~10⁵ rows/group the same
+    * query runs in DECIMAL(38,0).
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = round($"value" * 100).cast("long")
+    val ev = Tables.events(s, dir).select($"event_type", qv.as("q"))
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"), sum($"q" * $"q").as("sq2"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type", $"q", $"n", $"sq", $"sq2",
+        (($"q" * $"n" - $"sq") * ($"q" * $"n" - $"sq") >
+          lit(9L) * ($"n" * $"sq2" - $"sq" * $"sq")).as("is_outlier"))
+      .groupBy($"event_type")
+      .agg(
+        first($"n").as("n"),
+        (first($"sq").cast("double") / 100.0 / first($"n")).as("mean_value"),
+        count(when($"is_outlier", lit(1))).as("n_outliers"),
+      )
+      .orderBy($"event_type")
+  }
+
+  val q56Oracle: String =
+    """WITH ev AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS q FROM events),
+      |stats AS (SELECT event_type, COUNT(*) AS n, SUM(q) AS sq, SUM(q * q) AS sq2
+      |          FROM ev GROUP BY event_type)
+      |SELECT ev.event_type, MIN(n) AS n,
+      |  CAST(MIN(sq) AS DOUBLE) / 100.0 / MIN(n) AS mean_value,
+      |  COUNT(CASE WHEN (q * n - sq) * (q * n - sq) > 9 * (n * sq2 - sq * sq)
+      |             THEN 1 END) AS n_outliers
+      |FROM ev JOIN stats USING (event_type)
+      |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
     Q("q48_winsorize", q48, Some(q48Oracle)),
+    Q("q56_zscore_outliers", q56, Some(q56Oracle)),
   )
 }

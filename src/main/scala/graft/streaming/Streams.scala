@@ -241,7 +241,15 @@ object Streams {
 
   final case class Event(userId: Long, ts: java.sql.Timestamp, value: Double)
 
-  final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+  /** Open-session state: timestamps in epoch MICROS (full timestamp
+    * precision — a millisecond-rounded gap test could disagree with the
+    * oracle's µs interval arithmetic at the boundary), value total in
+    * QUANTIZED cents (round(v·100) as long — associative integer adds, so
+    * the total is independent of batch chopping and bit-identical to the
+    * oracle's unordered SUM; a double accumulator would depend on arrival
+    * order).
+    */
+  final case class SessionState(start: Long, lastSeen: Long, n: Int, totalQ: Long)
 
   final case class Session(
       userId: Long,
@@ -251,6 +259,15 @@ object Streams {
       totalValue: Double,
   )
 
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Custom stateful operator: per-user sessions closed after `gapMinutes`
     * of inactivity (KeyValueGroupedDataset.flatMapGroupsWithState —
     * SURVEY.md §2.10 "custom state" surface). State per key is O(1): the
@@ -258,34 +275,98 @@ object Streams {
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val sorted = rows.toSeq.sortBy(e => micros(e.ts))
           val closed = Seq.newBuilder[Session]
           var cur = state.getOption
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
+            val q = math.rint(e.value * 100).toLong
             cur match {
               // strict <: an exactly-gap-spaced event starts a NEW session,
               // matching session_window / the st02 oracle's >= INTERVAL rule
-              case Some(st) if t - st.lastSeen < gapMs =>
-                cur = Some(st.copy(lastSeen = t, n = st.n + 1, total = st.total + e.value))
+              case Some(st) if t - st.lastSeen < gapUs =>
+                cur = Some(st.copy(lastSeen = t, n = st.n + 1, totalQ = st.totalQ + q))
               case Some(st) =>
-                closed += Session(userId, new java.sql.Timestamp(st.start),
-                  new java.sql.Timestamp(st.lastSeen), st.n, st.total)
-                cur = Some(SessionState(t, t, 1, e.value))
+                closed += Session(userId, fromMicros(st.start),
+                  fromMicros(st.lastSeen), st.n, st.totalQ / 100.0)
+                cur = Some(SessionState(t, t, 1, q))
               case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+                cur = Some(SessionState(t, t, 1, q))
             }
           }
           cur.foreach(state.update)
           closed.result().iterator
       }
   }
+
+  /** st08 — the custom-state sessionizer as a GATED query: [[sessionize]]
+    * driven over the events file stream. Append-mode emission is part of
+    * the contract — a session is emitted when a LATER event closes it, so
+    * each user's final (still-open) session is correctly absent, and the
+    * oracle is the gaps-and-islands batch sessionization minus each user's
+    * last island. st02 gates the built-in `session_window` against
+    * gaps-and-islands SQL; this gates the flatMapGroupsWithState state
+    * machine (O(1) state per key: the open session only) against the same
+    * independent formulation at a different gap.
+    */
+  def st08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(
+        $"user_id".as("userId"),
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        $"value")
+      .as[Event]
+    val sink = s"st08_sessionize_${sinkCounter.incrementAndGet()}"
+    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // state: one row per user
+    try {
+      val q = sessionize(src, gapMinutes = 45).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    s.table(sink)
+      .select(
+        $"userId".as("user_id"),
+        date_format($"sessionStart", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format($"sessionEnd", "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        $"nEvents".as("n_events"),
+        $"totalValue".as("total_value"))
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val st08Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 45 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked),
+      |agg AS (SELECT user_id, sid,
+      |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, session_start, session_end, n_events, total_value
+      |FROM agg
+      |QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** st05 — streaming INGEST DEDUP: the d01 exact-dedup collapse as a
     * continuous query over a documents file stream (the dedup-on-arrival
@@ -454,5 +535,6 @@ object Streams {
     Q("st05_stream_ingest_dedup", st05, Some(graft.ops.Dedup.d01Oracle)),
     Q("st06_stream_cdc_apply", st06, Some(st06Oracle)),
     Q("st07_stream_static_enrich", st07, Some(st07Oracle)),
+    Q("st08_stateful_sessionize", st08, Some(st08Oracle)),
   )
 }

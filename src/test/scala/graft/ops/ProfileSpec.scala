@@ -43,6 +43,25 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q56 z-score outliers: integer predicate agrees with a float recompute") {
+    import spark.implicits._
+    val rows = Profile.q56(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == graft.Tables.events(spark, sfSmoke).count())
+    // recompute one group with plain double arithmetic; |z| > 3 is rare
+    // enough that exact-integer and float forms agree away from the margin
+    val grp = rows.head.getAs[String]("event_type")
+    val vals = graft.Tables.events(spark, sfSmoke)
+      .filter($"event_type" === grp)
+      .select(org.apache.spark.sql.functions.round($"value" * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    val mean = vals.sum.toDouble / vals.length
+    val variance = vals.map(v => (v - mean) * (v - mean)).sum / vals.length
+    val floatOutliers = vals.count(v => math.abs(v - mean) > 3 * math.sqrt(variance))
+    assert(rows.head.getAs[Long]("n_outliers") == floatOutliers)
+  }
+
   test("fkCheck counts orphans when the parent side is truncated") {
     import spark.implicits._
     val customer = graft.Tables.customer(spark, sfSmoke)

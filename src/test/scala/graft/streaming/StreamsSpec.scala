@@ -27,6 +27,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("st08 gated sessionizer: emitted sessions match the batch gaps-and-islands minus open tails") {
+    val got = Streams.st08(spark, sfSmoke).collect()
+    assert(got.nonEmpty)
+    // batch recompute: same gap rule, drop each user's last island
+    val gapUs = 45L * 60 * 1000000
+    val byUser = Tables.events(spark, sfSmoke)
+      .select($"user_id", $"ts", $"value").collect()
+      .groupBy(_.getLong(0))
+    val expected = byUser.toSeq.flatMap { case (u, rows) =>
+      val evs = rows.map(r => (r.getTimestamp(1).getTime * 1000 +
+        (r.getTimestamp(1).getNanos / 1000) % 1000, r.getDouble(2))).sortBy(_._1)
+      val sessions = evs.foldLeft(Vector.empty[Vector[(Long, Double)]]) {
+        case (acc, e) if acc.nonEmpty && e._1 - acc.last.last._1 < gapUs =>
+          acc.init :+ (acc.last :+ e)
+        case (acc, e) => acc :+ Vector(e)
+      }
+      sessions.dropRight(1).map(sess => (u, sess.length,
+        sess.map(x => math.rint(x._2 * 100).toLong).sum / 100.0))
+    }.sortBy(x => (x._1, x._2))
+    val gotTuples = got.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Int]("n_events"), r.getAs[Double]("total_value")))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(gotTuples.length == expected.length)
+    assert(gotTuples.map(t => (t._1, t._2)).sorted == expected.map(t => (t._1, t._2)).sorted)
+    assert(math.abs(gotTuples.map(_._3).sum - expected.map(_._3).sum) < 1e-9)
+  }
+
   test("st07 stream-static enrich equals the batch join+rollup") {
     val streamed = Streams.st07(spark, sfSmoke).collect()
     val dim = Tables.customer(spark, sfSmoke)
