@@ -296,9 +296,66 @@ object Multimodal {
       |  (byte_len + stride - 1) // stride AS resized_len
       |FROM g ORDER BY media_id""".stripMargin
 
+  /** m04 — cross-video duplicated-FRAME detection (t14's move at frame
+    * granularity): sampled frames hash to 128-bit keys, a frame seen in
+    * ≥2 distinct videos is boilerplate (shared intro/outro/test-pattern —
+    * the signal video-corpus curation drops or downweights), and each
+    * video reports its boilerplate fraction. Consumes [[sampleFrames]]'s
+    * output, so the whole frame pipeline (block slicing, stride sampling)
+    * sits inside the gate.
+    *
+    * Scale shape: the frame pass is narrow; only (media_id, 16-byte hash)
+    * rows reach the two aggregations and the semi-join — raw frames never
+    * cross an exchange. The DuckDB oracle re-slices every sampled frame
+    * positionally from the payload text and re-derives the same hashes.
+    */
+  def m04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir)
+    // one hash row per DISTINCT (video, frame content): a frame repeated
+    // inside one video is not cross-video boilerplate
+    val keyed = graft.util.Eager.cached(sampleFrames(media).toDF()
+      .select($"media_id", md5($"frame_bytes").as("fh"))
+      .distinct())
+    val dupFrames = keyed.groupBy($"fh").agg(count(lit(1)).as("nm"))
+      .filter($"nm" >= 2).select($"fh")
+    val perVideo = keyed.groupBy($"media_id").agg(count(lit(1)).as("n_distinct_frames"))
+    val dupPerVideo = keyed.join(dupFrames, Seq("fh"), "left_semi")
+      .groupBy($"media_id").agg(count(lit(1)).as("n_dup_frames"))
+    media.toDF().filter($"modality" === "video").select($"media_id")
+      .join(perVideo, Seq("media_id"), "left")
+      .join(dupPerVideo, Seq("media_id"), "left")
+      .select($"media_id",
+        coalesce($"n_distinct_frames", lit(0L)).as("n_distinct_frames"),
+        coalesce($"n_dup_frames", lit(0L)).as("n_dup_frames"),
+        (coalesce($"n_dup_frames", lit(0L)).cast("double") /
+          when($"n_distinct_frames" =!= 0, $"n_distinct_frames")).as("boilerplate_ratio"))
+      .orderBy($"media_id")
+  }
+
+  val m04Oracle: String =
+    """WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS byte_len
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (SELECT media_id, substring(text, CAST(j * 256 + 1 AS INT), 64) AS frame
+      |  FROM (SELECT media_id, text,
+      |          unnest(range(0, CAST(ceil(ceil(byte_len / 64.0) / 4.0) AS BIGINT))) AS j
+      |        FROM m WHERE byte_len > 0)),
+      |g AS (SELECT DISTINCT media_id, md5(frame) AS fh FROM fr),
+      |pervid AS (SELECT media_id, COUNT(*) AS n_distinct_frames FROM g GROUP BY 1),
+      |dup AS (SELECT fh FROM (SELECT fh, COUNT(*) AS nm FROM g GROUP BY 1) WHERE nm >= 2),
+      |dupvid AS (SELECT media_id, COUNT(*) AS n_dup_frames FROM g JOIN dup USING (fh) GROUP BY 1)
+      |SELECT m.media_id,
+      |  COALESCE(n_distinct_frames, 0) AS n_distinct_frames,
+      |  COALESCE(n_dup_frames, 0) AS n_dup_frames,
+      |  CAST(COALESCE(n_dup_frames, 0) AS DOUBLE) / NULLIF(n_distinct_frames, 0)
+      |    AS boilerplate_ratio
+      |FROM m LEFT JOIN pervid USING (media_id) LEFT JOIN dupvid USING (media_id)
+      |ORDER BY m.media_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_multimodal_meta", m01, Some(m01Oracle)),
     Q("m02_multimodal_pipeline", m02, Some(m02Oracle)),
     Q("m03_decode_meta_parity", m03, Some(m03Oracle)),
+    Q("m04_frame_dedup", m04, Some(m04Oracle)),
   )
 }

@@ -145,6 +145,25 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(w.select(Similarity.cosine($"a", $"b")).collect()(0).getDouble(0) == 0.0)
   }
 
+  test("m04 frame dedup: ratios bounded, totals match a direct frame-hash recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.m04(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup) = (r.getAs[Long]("n_distinct_frames"), r.getAs[Long]("n_dup_frames"))
+      assert(dup >= 0 && dup <= n)
+    }
+    // direct recompute of the distinct-frame totals from the frame stage
+    val expected = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sfSmoke)).toDF()
+      .select($"media_id", md5($"frame_bytes").as("fh")).distinct()
+      .groupBy($"media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getAs[Long]("n_distinct_frames") > 0).foreach { r =>
+      assert(expected(r.getAs[Long]("media_id")) == r.getAs[Long]("n_distinct_frames"))
+    }
+  }
+
   test("multimodal pipeline: decode/features/frames consistent and partition-preserving") {
     val media = Multimodal.mediaTable(spark, sfSmoke)
     val nParts = media.rdd.getNumPartitions
