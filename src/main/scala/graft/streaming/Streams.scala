@@ -189,6 +189,75 @@ object Streams {
       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY c_event, p_event""".stripMargin
 
+  /** st09 — watermarked stream-stream LEFT OUTER interval join: every
+    * click, with its purchases at most 30 minutes later — and clicks with
+    * NO such purchase emit null-padded, which is the part inner joins
+    * (st04) can't express and batch left joins get for free: a streaming
+    * left-outer can only emit the null row once the watermark PROVES no
+    * future purchase can match (state eviction time = the click's last
+    * possible match time). With the file fully available, matched pairs
+    * equal the batch join; null rows appear exactly for clicks whose
+    * match-window end falls strictly below the end-of-input watermark
+    * (max p_ts − 1 h) — clicks inside the final horizon stay open and are
+    * (correctly) absent, the same deterministic emission contract st03
+    * pins for append-mode windows. State on both sides is pruned by
+    * watermark + interval bound: O(events per horizon), not O(stream).
+    */
+  def st09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src.filter($"event_type" === "click")
+      .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"), $"value".as("amount"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
+      "left_outer")
+    val sink = s"st09_ss_outer_${sinkCounter.incrementAndGet()}"
+    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    s.table(sink)
+      .select($"c_event", $"p_event", $"c_user".as("user_id"),
+        date_format($"c_ts", "yyyy-MM-dd HH:mm:ss").as("c_ts_s"),
+        $"amount")
+      .orderBy($"c_event", $"p_event")
+  }
+
+  val st09Oracle: String =
+    """WITH wm AS (SELECT LEAST(
+      |      (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+      |      (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+      |      - INTERVAL 1 HOUR AS w),
+      |c AS (SELECT event_id AS c_event, user_id AS c_user, ts AS c_ts
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS p_event, user_id AS p_user, ts AS p_ts, value AS amount
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT c.*, p.p_event, p.amount
+      |      FROM c LEFT JOIN p ON c_user = p_user
+      |        AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE)
+      |SELECT c_event, p_event, c_user AS user_id,
+      |  strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s, amount
+      |FROM j, wm
+      |WHERE p_event IS NOT NULL OR c_ts + INTERVAL 30 MINUTE < wm.w
+      |ORDER BY c_event, p_event""".stripMargin
+
   /** st02 — event-time SESSION windows (dynamic-gap grouping the reference
     * never had; the batch form of the sessionization the stateful operator
     * below does incrementally). Spark's native `session_window` merges
@@ -536,5 +605,6 @@ object Streams {
     Q("st06_stream_cdc_apply", st06, Some(st06Oracle)),
     Q("st07_stream_static_enrich", st07, Some(st07Oracle)),
     Q("st08_stateful_sessionize", st08, Some(st08Oracle)),
+    Q("st09_stream_outer_join", st09, Some(st09Oracle)),
   )
 }

@@ -54,6 +54,37 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(gotTuples.map(_._3).sum - expected.map(_._3).sum) < 1e-9)
   }
 
+  test("st09 left-outer stream join: null rows only for watermark-proven non-matches") {
+    import org.apache.spark.sql.functions._
+    val rows = Streams.st09(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.fieldIndex("p_event")
+    val nullPadded = rows.filter(_.isNullAt(idx))
+    assert(nullPadded.nonEmpty, "expected watermark-emitted null rows")
+    // matched pairs equal the batch inner interval join
+    val ev = Tables.events(spark, sfSmoke)
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val matchedBatch = c.join(p, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
+      .select($"c_event", $"p_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matchedStream = rows.filterNot(_.isNullAt(idx))
+      .map(r => (r.getAs[Long]("c_event"), r.getAs[Long]("p_event"))).toSet
+    assert(matchedStream == matchedBatch)
+    // clicks inside the final watermark horizon stay open: never null-padded
+    val wm = ev.filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type").agg(max($"ts").as("m")).collect()
+      .map(_.getTimestamp(1).getTime).min - 3600 * 1000L
+    val clickTs = c.collect().map(r => r.getLong(0) -> r.getTimestamp(2).getTime).toMap
+    nullPadded.foreach { r =>
+      val ct = clickTs(r.getAs[Long]("c_event"))
+      assert(ct + 30 * 60000L < wm, s"click at $ct null-padded inside the horizon (wm=$wm)")
+    }
+  }
+
   test("st07 stream-static enrich equals the batch join+rollup") {
     val streamed = Streams.st07(spark, sfSmoke).collect()
     val dim = Tables.customer(spark, sfSmoke)
