@@ -622,6 +622,99 @@ object Dedup {
        |  COALESCE(string_agg(CASE WHEN n_occ < 2 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS kept_text
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d10 — directional containment join (prefix filtering, PPJoin-style)
+  // ---------------------------------------------------------------------
+
+  /** Offset naming a planted half-document in the d10 corpus. */
+  val ExcerptOffset = 200000L
+
+  /** d10 — set-CONTAINMENT join: pairs (a, b) where ≥ 80% of a's shingles
+    * also appear in b — the asymmetric relation Jaccard misses entirely
+    * (an excerpt inside a 10× larger page has Jaccard ≈ 0.1 but
+    * containment 1.0; quote/excerpt detection is a containment query).
+    * The corpus is augmented with deterministic excerpts (every 20th
+    * doc's first half, id + [[ExcerptOffset]]) so true containment pairs
+    * exist at every SF.
+    *
+    * Algorithm: PREFIX FILTERING (the PPJoin family, Xiao et al. 2008).
+    * Order every document's shingles globally by (document frequency,
+    * value) — rarest first; a can miss at most |A| − ⌈0.8·|A|⌉ of its own
+    * shingles, so any valid partner must share at least one of a's FIRST
+    * misses+1 ordered shingles. Only that prefix of the query side meets
+    * the full inverted index: candidate work is Σ_prefix df (and the
+    * rarest-first order makes those df the smallest available), not the
+    * Σ df² of a full index self-join — and never n². The verify stage is
+    * one exact set intersection per candidate, compared as
+    * 5·|A∩B| ≥ 4·|A| in integers. The oracle is the EXACT all-pairs
+    * containment join over the same augmented corpus, so a hash match
+    * proves the prefix filter lost nothing (the d07/d08 posture).
+    * Directional note: the indexed side cannot be pruned for pure
+    * containment (b may be arbitrarily large) — only the query side
+    * shrinks, which is exactly how excerpt-vs-corpus lookups run at scale.
+    */
+  def d10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val words = split(normalize($"text"), " ")
+    val halves = docs.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + ExcerptOffset).as("doc_id"),
+        array_join(slice(words, lit(1), floor((size(words) + 1) / 2).cast("int")), " ")
+          .as("text"))
+    val aug = docs.unionByName(halves)
+    // shingle SETS (distinct by construction) — read by the token explode
+    // and both verify branches
+    val sets = graft.util.Eager.cached(
+      aug.select($"doc_id", shingleArray($"text").as("sh")))
+    val tokens = sets.select($"doc_id", explode($"sh").as("shingle"))
+    val dfRel = tokens.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val prefixTok = tokens.join(dfRel, Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"shingle"))).as("ordered"))
+      .withColumn("sz", size($"ordered"))
+      .withColumn("k", $"sz" - expr("(4 * sz + 4) DIV 5") + 1)
+      .select($"doc_id".as("a"), explode(slice($"ordered", lit(1), $"k")).as("p"))
+      .select($"a", $"p.shingle".as("shingle"))
+    val cand = prefixTok
+      .join(tokens.select($"doc_id".as("b"), $"shingle"), Seq("shingle"))
+      .filter($"a" =!= $"b")
+      .select($"a", $"b")
+      .distinct()
+    cand
+      .join(sets.select($"doc_id".as("a"), $"sh".as("sh_a")), Seq("a"))
+      .join(sets.select($"doc_id".as("b"), $"sh".as("sh_b")), Seq("b"))
+      .select($"a", $"b", size($"sh_a").as("n_shingles_a"),
+        size(array_intersect($"sh_a", $"sh_b")).as("n_common"))
+      .filter($"n_common" * 5 >= $"n_shingles_a" * 4)
+      .select($"a", $"b", $"n_shingles_a", $"n_common",
+        ($"n_common".cast("double") / $"n_shingles_a").as("containment"))
+      .orderBy($"a", $"b")
+  }
+
+  val d10Oracle: String =
+    s"""WITH w0 AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |w AS (SELECT doc_id, ws FROM w0
+       |      UNION ALL
+       |      SELECT doc_id + $ExcerptOffset AS doc_id,
+       |             ws[1:CAST((len(ws) + 1) // 2 AS BIGINT)] AS ws
+       |      FROM w0 WHERE doc_id % 20 = 0),
+       |sh0 AS (SELECT doc_id, ws,
+       |  unnest(range(1, greatest(len(ws) - ${ShingleSize - 1}, 1) + 1)) AS i FROM w),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  array_to_string(list_filter([ws[i], ws[i+1], ws[i+2]], x -> x IS NOT NULL), ' ') AS shingle
+       |  FROM sh0),
+       |sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+       |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a, b, sa.s AS n_shingles_a, n_common,
+       |  CAST(n_common AS DOUBLE) / sa.s AS containment
+       |FROM inter JOIN sz sa ON a = sa.doc_id
+       |WHERE n_common * 5 >= sa.s * 4
+       |ORDER BY a, b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Oracle)),
     Q("d02_minhash_lsh_candidates", d02, Some(d02Oracle)),
@@ -630,6 +723,7 @@ object Dedup {
     Q("d06_dup_clusters", d06, Some(d06Oracle)),
     Q("d08_simhash_pairs", d08, Some(d08Oracle)),
     Q("d09_chunk_dedup", d09, Some(d09Oracle)),
+    Q("d10_containment_join", d10, Some(d10Oracle)),
     Q("c02_neardup_consolidation", c02, Some(c02Oracle)),
   )
 }

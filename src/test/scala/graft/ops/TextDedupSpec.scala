@@ -189,6 +189,24 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"doc ${doc.getLong(0)}: got $got grams, expected $expected")
   }
 
+  test("d10 containment join finds every planted excerpt with containment 1.0") {
+    val rows = Dedup.d10(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("containment") >= 0.8 - 1e-12)
+      assert(r.getAs[Int]("n_common") <= r.getAs[Int]("n_shingles_a"))
+    }
+    // every planted half-doc is contained in its source with containment 1.0
+    val nPlants = graft.Tables.documents(spark, sfSmoke)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0).count()
+    val planted = rows.filter { r =>
+      r.getAs[Long]("a") >= Dedup.ExcerptOffset &&
+        r.getAs[Long]("b") == r.getAs[Long]("a") - Dedup.ExcerptOffset
+    }
+    assert(planted.length == nPlants, s"${planted.length} of $nPlants excerpts found")
+    planted.foreach(r => assert(r.getAs[Double]("containment") == 1.0))
+  }
+
   test("c04 capstone agrees with its component stages") {
     val c04 = TextAnalysis.c04(spark, sfSmoke).collect()
     assert(c04.nonEmpty)
