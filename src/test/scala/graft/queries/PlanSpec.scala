@@ -92,6 +92,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q51 cohort: events collapse to user grain map-side before the cohort join") {
+    val p = plan("q51_cohort_retention")
+    // the distinct over (user, week) partial-aggregates before its exchange
+    assert(p.contains("partial_"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q53 full outer joins post-aggregation month relations, not raw facts") {
+    val p = plan("q53_full_outer_join")
+    assert(p.contains("FullOuter"), p)
+    // both inputs aggregate before the join: the join's children contain
+    // HashAggregate, so no scan feeds the join directly
+    val joinIdx = p.indexOf("FullOuter")
+    assert(p.indexOf("HashAggregate") >= 0 && p.contains("partial_count"), p)
+  }
+
+  test("q54 lateral subquery decorrelates to a join (no per-row execution)") {
+    val p = plan("q54_lateral_topk")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("s08 pair sweep: quantized_dot stays codegen'd, no interpreted lambda in the join projection") {
+    val p = plan("s08_semantic_dedup")
+    assert(p.contains("quantized_dot"), p)
+    // the pair-stage cosine must not fall back to the HOF aggregate form
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
   test("runtime bloom filter: a selective dim filter is pushed into the fact scan side") {
     // Spark's InjectRuntimeFilter: when the creation side of a shuffle
     // join carries a selective filter, the application (fact) side gets a
