@@ -918,19 +918,41 @@ object TextAnalysis {
     import s.implicits._
     val k = DupGramK
     val docs = Tables.documents(s, dir)
-    val canon = normalize($"text")
-    // eagerly cached: read by the per-doc totals, the gram-df agg, and the
-    // semi-join (3 concurrent scans in one plan)
-    val grams = graft.util.Eager.cached(docs
-      .select($"doc_id", canon.as("canon"))
-      .select($"doc_id",
-        explode(
-          when(length($"canon") >= k,
-            transform(sequence(lit(1), length($"canon") - (k - 1)),
-              i => $"canon".substr(i, lit(k))))
-            .otherwise(array())).as("gram"))
-      .select($"doc_id", substring(md5($"gram"), 1, 16).as("g"))
-      .distinct()) // dup detection is set semantics: one vote per (doc, gram)
+    // One NARROW mapPartitions pass builds the per-doc DISTINCT gram-hash
+    // set in the JVM: the declarative form (transform+substr lambda →
+    // explode → md5 → DISTINCT) interprets a HOF lambda per gram outside
+    // whole-stage codegen AND pays a 16-chars-per-row exchange for the
+    // distinct; here the per-doc HashSet dedups before anything is
+    // emitted, so no dedup shuffle exists at all (measured ~6× on the
+    // cache build at sf0.1). Hash parity with the oracle: first 8 md5
+    // bytes of the gram's UTF-8, lower-hex — exactly
+    // substring(md5(gram), 1, 16).
+    val grams = graft.util.Eager.cached(
+      docs.select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = "0123456789abcdef".toCharArray
+          it.flatMap { case (id, text) =>
+            val canon = normalizeJvm(text)
+            if (canon.length < k) Iterator.empty
+            else {
+              val seen = new java.util.HashSet[String]()
+              (0 to canon.length - k).iterator.flatMap { i =>
+                val gram = canon.substring(i, i + k)
+                if (seen.add(gram)) {
+                  val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  val sb = new java.lang.StringBuilder(16)
+                  var j = 0
+                  while (j < 8) {
+                    sb.append(hex((d(j) >> 4) & 0xf)); sb.append(hex(d(j) & 0xf)); j += 1
+                  }
+                  Iterator.single((id, sb.toString))
+                } else Iterator.empty
+              }
+            }
+          }
+        }
+        .toDF("doc_id", "g")) // read by per-doc totals, gram-df agg, semi-join
     val perDoc = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     val dupGrams = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
       .filter($"nd" >= 2).select($"g")
