@@ -56,7 +56,58 @@ object EntityResolution {
        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $MaxEditDistance
        |ORDER BY a_name, b_name""".stripMargin
 
+  /** e02 — entity CONSOLIDATION: e01's pairwise matches closed into
+    * entity clusters (transitive: if A≈B and B≈C, all three are one
+    * entity even when lev(A,C) > 2), each cluster collapsed to one
+    * canonical row — the min variant name, the variant list, and the
+    * total fact-side support. This is the table a golden-record/MDM
+    * pipeline actually publishes; e01's pairs are its evidence log.
+    * Reuses [[Dedup.connectedComponents]] (min-label propagation +
+    * pointer jumping — the label domain here is strings, the algorithm
+    * only needs an ordered type); the oracle closes the identical edge
+    * set with recursive SQL. Graph-sized shuffles only: the single
+    * fact-scale aggregation is e01's distinct-entity groupBy.
+    */
+  def e02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = e01(s, dir).select($"a_name".as("a"), $"b_name".as("b"))
+    val comps = Dedup.connectedComponents(edges)
+    val entities = Tables.part(s, dir)
+      .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
+    comps.join(entities, comps("id") === entities("p_name"))
+      .groupBy($"comp")
+      .agg(
+        count(lit(1)).as("n_variants"),
+        sum($"n_parts").cast("long").as("total_support"),
+        sort_array(collect_list($"id")).as("variants"),
+      )
+      .select($"comp".as("canonical_name"), $"n_variants", $"total_support",
+        $"variants")
+      .orderBy($"canonical_name")
+  }
+
+  val e02Oracle: String =
+    s"""WITH RECURSIVE e AS (SELECT p_name, COUNT(*) AS n_parts,
+       |    split_part(p_name, ' ', 2) AS blk
+       |  FROM part GROUP BY p_name),
+       |cand AS (SELECT a.p_name AS a, b.p_name AS b
+       |  FROM e a JOIN e b ON a.blk = b.blk AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $MaxEditDistance),
+       |nodes AS (SELECT a AS id FROM cand UNION SELECT b FROM cand),
+       |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |reach AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+       |SELECT comp AS canonical_name, COUNT(*) AS n_variants,
+       |  CAST(SUM(n_parts) AS BIGINT) AS total_support,
+       |  list_sort(list(id)) AS variants
+       |FROM comp JOIN e ON comp.id = e.p_name
+       |GROUP BY comp ORDER BY canonical_name""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("e01_fuzzy_entity_pairs", e01, Some(e01Oracle)),
+    Q("e02_entity_clusters", e02, Some(e02Oracle)),
   )
 }

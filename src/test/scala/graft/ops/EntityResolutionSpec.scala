@@ -31,4 +31,27 @@ class EntityResolutionSpec extends AnyFunSuite with SparkSpec {
     assert(blocked == sameBlock)
     assert(blocked.subsetOf(brute))
   }
+
+  test("e02 clusters are the transitive closure of e01 pairs, support adds up") {
+    val pairs = EntityResolution.e01(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val clusters = EntityResolution.e02(spark, sfSmoke).collect()
+    assert(clusters.nonEmpty)
+    val memberOf = clusters.flatMap { r =>
+      r.getAs[scala.collection.Seq[String]]("variants").map(_ -> r.getAs[String]("canonical_name"))
+    }.toMap
+    // every matched pair lands in the same cluster (transitivity held)
+    pairs.foreach { case (a, b) => assert(memberOf(a) == memberOf(b), s"($a, $b) split") }
+    // canonical = min variant; clusters partition the matched names
+    clusters.foreach { r =>
+      val vs = r.getAs[scala.collection.Seq[String]]("variants")
+      assert(vs.min == r.getAs[String]("canonical_name"))
+      assert(vs.length == r.getAs[Long]("n_variants"))
+    }
+    assert(memberOf.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // support equals the fact-side row count of the matched names
+    val support = graft.Tables.part(spark, sfSmoke)
+      .filter($"p_name".isin(memberOf.keySet.toSeq: _*)).count()
+    assert(clusters.map(_.getAs[Long]("total_support")).sum == support)
+  }
 }
