@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the bench/verify mains run ~115 queries in one JVM and
+  // the sandbox has 128 GiB; the old 8g default GC-thrashed under cache
+  // pressure (round-3 bench DNF).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

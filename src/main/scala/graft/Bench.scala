@@ -83,29 +83,54 @@ object Bench {
         finally qj.stop()
       }
     }
-    // median of `reps` full passes: a single contended rep (GC, JIT, CPU
-    // neighbors) can't masquerade as a plan regression; the spread map
-    // records how noisy each query's reps were. The cache is cleared
-    // between passes so later reps don't ride the previous pass's cached
-    // sketch relations (cache reuse is plan-keyed in Spark).
+    // median of up to `reps` full passes: a single contended rep (GC, JIT,
+    // CPU neighbors) can't masquerade as a plan regression; the spread map
+    // records how noisy each query's reps were.
+    //
+    // Two harness rules learned from the round-3 DNF (rc=124):
+    //  1. The cache is cleared after EVERY query, not just between passes.
+    //     Each gated query is self-contained (its Eager.cached sketch
+    //     relations are intra-query); letting ~115 queries' worth of
+    //     eagerly-materialized partitions accumulate in one heap produced
+    //     eviction + GC thrash (observed rep outliers of 140 s against a
+    //     1.6 s median) that blew the driver's wall-clock budget.
+    //  2. Reps 2..n are time-boxed: rep 1 always completes (every query
+    //     gets one measured number); later reps run only while elapsed
+    //     wall-clock < SPARK_GRAFT_BUDGET_SEC, so a slow pass degrades to
+    //     fewer reps instead of a killed process and no artifact at all.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "900").toDouble
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    for (_ <- 1 to reps) {
+    var rep = 1
+    var outOfBudget = false
+    while (rep <= reps && !outOfBudget) {
       names.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-          }
-        // a failed rep records -1, never a plausible-looking duration
-        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        times(name) = times.getOrElse(name, Vector.empty) :+ t
+        if (rep == 1 || elapsedSec < budgetSec) {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                false
+            }
+          // a failed rep records -1, never a plausible-looking duration
+          val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          times(name) = times.getOrElse(name, Vector.empty) :+ t
+          // outside the timed window: this query's Eager.cached relations
+          // must not ride into (or slow down) the next query's heap
+          spark.catalog.clearCache()
+        } else if (!outOfBudget) {
+          outOfBudget = true
+          System.err.println(
+            f"[bench] budget ${budgetSec}%.0f s exhausted after $elapsedSec%.0f s " +
+              s"in rep $rep; reporting medians over completed reps")
+        }
       }
-      spark.catalog.clearCache()
+      rep += 1
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = names.map { case (name, _) =>

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // queries are self-contained; don't let ~115 queries' Eager.cached
+        // relations accumulate in one heap (round-3 bench lesson)
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -515,7 +515,11 @@ object Dedup {
         Seq("id"))
       .groupBy($"comp")
       .agg(
-        sort_array(collect_list($"id")).as("dropped_ids"),
+        // serialized to a canonical CSV string (numeric sort, then cast):
+        // the driver's comparator sorts rows by every column and cannot
+        // hash/sort native ARRAY cells (q36 precedent)
+        expr("array_join(transform(sort_array(collect_list(id)), x -> cast(x AS string)), ',')")
+          .as("dropped_ids"),
         sum($"len").as("saved_chars"),
       )
     sizes.join(drops, Seq("comp"))
@@ -540,7 +544,7 @@ object Dedup {
        |comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
        |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
        |drops AS (SELECT cluster_id,
-       |    list(id ORDER BY id) AS dropped_ids,
+       |    array_to_string(list_sort(list(id)), ',') AS dropped_ids,
        |    CAST(SUM(length(d.text)) AS BIGINT) AS saved_chars
        |  FROM comp JOIN documents d ON comp.id = d.doc_id
        |  WHERE comp.id <> comp.cluster_id GROUP BY cluster_id)

@@ -16,6 +16,19 @@ object EntityResolution {
 
   val MaxEditDistance = 2
 
+  /** Blocking key: the LAST word of the name (the head noun in
+    * modifier–noun part names). Engine and oracle MUST compute the same
+    * key from the same expression family — a previous revision blocked on
+    * the last word Spark-side but the second word oracle-side, which only
+    * coincided because every generated name happened to be exactly two
+    * words. `[^ ]+$` is portable: Spark `regexp_extract(_, _, 0)` and
+    * DuckDB `regexp_extract(_, _)` both return the full match.
+    */
+  def blockKey(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(name, "[^ ]+$", 0)
+
+  val blockKeySql: String = "regexp_extract(p_name, '[^ ]+$')"
+
   /** e01 — fuzzy candidate pairs over the part-name vocabulary:
     * canonicalize to DISTINCT names first (the entity table is orders of
     * magnitude smaller than the fact — dedup before comparing, never
@@ -34,7 +47,7 @@ object EntityResolution {
     import s.implicits._
     val entities = Tables.part(s, dir)
       .groupBy($"p_name").agg(count(lit(1)).as("n_parts"))
-      .withColumn("blk", substring_index($"p_name", " ", -1))
+      .withColumn("blk", blockKey($"p_name"))
     val a = entities.select($"p_name".as("a_name"), $"n_parts".as("n_a"), $"blk")
     val b = entities.select($"p_name".as("b_name"), $"n_parts".as("n_b"), $"blk")
     a.join(b, Seq("blk"))
@@ -47,7 +60,7 @@ object EntityResolution {
 
   val e01Oracle: String =
     s"""WITH e AS (SELECT p_name, COUNT(*) AS n_parts,
-       |    split_part(p_name, ' ', 2) AS blk
+       |    $blockKeySql AS blk
        |  FROM part GROUP BY p_name)
        |SELECT a.p_name AS a_name, b.p_name AS b_name,
        |  levenshtein(a.p_name, b.p_name) AS dist,
@@ -79,7 +92,10 @@ object EntityResolution {
       .agg(
         count(lit(1)).as("n_variants"),
         sum($"n_parts").cast("long").as("total_support"),
-        sort_array(collect_list($"id")).as("variants"),
+        // canonical CSV string, not a native ARRAY: the driver's
+        // comparator sorts rows by every column and cannot hash/sort
+        // ndarray cells (q36 precedent)
+        array_join(sort_array(collect_list($"id")), ",").as("variants"),
       )
       .select($"comp".as("canonical_name"), $"n_variants", $"total_support",
         $"variants")
@@ -88,7 +104,7 @@ object EntityResolution {
 
   val e02Oracle: String =
     s"""WITH RECURSIVE e AS (SELECT p_name, COUNT(*) AS n_parts,
-       |    split_part(p_name, ' ', 2) AS blk
+       |    $blockKeySql AS blk
        |  FROM part GROUP BY p_name),
        |cand AS (SELECT a.p_name AS a, b.p_name AS b
        |  FROM e a JOIN e b ON a.blk = b.blk AND a.p_name < b.p_name
@@ -102,7 +118,7 @@ object EntityResolution {
        |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
        |SELECT comp AS canonical_name, COUNT(*) AS n_variants,
        |  CAST(SUM(n_parts) AS BIGINT) AS total_support,
-       |  list_sort(list(id)) AS variants
+       |  array_to_string(list_sort(list(id)), ',') AS variants
        |FROM comp JOIN e ON comp.id = e.p_name
        |GROUP BY comp ORDER BY canonical_name""".stripMargin
 

@@ -229,7 +229,7 @@ object Multimodal {
       |  16 * (1 + byte_len % 40) AS width,
       |  9 * (1 + byte_len % 40) AS height,
       |  CASE WHEN modality = 'video' THEN 1 + byte_len // 64 ELSE 1 END AS n_frames,
-      |  CAST(byte_len AS BIGINT) * byte_len - COALESCE(sum_sq, 0) AS coll_impurity,
+      |  CAST(CAST(byte_len AS BIGINT) * byte_len - COALESCE(sum_sq, 0) AS BIGINT) AS coll_impurity,
       |  CASE WHEN byte_len = 0 THEN 0.0
       |       ELSE CAST(byte_sum AS DOUBLE) / byte_len END AS mean_byte,
       |  COALESCE(nonzero_buckets, 0) AS nonzero_buckets,

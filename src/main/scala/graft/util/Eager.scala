@@ -13,6 +13,12 @@ import org.apache.spark.sql.DataFrame
   * relation pre-built. The extra `count()` is one cheap job over data that
   * had to be computed anyway, and it is how an index/sketch build would be
   * sequenced in production (build once, THEN serve).
+  *
+  * Lifecycle contract: cached relations are INTRA-QUERY — nothing here
+  * unpersists, so any harness that runs many queries in one session must
+  * release between queries (`spark.catalog.clearCache()`, as Bench and
+  * Verify do after every query). Letting ~115 queries' eagerly-built
+  * partitions accumulate in one heap caused the round-3 bench DNF.
   */
 object Eager {
   def cached(df: DataFrame): DataFrame = {

@@ -32,21 +32,49 @@ class EntityResolutionSpec extends AnyFunSuite with SparkSpec {
     assert(blocked.subsetOf(brute))
   }
 
+  test("blocking key is the last word for ANY word count, engine == oracle expression") {
+    // Round-3 latent bug: Spark blocked on the LAST word while the oracle
+    // blocked on the SECOND word — they agreed only because every generated
+    // part name happened to be exactly two words. Both sides now share one
+    // expression family (`[^ ]+$`, full match); this fixture pins the
+    // semantics on 1/2/3/4-word names so a testdata change can't silently
+    // diverge the engines again.
+    val names = Seq(
+      "azure",                              // 1 word
+      "burnished azure",                    // 2 words
+      "burnished pale azure",               // 3 words
+      "deep burnished pale azure",          // 4 words
+      "goldenrod lavender spring chiffon midnight") // 5 words (TPC-H shape)
+    val got = names.toDF("p_name")
+      .select(EntityResolution.blockKey($"p_name").as("blk"))
+      .as[String].collect().toSeq
+    // oracle-side semantics, mirrored independently: regexp_extract full
+    // match of [^ ]+$ == the last space-separated word
+    val oracleSide = names.map(n => "[^ ]+$".r.findFirstIn(n).get)
+    assert(got == oracleSide)
+    assert(got == names.map(_.split(" ").last))
+  }
+
   test("e02 clusters are the transitive closure of e01 pairs, support adds up") {
     val pairs = EntityResolution.e01(spark, sfSmoke).collect()
       .map(r => (r.getString(0), r.getString(1)))
     val clusters = EntityResolution.e02(spark, sfSmoke).collect()
     assert(clusters.nonEmpty)
+    // variants ships as a canonical CSV string (driver comparator can't
+    // sort array cells); names never contain commas
+    def variants(r: org.apache.spark.sql.Row): Seq[String] =
+      r.getAs[String]("variants").split(",").toSeq
     val memberOf = clusters.flatMap { r =>
-      r.getAs[scala.collection.Seq[String]]("variants").map(_ -> r.getAs[String]("canonical_name"))
+      variants(r).map(_ -> r.getAs[String]("canonical_name"))
     }.toMap
     // every matched pair lands in the same cluster (transitivity held)
     pairs.foreach { case (a, b) => assert(memberOf(a) == memberOf(b), s"($a, $b) split") }
     // canonical = min variant; clusters partition the matched names
     clusters.foreach { r =>
-      val vs = r.getAs[scala.collection.Seq[String]]("variants")
+      val vs = variants(r)
       assert(vs.min == r.getAs[String]("canonical_name"))
       assert(vs.length == r.getAs[Long]("n_variants"))
+      assert(vs == vs.sorted, "variants CSV must be in sorted order")
     }
     assert(memberOf.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
     // support equals the fact-side row count of the matched names

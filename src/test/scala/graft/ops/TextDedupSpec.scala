@@ -120,7 +120,9 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
       .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
     log.foreach { r =>
       val kept = r.getAs[Long]("kept_doc_id")
-      val dropped = r.getAs[scala.collection.Seq[Long]]("dropped_ids").toSeq
+      // dropped_ids ships as a canonical CSV string (driver comparator
+      // can't sort array cells); numeric-sorted before serialization
+      val dropped = r.getAs[String]("dropped_ids").split(",").map(_.toLong).toSeq
       assert(dropped.forall(_ > kept)) // min-label rep is the cluster min
       assert(dropped.sorted == dropped)
       assert(r.getAs[Long]("cluster_size") == dropped.size + 1)

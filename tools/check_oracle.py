@@ -21,14 +21,26 @@ TABLES = [
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately NO special-casing of list/ndarray cells: the driver's
+    # comparator sorts by every column as-is and crashes on ndarray cells
+    # (unhashable type) — queries must serialize arrays to strings. A
+    # previous tuple-izing step here masked exactly that class of failure
+    # (c02/e02, round 3).
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                str(type(v)).endswith("ndarray'>") else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def repr_mismatch(got: pd.DataFrame, want: pd.DataFrame):
+    """int-vs-float column representation differences break the driver's
+    value hash even when every value compares equal (m02, round 3: DuckDB
+    HUGEINT -> float64 vs Spark int64). Flag them."""
+    bad = []
+    for c in got.columns:
+        g, w = got[c].dtype.kind, want[c].dtype.kind
+        if {g, w} == {"i", "f"} or {g, w} == {"u", "f"}:
+            bad.append(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}")
+    return bad
 
 
 def main():
@@ -59,6 +71,12 @@ def main():
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        bad = repr_mismatch(got, want)
+        if bad:
+            print(f"FAIL {name}: int/float representation mismatch "
+                  f"(breaks driver hash): {bad}")
             n_fail += 1
             continue
         try:
