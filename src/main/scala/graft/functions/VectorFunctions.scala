@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * strictly left-to-right in double — bit-identical to the composed
   * `aggregate(zip_with(...))` form AND to the DuckDB oracle's ordered SUMs
   * (s01's correctness gate), so swapping implementations can never change a
-  * result.
+  * result. The equivalence extends to the degenerate inputs: mismatched
+  * lengths or a null element yield NULL, exactly as `zip_with` (which
+  * null-pads the shorter array) composed with an arithmetic fold would.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -33,17 +35,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // nullable even over non-null children: degenerate arrays produce NULL
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -64,18 +71,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |double $nx = 0.0;
-         |double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $nx += $xi * $xi;
-         |  $ny += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  double $nx = 0.0;
+         |  double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $nx += $xi * $xi;
+         |    $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -107,15 +121,23 @@ case class QuantizedDot(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // nullable even over non-null children: degenerate arrays produce NULL,
+  // matching the zip_with(+null-pad) + aggregate(+null-propagate) form —
+  // a truncated min-length sum would silently claim the equivalence while
+  // returning garbage on malformed embeddings
+  override def nullable: Boolean = true
+
   override def prettyName: String = "quantized_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += math.floor(x.getDouble(i) * y.getDouble(i) * 1e9).toLong
       i += 1
     }
@@ -128,13 +150,20 @@ case class QuantizedDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (long) java.lang.Math.floor(
-         |    $a.getDouble($i) * $b.getDouble($i) * 1.0E9);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) java.lang.Math.floor(
+         |      $a.getDouble($i) * $b.getDouble($i) * 1.0E9);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -34,6 +34,26 @@ object Streams {
 
   private val sinkCounter = new AtomicInteger(0)
 
+  /** Isolated child session for ONE streaming query: own SQLConf (so the
+    * state-store partition count — pinned by the first checkpoint at
+    * `spark.sql.shuffle.partitions` — can be sized to the operator's state
+    * cardinality), shared SparkContext/cache. The previous pattern mutated
+    * the CALLER's session conf and restored it in a `finally`, which is a
+    * race on global state under concurrent use (bench warmup, parallel
+    * specs) — a batch query planned mid-stream would silently shuffle at
+    * the streaming width. Per-query sessions are also the production
+    * multi-tenant shape: one driver, many queries, each with its own conf.
+    * `nanosAsLong` is set here because every file-stream source in this
+    * module reads the raw events parquet (nanos ts); it is inert for
+    * µs-timestamp sources.
+    */
+  private def streamSession(s: SparkSession, shufflePartitions: Int): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss
+  }
+
   /** Streaming weekly rollup per event_type. Tumbling 7-day windows aligned
     * to Monday (epoch 1970-01-01 is a Thursday → 4-day startTime offset
     * matches date_trunc('week') Monday-start buckets).
@@ -62,10 +82,10 @@ object Streams {
   private def weeklyRollupStream(
       s: SparkSession, dir: String, mode: OutputMode, sinkPrefix: String,
   ): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ss = streamSession(s, shufflePartitions = 8)
+    import ss.implicits._
     // file-stream source needs a directory; select just the events file
-    val src = s.readStream
+    val src = ss.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -78,9 +98,7 @@ object Streams {
         Exact.dsum($"value").as("total_value"),
       )
     val sink = s"${sinkPrefix}_${sinkCounter.incrementAndGet()}"
-    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    locally {
       val q = agg.writeStream
         .outputMode(mode)
         .format("memory")
@@ -88,8 +106,8 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
-    s.table(sink)
+    }
+    ss.table(sink)
       .select(
         date_format($"window.start", "yyyy-MM-dd").as("week_start"),
         $"event_type", $"n_events", $"total_value",
@@ -143,9 +161,9 @@ object Streams {
     * the oracle is the equivalent batch interval self-join.
     */
   def st04(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = s.readStream
+    val ss = streamSession(s, shufflePartitions = 4) // join-state stores
+    import ss.implicits._
+    def src = ss.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -160,9 +178,7 @@ object Streams {
     val joined = purchases.join(clicks, expr(
       "p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
     val sink = s"st04_ss_join_${sinkCounter.incrementAndGet()}"
-    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4") // join-state stores, see above
-    try {
+    locally {
       val q = joined.writeStream
         .outputMode(OutputMode.Append())
         .format("memory")
@@ -170,8 +186,8 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
-    s.table(sink)
+    }
+    ss.table(sink)
       .select($"c_event", $"p_event", $"c_user".as("user_id"),
         date_format($"c_ts", "yyyy-MM-dd HH:mm:ss").as("c_ts_s"),
         date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("p_ts_s"),
@@ -204,9 +220,9 @@ object Streams {
     * watermark + interval bound: O(events per horizon), not O(stream).
     */
   def st09(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = s.readStream
+    val ss = streamSession(s, shufflePartitions = 4)
+    import ss.implicits._
+    def src = ss.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -222,9 +238,7 @@ object Streams {
       "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
       "left_outer")
     val sink = s"st09_ss_outer_${sinkCounter.incrementAndGet()}"
-    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    locally {
       val q = joined.writeStream
         .outputMode(OutputMode.Append())
         .format("memory")
@@ -232,8 +246,8 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
-    s.table(sink)
+    }
+    ss.table(sink)
       .select($"c_event", $"p_event", $"c_user".as("user_id"),
         date_format($"c_ts", "yyyy-MM-dd HH:mm:ss").as("c_ts_s"),
         $"amount")
@@ -355,7 +369,11 @@ object Streams {
           var cur = state.getOption
           sorted.foreach { e =>
             val t = micros(e.ts)
-            val q = math.rint(e.value * 100).toLong
+            // HALF_UP (away from zero), matching Spark's `round` and the
+            // oracle's DuckDB ROUND — math.rint (half-to-EVEN) diverges by
+            // one cent on exact half-cent values
+            val q = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             cur match {
               // strict <: an exactly-gap-spaced event starts a NEW session,
               // matching session_window / the st02 oracle's >= INTERVAL rule
@@ -385,9 +403,9 @@ object Streams {
     * independent formulation at a different gap.
     */
   def st08(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream
+    val ss = streamSession(s, shufflePartitions = 8) // state: one row per user
+    import ss.implicits._
+    val src = ss.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -397,9 +415,7 @@ object Streams {
         $"value")
       .as[Event]
     val sink = s"st08_sessionize_${sinkCounter.incrementAndGet()}"
-    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // state: one row per user
-    try {
+    locally {
       val q = sessionize(src, gapMinutes = 45).writeStream
         .outputMode(OutputMode.Append())
         .format("memory")
@@ -407,8 +423,8 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
-    s.table(sink)
+    }
+    ss.table(sink)
       .select(
         $"userId".as("user_id"),
         date_format($"sessionStart", "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -452,10 +468,11 @@ object Streams {
     * shape.
     */
   def st05(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    val ss = streamSession(s, shufflePartitions = 8) // ledger-key-sized stores
+    import ss.implicits._
     val docsSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-    val src = s.readStream
+    val src = ss.readStream
       .schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -463,9 +480,7 @@ object Streams {
       .groupBy(md5(graft.ops.TextAnalysis.normalize($"text")).as("fingerprint"))
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     val sink = s"st05_ingest_dedup_${sinkCounter.incrementAndGet()}"
-    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // ledger-key-sized stores
-    try {
+    locally {
       val q = ledger.writeStream
         .outputMode(OutputMode.Complete())
         .format("memory")
@@ -473,8 +488,8 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
-    s.table(sink).orderBy($"keep_id")
+    }
+    ss.table(sink).orderBy($"keep_id")
   }
 
   /** st06 — streaming CDC APPLY: treat events as a changelog keyed by
@@ -496,14 +511,15 @@ object Streams {
     * anywhere: state size is O(distinct keys), the 100 TB/day CDC shape.
     */
   def st06(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    val ss = streamSession(s, shufflePartitions = 8) // state-cardinality-sized
+    import ss.implicits._
     val chunkDir = java.nio.file.Files
       .createTempDirectory("st06_changelog_").toString
-    graft.Tables.events(s, dir)
+    graft.Tables.events(ss, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .repartition(8) // 8 chunk files → 8 micro-batches
       .write.mode("overwrite").parquet(chunkDir)
-    val src = s.readStream
+    val src = ss.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType),
         StructField("ts", TimestampType),
@@ -513,11 +529,9 @@ object Streams {
       )))
       .option("maxFilesPerTrigger", "1")
       .parquet(chunkDir)
-    var state: DataFrame = s.createDataFrame(
+    var state: DataFrame = ss.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), src.schema)
-    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // state-cardinality-sized
-    try {
+    locally {
       val q = src.writeStream
         .outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -528,7 +542,7 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    }
     state
       .select($"user_id", $"event_id".as("last_event_id"),
         $"event_type".as("last_event_type"),
@@ -558,13 +572,13 @@ object Streams {
     * picked up without restarting the query.
     */
   def st07(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream
+    val ss = streamSession(s, shufflePartitions = 8) // 25 agg keys
+    import ss.implicits._
+    val src = ss.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val dim = graft.Tables.customer(s, dir)
+    val dim = graft.Tables.customer(ss, dir)
       .select($"c_custkey".as("user_id"), $"c_mktsegment")
     val agg = src
       .join(broadcast(dim), Seq("user_id")) // stateless stream-static join
@@ -574,9 +588,7 @@ object Streams {
         Exact.dsum($"value").as("total_value"),
       )
     val sink = s"st07_enrich_${sinkCounter.incrementAndGet()}"
-    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // 25 agg keys
-    try {
+    locally {
       val q = agg.writeStream
         .outputMode(OutputMode.Complete())
         .format("memory")
@@ -584,8 +596,8 @@ object Streams {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
-    s.table(sink)
+    }
+    ss.table(sink)
       .select($"c_mktsegment", $"event_type", $"n_events", $"total_value")
       .orderBy($"c_mktsegment", $"event_type")
   }

@@ -52,15 +52,30 @@ class CosineSimSpec extends AnyFunSuite with SparkSpec {
     assert(r == 1.0)
   }
 
-  test("null inputs propagate null; mismatched lengths use common prefix") {
+  test("degenerate inputs yield NULL exactly like the HOF form") {
+    // zip_with null-pads the shorter array and a null element poisons the
+    // arithmetic fold → NULL; the native expressions must agree (they
+    // previously summed the common prefix, silently breaking the
+    // documented bit-for-bit equivalence)
     VectorFunctions.register(spark)
     val df = Seq(
-      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f, 9.0f))),
-      (None, Some(Seq(1.0f))),
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(1.0f), Some(2.0f), Some(9.0f)))), // length mismatch
+      (None, Some(Seq(Some(1.0f)))), // null array
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))), // null element
+      (Some(Seq(Some(3.0f), Some(4.0f))), Some(Seq(Some(3.0f), Some(4.0f)))), // well-formed
     ).toDF("a", "b")
-    val rows = df.select(VectorFunctions.cosine_sim($"a", $"b").as("c")).collect()
-    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
-    assert(rows(1).isNullAt(0))
+    val cos = df.select(VectorFunctions.cosine_sim($"a", $"b").as("c")).collect()
+    assert(cos(0).isNullAt(0))
+    assert(cos(1).isNullAt(0))
+    assert(cos(2).isNullAt(0))
+    assert(math.abs(cos(3).getDouble(0) - 1.0) < 1e-12)
+    val qd = df.select(
+      graft.ops.Similarity.qdot($"a".cast("array<double>"), $"b".cast("array<double>")).as("q"))
+      .collect()
+    assert(qd(0).isNullAt(0))
+    assert(qd(1).isNullAt(0))
+    assert(qd(2).isNullAt(0))
+    assert(qd(3).getLong(0) == math.floor(9.0 * 1e9).toLong + math.floor(16.0 * 1e9).toLong)
   }
 
   test("codegen path is exercised (no fallback to interpreted)") {

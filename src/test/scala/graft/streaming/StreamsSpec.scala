@@ -44,7 +44,8 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         case (acc, e) => acc :+ Vector(e)
       }
       sessions.dropRight(1).map(sess => (u, sess.length,
-        sess.map(x => math.rint(x._2 * 100).toLong).sum / 100.0))
+        sess.map(x => BigDecimal(x._2 * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum / 100.0))
     }.sortBy(x => (x._1, x._2))
     val gotTuples = got.map(r => (r.getAs[Long]("user_id"),
       r.getAs[Int]("n_events"), r.getAs[Double]("total_value")))
