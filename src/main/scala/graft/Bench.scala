@@ -102,7 +102,11 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "900").toDouble
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    // dev convenience: SPARK_GRAFT_ONLY=q22,t14 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     var rep = 1
     var outOfBudget = false
