@@ -409,14 +409,21 @@ object Dedup {
     * contraction; the skeleton is the same.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+    val parent = edges.sparkSession
     // the candidate graph is orders of magnitude smaller than the corpus —
     // per-round shuffles are sized to it, not to the session's batch width
-    // (same principle as the streaming state stores); restored afterwards
-    val batchShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try connectedComponentsLoop(edges)
-    finally spark.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    // (same principle as the streaming state stores). The width lives on a
+    // CHILD session (own SQLConf, shared context/cache) instead of a
+    // set/restore on the caller's conf, which raced against any concurrent
+    // planning on the shared session. Edge list and result cross sessions
+    // as RDDs: the input plan is compiled under the parent's conf, the
+    // loop's plans under the child's, and `labels` is localCheckpoint-
+    // materialized so the re-home is free.
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val homed = ss.createDataFrame(edges.toDF("a", "b").rdd, edges.schema)
+    val labels = connectedComponentsLoop(homed)
+    parent.createDataFrame(labels.rdd, labels.schema)
   }
 
   private def connectedComponentsLoop(edges: DataFrame): DataFrame = {

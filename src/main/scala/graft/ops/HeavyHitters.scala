@@ -84,7 +84,13 @@ object HeavyHitters {
   def hh02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.OutputMode
-    val src = s.readStream
+    // one global sketch row → one state-store partition, pinned on a child
+    // session (own SQLConf) instead of a set/restore race on the caller's
+    // conf — same isolation pattern as graft.streaming.Streams
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "1")
+    graft.functions.VectorFunctions.register(ss) // idempotent; child session
+    val src = ss.readStream
       .schema("l_orderkey BIGINT")
       .option("pathGlobFilter", "lineitem.parquet")
       .parquet(dir)
@@ -92,9 +98,7 @@ object HeavyHitters {
       misra_gries($"item", K).as("mg"),
       count(lit(1)).as("n"))
     val sink = s"hh02_sketch_${sinkCounter.incrementAndGet()}"
-    val batchShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "1") // one global sketch row
-    try {
+    locally {
       val q = sketchStream.writeStream
         .outputMode(OutputMode.Complete())
         .format("memory")
@@ -102,8 +106,12 @@ object HeavyHitters {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
-    auditSketch(s.table(sink), keyedItems(Tables.lineitem(s, dir)))
+    }
+    // the one-row sketch re-homes to the caller's session so the audit join
+    // runs at the batch shuffle width
+    val sketch = ss.table(sink)
+    auditSketch(s.createDataFrame(sketch.rdd, sketch.schema),
+      keyedItems(Tables.lineitem(s, dir)))
   }
 
   val hh01Oracle: String =
