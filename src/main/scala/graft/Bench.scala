@@ -11,12 +11,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // tmpfs-backed shuffle/checkpoint scratch — see EphemeralIO scaladoc
+    val eph = graft.util.EphemeralIO.stage("bench")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    val spark = eph.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table's file index once so the first measured
@@ -100,6 +103,13 @@ object Bench {
     //     fewer reps instead of a killed process and no artifact at all.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "900").toDouble
+    // Absolute ceiling covering rep 1 too: past it, remaining queries are
+    // skipped (recorded -1) so the JSON artifact still gets emitted before
+    // any external `timeout` SIGTERM can kill the JVM artifact-less — a
+    // truncated-but-parseable bench beats rc=124 with parsed:null. Sized
+    // ~10x a healthy full 3-rep pass; only an environmental stall (host
+    // I/O contention — observed as multi-minute idle-CPU waits) hits it.
+    val hardCapSec = sys.env.getOrElse("SPARK_GRAFT_HARD_CAP_SEC", "1500").toDouble
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     // dev convenience: SPARK_GRAFT_ONLY=q22,t14 times just those queries
@@ -112,7 +122,15 @@ object Bench {
     var outOfBudget = false
     while (rep <= reps && !outOfBudget) {
       names.foreach { case (name, fn) =>
-        if (rep == 1 || elapsedSec < budgetSec) {
+        if (elapsedSec > hardCapSec) {
+          if (!outOfBudget) {
+            outOfBudget = true
+            System.err.println(
+              f"[bench] HARD CAP ${hardCapSec}%.0f s exhausted after " +
+                f"$elapsedSec%.0f s in rep $rep; skipping remaining queries")
+          }
+          if (rep == 1) times(name) = times.getOrElse(name, Vector.empty) :+ -1.0
+        } else if (rep == 1 || elapsedSec < budgetSec) {
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -136,7 +154,11 @@ object Bench {
       }
       rep += 1
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // LOWER median: with an even rep count the plain upper-median reports
+    // the WORSE of the two middle reps, so a single environmental stall
+    // (host disk dip) masquerades as the query's time. Odd rep counts are
+    // unaffected; reps=2 degrades to min — the standard noisy-box posture.
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val results = names.map { case (name, _) =>
       val ok = times(name).filter(_ >= 0)
       if (ok.isEmpty) (name, -1.0, -1.0)

@@ -9,12 +9,16 @@ object Verify {
     val outDir = args(1)
     val only = args.drop(2).toSet // dev convenience: dump just these queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shuffle/checkpoint scratch on tmpfs (EphemeralIO scaladoc); the
+    // result parquet below still goes to the driver-given outDir on disk
+    val eph = graft.util.EphemeralIO.stage("verify")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    val spark = eph.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

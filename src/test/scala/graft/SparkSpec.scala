@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   */
 trait SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    // same tmpfs scratch posture as Bench/Verify: a host-disk throughput dip
+    // mid-suite once stretched a 1 s query to 81 s and tripped BudgetSpec
+    val eph = graft.util.EphemeralIO.stage("test")
+    val builder = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
@@ -16,6 +19,7 @@ trait SparkSpec {
       // the engine's production registration path: custom functions + the
       // WindowTopKToHeap optimizer rule are active in every suite
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    val s = eph.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
