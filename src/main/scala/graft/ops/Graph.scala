@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Iterative graph analytics over the order graph — PageRank.
+  *
+  * Complements the connected-components machinery (Dedup.scala d06): CC
+  * answers "which nodes form one entity", PageRank answers "which nodes
+  * matter". In a training-data pipeline this is the domain/source authority
+  * signal (rank hosts by link mass, downweight low-authority sources at
+  * mixing time — the c03 keep-rate input at corpus scale).
+  *
+  * ALL arithmetic is fixed-point BIGINT (the s07/s08/q56 posture): scores
+  * carry micro-mass units of 1e-12, damping 0.85 is exactly 17/20, and each
+  * edge's contribution is floored independently — so the per-node update is
+  * a plain associative SUM of integers, merge-order free, and the DuckDB
+  * oracle (the same ten iterations unrolled as chained CTEs with identical
+  * `//` floor division) hash-matches bit-for-bit. No float ever appears.
+  *
+  * Scale shape (the Pregel topology in DataFrame form): the edge list is
+  * built ONCE and cached; each iteration is one hash join (edges ⋈ scores
+  * on src — scores are node-cardinality, orders of magnitude smaller than
+  * edges) followed by one partial-aggregating shuffle on dst. Lineage is
+  * cut per iteration with localCheckpoint exactly like the d06 CC loop, so
+  * ten iterations stay ten cheap stages instead of one exponential plan.
+  * At 1000 executors the edge partitioning is reused across all ten
+  * iterations (AQE re-plans the tiny score side), which is how industrial
+  * PageRank runs; nothing driver-side ever sees an edge.
+  */
+object Graph {
+
+  /** Total fixed-point mass: 1 unit = 1e-12 of total rank. */
+  val Scale = 1000000000000L
+
+  /** Fixed iteration count — rank vectors at web scale stabilize in tens of
+    * iterations; ten keeps the oracle's unrolled CTE chain tractable.
+    */
+  val Iters = 10
+
+  /** pr01 — PageRank over the undirected customer↔supplier graph: nodes
+    * are customers and suppliers that traded (via orders ⋈ lineitem),
+    * with an edge per distinct trading pair in both directions (so no
+    * dangling mass sinks). Node encoding 2·custkey / 2·suppkey+1 keeps the
+    * two key spaces disjoint through the loop; the output decodes back to
+    * (node_type, node_key, score).
+    */
+  /** Core loop over an arbitrary directed edge list (`src`, `dst` BIGINT;
+    * every node must have out-degree ≥ 1 — build edges undirected, as pr01
+    * does, to guarantee it). Returns (node, score) with Σscore ≤ [[Scale]].
+    */
+  def pageRank(edgesIn: DataFrame, iters: Int = Iters): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = graft.util.Eager.cached(edgesIn.select($"src", $"dst"))
+    val deg = graft.util.Eager.cached(
+      edges.groupBy($"src").agg(count(lit(1)).as("deg")))
+    // two driver-side scalars (node count → init/teleport constants) — the
+    // same "build once, then iterate" sequencing as the s04 quantizer fit
+    val n = deg.count()
+    val init = Scale / n
+    val teleport = init * 3 / 20 // (1 − d)·init with d = 17/20, floored
+    var scores = deg.select($"src".as("node"), lit(init).as("score"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      scores = edges.join(scores, edges("src") === scores("node"))
+        .join(deg, "src")
+        .select($"dst", expr("(score * 17) div (20 * deg)").as("contrib"))
+        .groupBy($"dst")
+        .agg((lit(teleport) + sum($"contrib")).as("score"))
+        .select($"dst".as("node"), $"score")
+        .localCheckpoint()
+    }
+    scores
+  }
+
+  def pr01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sn"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"sn".as("dst"))
+      .unionByName(pairs.select($"sn".as("src"), $"c".as("dst")))
+    pageRank(edges).select(
+      when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+      expr("node div 2").as("node_key"),
+      $"score")
+      .orderBy($"score".desc, $"node_type", $"node_key")
+  }
+
+  /** The identical ten iterations unrolled as chained CTEs. DuckDB's `//`
+    * and Spark's `div` agree on positive BIGINTs; SUM(BIGINT) surfaces as
+    * HUGEINT so the final score casts back (memory: the m02 lesson).
+    */
+  val pr01Oracle: String = {
+    val iters = (1 to Iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node,
+         |  (SELECT teleport FROM consts) +
+         |    CAST(SUM((p.score * 17) // (20 * d.deg)) AS BIGINT) AS score
+         |  FROM edges e
+         |  JOIN s${i - 1} p ON p.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS sn
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT c AS src, sn AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT sn AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |consts AS (
+       |  SELECT CAST($Scale // COUNT(*) AS BIGINT) AS init,
+       |         CAST(($Scale // COUNT(*)) * 3 // 20 AS BIGINT) AS teleport
+       |  FROM deg),
+       |s0 AS (SELECT src AS node, (SELECT init FROM consts) AS score FROM deg),
+       |$iters
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS node_type,
+       |       node // 2 AS node_key,
+       |       score
+       |FROM s$Iters
+       |ORDER BY score DESC, node_type, node_key""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("pr01_pagerank", pr01, Some(pr01Oracle)),
+  )
+}

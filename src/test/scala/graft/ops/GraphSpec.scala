@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** PageRank math pinned by hand on tiny graphs, then the distributed
+  * invariants (merge-order freedom, mass bound) and the gated query's
+  * shape on real testdata.
+  */
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  private def scoresOf(edges: Seq[(Long, Long)], iters: Int,
+      parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst").repartition(parts)
+    Graph.pageRank(df, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two-node path is the exact fixed point at every iteration") {
+    // N=2: init = 5e11; contrib = (5e11·17)/(20·1) = 4.25e11;
+    // teleport = 7.5e10; 4.25e11 + 7.5e10 = 5e11 — stationary.
+    for (iters <- Seq(1, 3)) {
+      val s = scoresOf(Seq((1L, 2L), (2L, 1L)), iters)
+      assert(s == Map(1L -> 500000000000L, 2L -> 500000000000L))
+    }
+  }
+
+  test("3-leaf star matches hand-computed integer scores after 2 iterations") {
+    // N=4, init=25e10, teleport=37500000000, deg(center 0)=3, deg(leaf)=1.
+    // i1: leaf = 37500000000 + (25e10·17)//60          = 108333333333
+    //     center = 37500000000 + 3·((25e10·17)//20)    = 675000000000
+    // i2: leaf = 37500000000 + (675e9·17)//60          = 228750000000
+    //     center = 37500000000 + 3·((108333333333·17)//20) = 313749999999
+    val edges = (1L to 3L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val s = scoresOf(edges, 2)
+    assert(s(0L) == 313749999999L)
+    assert((1L to 3L).forall(l => s(l) == 228750000000L))
+  }
+
+  test("scores are independent of partitioning (merge-order freedom)") {
+    // an asymmetric graph: triangle + pendant
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (1L, 3L), (3L, 1L), (3L, 4L), (4L, 3L))
+    val ref = scoresOf(edges, Graph.Iters, parts = 1)
+    for (p <- Seq(4, 13)) assert(scoresOf(edges, Graph.Iters, parts = p) == ref)
+    // the hub (3: three neighbors) outranks the pendant (4: one neighbor)
+    assert(ref(3L) > ref(4L))
+  }
+
+  test("total mass stays within (0.5, 1.0] of Scale") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    val total = scoresOf(edges, Graph.Iters).values.sum
+    assert(total <= Graph.Scale && total > Graph.Scale / 2,
+      s"mass $total outside (${Graph.Scale / 2}, ${Graph.Scale}]")
+  }
+
+  test("pr01 on sf0.001: both node types present, ordered, positive") {
+    val rows = Graph.pr01(spark, sfSmoke).collect()
+    assert(rows.length > 50)
+    val types = rows.map(_.getString(0)).toSet
+    assert(types == Set("customer", "supplier"))
+    assert(rows.forall(_.getLong(2) > 0L))
+    val scores = rows.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}
