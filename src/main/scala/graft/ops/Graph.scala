@@ -128,7 +128,103 @@ object Graph {
        |ORDER BY score DESC, node_type, node_key""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sp01 — multi-source BFS (shortest hop counts)
+  // ---------------------------------------------------------------------
+
+  /** Hop bound for sp01 — covers the diameter of the dense bipartite trade
+    * graph at every SF while keeping the oracle's recursion bounded.
+    */
+  val MaxHops = 6
+
+  /** Multi-source BFS over (`src`, `dst`) edges: minimum hop count from any
+    * source node, up to `maxHops`. Frontier-expansion shape: each round
+    * joins the PREVIOUS frontier (not the whole visited set) against the
+    * edge list, then prunes nodes already reached — per-round shuffle work
+    * is frontier-sized, and rounds are lineage-cut like the CC loop. The
+    * min-aggregation makes reached sets merge-order free.
+    */
+  def bfsHops(edgesIn: DataFrame, sources: DataFrame,
+      maxHops: Int = MaxHops): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = graft.util.Eager.cached(edgesIn.select($"src", $"dst"))
+    var visited = sources.select($"node", lit(0).as("hops")).localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select($"dst".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select($"node", lit(h).as("hops"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  /** sp01 — supply-chain proximity: hop distance from the EUROPE-nation
+    * supplier cohort to every node of the trade graph (how many trading
+    * steps separate each customer/supplier from the European supply base —
+    * the blast-radius query of supply-chain analytics).
+    */
+  def sp01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sn"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"sn".as("dst"))
+      .unionByName(pairs.select($"sn".as("src"), $"c".as("dst")))
+    val sources = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "EUROPE")
+      .select(($"s_suppkey" * 2 + 1).as("node"))
+      // sources outside the trade graph would mint phantom nodes
+      .join(edges.select($"src".as("node")).distinct(), Seq("node"), "left_semi")
+    bfsHops(edges, sources).select(
+      when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+      expr("node div 2").as("node_key"),
+      $"hops")
+      .orderBy($"hops", $"node_type", $"node_key")
+  }
+
+  /** Bounded-depth reachability as a recursive CTE: UNION dedupes exact
+    * (node, hops) pairs so the recursion terminates; MIN(hops) per node
+    * afterwards is exactly BFS distance.
+    */
+  val sp01Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS sn
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT c AS src, sn AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT sn AS src, c AS dst FROM pairs),
+       |sources AS (
+       |  SELECT DISTINCT s.s_suppkey * 2 + 1 AS node
+       |  FROM supplier s
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = 'EUROPE'
+       |    AND EXISTS (SELECT 1 FROM edges e WHERE e.src = s.s_suppkey * 2 + 1)),
+       |walk(node, hops) AS (
+       |  SELECT node, 0 FROM sources
+       |  UNION
+       |  SELECT e.dst, w.hops + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.hops < $MaxHops)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |         AS node_type,
+       |       node // 2 AS node_key,
+       |       CAST(MIN(hops) AS INT) AS hops
+       |FROM walk
+       |GROUP BY 1, 2
+       |ORDER BY hops, node_type, node_key""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pr01_pagerank", pr01, Some(pr01Oracle)),
+    Q("sp01_bfs_hops", sp01, Some(sp01Oracle)),
   )
 }

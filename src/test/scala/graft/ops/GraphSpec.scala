@@ -56,6 +56,43 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"mass $total outside (${Graph.Scale / 2}, ${Graph.Scale}]")
   }
 
+  private def hopsOf(edges: Seq[(Long, Long)], sources: Seq[Long],
+      maxHops: Int = Graph.MaxHops): Map[Long, Int] = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst").repartition(3)
+    val src = sources.toDF("node")
+    Graph.bfsHops(e, src, maxHops).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  private val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+    (3L, 4L), (4L, 3L))
+
+  test("BFS on a path: exact hop counts from one end") {
+    assert(hopsOf(path, Seq(1L)) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("BFS hop bound truncates the reach") {
+    assert(hopsOf(path, Seq(1L), maxHops = 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("multi-source BFS takes the minimum over sources") {
+    assert(hopsOf(path, Seq(1L, 4L)) ==
+      Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("sp01 on sf0.001: sources at hop 0, contiguous hop levels") {
+    val rows = Graph.sp01(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val hops = rows.map(_.getInt(2))
+    assert(hops.min == 0)
+    val levels = hops.distinct.sorted.toSeq
+    assert(levels == (0 to levels.max),
+      s"hop levels not contiguous: ${levels.mkString(",")}")
+    // hop-0 nodes are exactly suppliers (the EUROPE cohort)
+    assert(rows.filter(_.getInt(2) == 0).forall(_.getString(0) == "supplier"))
+  }
+
   test("pr01 on sf0.001: both node types present, ordered, positive") {
     val rows = Graph.pr01(spark, sfSmoke).collect()
     assert(rows.length > 50)
