@@ -53,6 +53,21 @@ object Graph {
     * does, to guarantee it). Returns (node, score) with Σscore ≤ [[Scale]].
     */
   def pageRank(edgesIn: DataFrame, iters: Int = Iters): DataFrame = {
+    // score vectors are node-cardinality — orders of magnitude below the
+    // session's batch width. Pin the loop's shuffle width on a CHILD
+    // session (the d06 CC pattern: own SQLConf, shared context/cache; the
+    // input plan compiles under the parent's width, the loop's under the
+    // child's) so ten iterations aren't sixty near-empty-partition stages.
+    val parent = edgesIn.sparkSession
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val homedIn = edgesIn.select("src", "dst")
+    val labels = pageRankLoop(
+      ss.createDataFrame(homedIn.rdd, homedIn.schema), iters)
+    parent.createDataFrame(labels.rdd, labels.schema)
+  }
+
+  private def pageRankLoop(edgesIn: DataFrame, iters: Int): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
     val edges = graft.util.Eager.cached(edgesIn.select($"src", $"dst"))
@@ -65,14 +80,17 @@ object Graph {
     val teleport = init * 3 / 20 // (1 − d)·init with d = 17/20, floored
     var scores = deg.select($"src".as("node"), lit(init).as("score"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       scores = edges.join(scores, edges("src") === scores("node"))
         .join(deg, "src")
         .select($"dst", expr("(score * 17) div (20 * deg)").as("contrib"))
         .groupBy($"dst")
         .agg((lit(teleport) + sum($"contrib")).as("score"))
         .select($"dst".as("node"), $"score")
-        .localCheckpoint()
+      // lineage cut every third round: a depth-3 plan re-optimizes fine,
+      // and each localCheckpoint is a whole extra job — at ten iterations
+      // the checkpoint jobs dominated the loop's wall-clock
+      if (i % 3 == 0 || i == iters) scores = scores.localCheckpoint()
     }
     scores
   }
@@ -144,8 +162,22 @@ object Graph {
     * is frontier-sized, and rounds are lineage-cut like the CC loop. The
     * min-aggregation makes reached sets merge-order free.
     */
-  def bfsHops(edgesIn: DataFrame, sources: DataFrame,
+  def bfsHops(edgesIn: DataFrame, sourcesIn: DataFrame,
       maxHops: Int = MaxHops): DataFrame = {
+    // same child-session narrow width as pageRank; both inputs re-home
+    val parent = edgesIn.sparkSession
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val e = edgesIn.select("src", "dst")
+    val src = sourcesIn.select("node")
+    val visited = bfsLoop(
+      ss.createDataFrame(e.rdd, e.schema),
+      ss.createDataFrame(src.rdd, src.schema), maxHops)
+    parent.createDataFrame(visited.rdd, visited.schema)
+  }
+
+  private def bfsLoop(edgesIn: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
     val edges = graft.util.Eager.cached(edgesIn.select($"src", $"dst"))
