@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Structural scale guard over EVERY registered query: shapes that cannot
+  * survive a 100 TB input must not appear in any gated plan.
+  *
+  * - `CartesianProduct` (unbroadcast cross join: quadratic AND shuffles
+  *   both sides) is banned everywhere except d05, the deliberate exact
+  *   all-pairs ground truth that d07's bucketed path is gated against.
+  * - `BroadcastNestedLoopJoin` is banned UNLESS the query is registered
+  *   below as broadcast-scan-by-design: a BOUNDED broadcast side (k probe
+  *   vectors, a 1-row bounds/sketch relation) against one linear pass of
+  *   the big side — |big| × O(1) work, the correct distributed shape for
+  *   brute-force KNN scoring and global-bound audits. A new query landing
+  *   a BNLJ must either argue boundedness here or fix its join keys.
+  *
+  * One test per query so a violation names its owner.
+  */
+class PlanSweepSpec extends AnyFunSuite with SparkSpec {
+
+  private val quadraticByDesign = Set("d05_embedding_neardup")
+
+  /** Bounded-broadcast × linear-scan forms (see each implementation's
+    * scaladoc): the KNN family scores a fixed probe set against the
+    * corpus; dq01/hh01/hh02 audit against single-row global relations.
+    */
+  private val broadcastScanByDesign = Set(
+    "s01_knn_bruteforce", "s02_knn_lsh", "s03_knn_heap", "s04_knn_ivf",
+    "s05_knn_rule_rewrite", "s06_knn_pq", "s08_semantic_dedup",
+    "dq01_expectations", "hh01_heavy_hitters", "hh02_heavy_hitters_stream",
+    // 1-row global-scalar crossJoins: corpus doc count (t08 IDF), the
+    // stop-key df threshold (t10), dimension min/max bounds (z01)
+    "t08_term_importance", "t10_winnowing_pairs", "z01_zorder_buckets",
+  )
+
+  graft.SparkEntry.registry.sortBy(_.name).foreach { q =>
+    test(s"${q.name}: no cartesian/unbounded nested-loop join in the plan") {
+      val df = q.fn(spark, sfSmoke)
+      val p = df.queryExecution.executedPlan.toString
+      if (!quadraticByDesign(q.name)) {
+        assert(!p.contains("CartesianProduct"),
+          s"${q.name} plans a CartesianProduct")
+        if (!broadcastScanByDesign(q.name))
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"${q.name} plans a BroadcastNestedLoopJoin — justify boundedness " +
+              "in PlanSweepSpec.broadcastScanByDesign or fix the join keys")
+      }
+    }
+  }
+}
