@@ -46,4 +46,8 @@ class BudgetSpec extends AnyFunSuite with SparkSpec {
   budget("d10_containment_join", 30.0)
   budget("t10_winnowing_pairs", 30.0)
   budget("d06_dup_clusters", 30.0)
+  // the iterative graph loops — cost is per-round scheduling, so a lost
+  // lineage cut or a width regression shows up as a multiple, not noise
+  budget("pr01_pagerank", 30.0)
+  budget("sp01_bfs_hops", 30.0)
 }
