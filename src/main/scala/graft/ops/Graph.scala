@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Q
 
-/** Iterative graph analytics over the order graph — PageRank.
+/** Iterative graph analytics over the order graph — PageRank (Page et al.
+  * 1999) and multi-source BFS, in the vertex-program-as-joins topology of
+  * Pregel (Malewicz et al. 2010) expressed as DataFrame operations.
   *
   * Complements the connected-components machinery (Dedup.scala d06): CC
   * answers "which nodes form one entity", PageRank answers "which nodes
@@ -70,7 +72,11 @@ object Graph {
   private def pageRankLoop(edgesIn: DataFrame, iters: Int): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    val edges = graft.util.Eager.cached(edgesIn.select($"src", $"dst"))
+    // hash-partition the edge list by join key ONCE: the cached relation's
+    // outputPartitioning is reused by every iteration's join, so only the
+    // node-cardinality score side ever moves again (the Pregel invariant)
+    val edges = graft.util.Eager.cached(
+      edgesIn.select($"src", $"dst").repartition($"src"))
     val deg = graft.util.Eager.cached(
       edges.groupBy($"src").agg(count(lit(1)).as("deg")))
     // two driver-side scalars (node count → init/teleport constants) — the
