@@ -265,10 +265,47 @@ object Profile {
       |FROM ev JOIN stats USING (event_type)
       |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin
 
+  /** q57 — scan-less global statistics: MIN/MAX/COUNT answered from the
+    * parquet FOOTERS via Spark's aggregate pushdown (`PushedAggregation`
+    * in the scan node — asserted by PlanSpec). At 100 TB this is the
+    * difference between reading one row-group footer per file and a
+    * full-table scan; it is how a pipeline stamps freshness/extent
+    * metadata on every ingest without paying for a pass. The V2 parquet
+    * reader path and the pushdown flag live on a child session (the
+    * engine's no-shared-conf-mutation rule); the result is the child's
+    * DataFrame — nothing downstream joins it, so it never re-homes.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // parquet must leave the V1 source list for DSv2 aggregate pushdown
+    ss.conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,text")
+    import ss.implicits._
+    // integer key extents + row count: the types parquet stores exact
+    // row-group statistics for (timestamp columns are excluded from
+    // pushdown by Spark — their footer stats are not trustworthy across
+    // writers)
+    ss.read.parquet(s"$dir/lineitem.parquet")
+      .agg(
+        min($"l_orderkey").as("min_orderkey"),
+        max($"l_orderkey").as("max_orderkey"),
+        min($"l_partkey").as("min_partkey"),
+        max($"l_partkey").as("max_partkey"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q57Oracle: String =
+    """SELECT MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+      |  MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
     Q("q48_winsorize", q48, Some(q48Oracle)),
     Q("q56_zscore_outliers", q56, Some(q56Oracle)),
+    Q("q57_footer_stats", q57, Some(q57Oracle)),
   )
 }

@@ -19,6 +19,10 @@ trait SparkSpec {
       // the engine's production registration path: custom functions + the
       // WindowTopKToHeap optimizer rule are active in every suite
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // static conf: managed tables (BucketedJoinSpec) land on scratch,
+      // never in the checkout's cwd
+      .config("spark.sql.warehouse.dir",
+        eph.getOrElse(sys.props("java.io.tmpdir")) + "/graft-test-warehouse")
     val s = eph.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -170,4 +170,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(byId(1L).isNullAt(merged.columns.indexOf("score")))
     assert(byId(3L).getDouble(merged.columns.indexOf("score")) == 9.5)
   }
+
+  test("q57: MIN/MAX/COUNT answered from parquet footers (aggregate pushdown)") {
+    val p = plan("q57_footer_stats")
+    assert(p.contains("PushedAggregation: [MIN(l_orderkey)"), p)
+    assert(p.contains("COUNT(*)"), p)
+    // the scan materializes only the pushed aggregate columns, not data rows
+    assert(!p.contains("l_quantity"), p)
+  }
 }
