@@ -108,8 +108,50 @@ object EventAnalytics {
       |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
       |ORDER BY step""".stripMargin
 
+  /** q58 — top event paths: the ten most common 3-step event-type
+    * sequences across user timelines (path/sequence mining — "what do
+    * users actually do next" — the navigation-analysis workhorse next to
+    * q52's fixed funnel).
+    *
+    * Scale shape: one window pass per user ordered by (ts, event_id) —
+    * event_id breaks timestamp ties so the sequence is total-ordered and
+    * engine-independent — then a path-cardinality groupBy whose partial
+    * agg collapses map-side, then TakeOrderedAndProject for the top ten.
+    * Shuffled volume after the window is distinct-path counts, not
+    * events. Null handling matches the oracle exactly: trailing windows
+    * (fewer than 3 remaining events) are FILTERED, not concat_ws-skipped
+    * — Spark's concat_ws drops nulls silently, DuckDB's || propagates
+    * them; filtering makes both engines drop the same rows.
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e3".isNotNull)
+      .select(concat($"event_type", lit(" > "), $"e2", lit(" > "), $"e3")
+        .as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
+  }
+
+  val q58Oracle: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |tri AS (
+      |  SELECT event_type || ' > ' || LEAD(event_type, 1) OVER w
+      |           || ' > ' || LEAD(event_type, 2) OVER w AS path
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT path, COUNT(*) AS n FROM tri WHERE path IS NOT NULL
+      |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q51_cohort_retention", q51, Some(q51Oracle)),
     Q("q52_funnel_steps", q52, Some(q52Oracle)),
+    Q("q58_event_paths", q58, Some(q58Oracle)),
   )
 }

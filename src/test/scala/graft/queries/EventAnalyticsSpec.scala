@@ -43,4 +43,25 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(counts(1) == progressed.size)
   }
+
+  test("q58 paths: counts match a driver-side trigram recompute") {
+    import spark.implicits._
+    val rows = EventAnalytics.q58(spark, sfSmoke).collect()
+    assert(rows.length == 10)
+    // driver-side oracle over the same grain: per-user (ts, event_id)
+    // ordered event types, sliding windows of 3
+    val byUser = Tables.events(spark, sfSmoke)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val expected = byUser.values.flatMap { rs =>
+      rs.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(_.getString(3)).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" > "))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = expected.toSeq.sortBy { case (p2, n) => (-n, p2) }.take(10)
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toSeq == top)
+    // descending, total-ordered output
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
 }
