@@ -118,7 +118,49 @@ object ZOrder {
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** z02 — dynamic partition pruning over a partitioned layout: the other
+    * half of the scan-skipping story (z01/q57 skip within files via footer
+    * stats; this skips whole DIRECTORIES via the runtime join key set). The
+    * query lays customer out hive-partitioned by `c_nationkey` (the layout
+    * write a 100 TB warehouse does once per load), then runs the canonical
+    * star-schema probe: fact ⋈ broadcast(dim with a selective predicate) on
+    * the partition column. Catalyst inserts a `dynamicpruningexpression` into
+    * the fact scan's PartitionFilters — the 5 region-1 nation keys, computed
+    * at runtime from the reused broadcast, prune 20 of 25 partition
+    * directories before a single fact byte is read. At 100 TB with
+    * date-partitioned facts this is the difference between scanning a full
+    * table and scanning a week. Plan shape asserted in PlanSpec; result
+    * parity (identical to the unpartitioned join) gated against DuckDB on
+    * the original table.
+    */
+  def z02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.util.Exact._
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-z02-customer").getAbsolutePath
+    Tables.customer(s, dir)
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    val fact = s.read.parquet(tmp)
+    val dim = Tables.nation(s, dir).filter($"n_regionkey" === 1)
+    fact
+      .join(broadcast(dim), fact("c_nationkey") === dim("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum($"c_acctbal").as("total_acctbal"),
+      )
+      .orderBy($"n_name")
+  }
+
+  val z02Oracle: String =
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey = 1
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("z01_zorder_buckets", z01, Some(z01Oracle)),
+    Q("z02_dpp_pruned_scan", z02, Some(z02Oracle)),
   )
 }

@@ -171,6 +171,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(byId(3L).getDouble(merged.columns.indexOf("score")) == 9.5)
   }
 
+  test("z02: runtime partition pruning reaches the fact scan") {
+    val p = plan("z02_dpp_pruned_scan")
+    // the dim's region filter becomes a runtime IN-set over the fact's
+    // partition column — whole directories skipped before any fact IO
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q57: MIN/MAX/COUNT answered from parquet footers (aggregate pushdown)") {
     val p = plan("q57_footer_stats")
     assert(p.contains("PushedAggregation: [MIN(l_orderkey)"), p)
