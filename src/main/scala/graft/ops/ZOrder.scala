@@ -159,8 +159,75 @@ object ZOrder {
       |WHERE n_regionkey = 1
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** The z03 plan body, built on WHATEVER session it is given — exposed so
+    * the PlanSpec can compile it on a bloom-configured child session and
+    * assert the injected filter, while [[z03]] wraps it for the gate.
+    * Canonical selective-dim shuffle join: ~3% of part survives the brand
+    * predicate, every lineitem row shuffles for the SortMergeJoin unless
+    * something stops it at the scan.
+    */
+  def z03Body(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.util.Exact._
+    val li = Tables.lineitem(s, dir)
+    val pt = Tables.part(s, dir).filter($"p_brand" === "Brand#13")
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .groupBy($"p_type")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice").as("revenue"),
+      )
+      .orderBy($"p_type")
+  }
+
+  /** z03 — runtime bloom-filter row pruning: the row-level third of the
+    * scan-skipping story (q57 answers from footers, z02 prunes whole
+    * partition DIRECTORIES on the join key at runtime; this prunes ROWS of
+    * a shuffle join's fact side before they reach the exchange). Catalyst's
+    * InjectRuntimeFilter builds a bloom filter over the filtered dim's join
+    * keys (`bloom_filter_agg` subquery) and plants `might_contain(...)` in
+    * the fact scan's post-scan filter — with a ~3%-selective dim predicate,
+    * ~97% of fact rows drop BEFORE the SortMergeJoin shuffle instead of
+    * after it. At 100 TB this is the lever for selective joins on
+    * NON-partition keys, where z02's directory pruning can't apply: shuffle
+    * bytes scale with the dim's selectivity, not the fact's size. The
+    * injection thresholds are sized for multi-GB scans (creation side
+    * ≤ 10 MB, application side ≥ 10 GB by default), so the sf-scale gate
+    * pins them on a CHILD session (own SQLConf, shared context — the house
+    * pattern) and re-homes the result; the oracle checks the join result is
+    * bit-identical with and without the bloom filter in the plan.
+    */
+  def z03(s: SparkSession, dir: String): DataFrame = {
+    val ss = bloomSession(s)
+    val df = z03Body(ss, dir)
+    s.createDataFrame(df.rdd, df.schema)
+  }
+
+  /** Child session with runtime bloom-filter injection ENABLED at local
+    * test scale: threshold floors dropped so the sf0.01/sf0.1 fact scan
+    * qualifies as "large", broadcast disabled so the join is the shuffle
+    * join the rule targets (at warehouse scale both happen naturally: the
+    * fact side IS ≥ 10 GB, and a 100 M-row dim side is far past broadcast).
+    */
+  def bloomSession(parent: SparkSession): SparkSession = {
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    ss.conf.set("spark.sql.shuffle.partitions", "32")
+    ss
+  }
+
+  val z03Oracle: String =
+    """SELECT p_type, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#13'
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("z01_zorder_buckets", z01, Some(z01Oracle)),
     Q("z02_dpp_pruned_scan", z02, Some(z02Oracle)),
+    Q("z03_bloom_pruned_join", z03, Some(z03Oracle)),
   )
 }

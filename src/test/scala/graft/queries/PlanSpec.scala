@@ -180,6 +180,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("z03: runtime bloom filter prunes fact rows before the shuffle") {
+    val ss = graft.ops.ZOrder.bloomSession(spark)
+    val p = graft.ops.ZOrder.z03Body(ss, sfSmoke)
+      .queryExecution.executedPlan.toString
+    // the filtered dim's keys become a bloom subquery probed in the fact
+    // scan's filter — rows drop before the SortMergeJoin exchange
+    assert(p.contains("bloom_filter_agg"), p)
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("q57: MIN/MAX/COUNT answered from parquet footers (aggregate pushdown)") {
     val p = plan("q57_footer_stats")
     assert(p.contains("PushedAggregation: [MIN(l_orderkey)"), p)
