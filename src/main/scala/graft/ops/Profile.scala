@@ -176,6 +176,77 @@ object Profile {
       |    COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) = 0 FROM documents
       |) ORDER BY check_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dq02 — snapshot drift: per-bin distribution shift between two windows
+  // ---------------------------------------------------------------------
+
+  /** dq02 — distribution drift between two ingest windows, the
+    * "did this week's data move under us" check that gates every refresh
+    * of a 100 TB corpus. The reference window (orders before 1998) and the
+    * current window (1999 onward) are histogrammed on the SAME fixed-width
+    * bins (10 × 50k over o_totalprice — fixed edges, not quantiles, so the
+    * binning is deterministic and needs no second pass), and each bin
+    * reports both windows' counts, each window's share in integer PARTS
+    * PER MILLION, and the absolute per-bin shift. Σ drift_ppm / 2e6 is the
+    * total-variation distance; PSI is Σ (Δshare · ln-ratio) over the same
+    * relation — the gate stops at exact integer ppm because `ln` is not
+    * bit-portable across engines (correct rounding is not guaranteed by
+    * either), while counts, IEEE-exact division, and HALF_UP rounding are.
+    *
+    * Shape at scale: the two windows are RANGE predicates on the sort/
+    * partition column (date literals, not `year()`, precisely so they push
+    * into the parquet scan / prune date partitions), one conditional
+    * aggregation computes both histograms in a single pass (partial
+    * map-side combine → 10 groups), and the share normalization is a
+    * window over the 10-row aggregate. Cost = one pruned scan regardless
+    * of corpus size.
+    */
+  def dq02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val refEnd   = lit("1998-01-01").cast("timestamp")
+    val curStart = lit("1999-01-01").cast("timestamp")
+    val binned = Tables.orders(s, dir)
+      .filter($"o_orderdate" < refEnd || $"o_orderdate" >= curStart)
+      .select(
+        least(floor($"o_totalprice" / 50000), lit(9L)).cast("long").as("bin_id"),
+        ($"o_orderdate" < refEnd).as("is_ref"))
+    val everything = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    binned
+      .groupBy($"bin_id")
+      .agg(
+        count(when($"is_ref", lit(1))).as("ref_count"),
+        count(when(!$"is_ref", lit(1))).as("cur_count"))
+      .withColumn("ref_ppm",
+        round(lit(1e6) * $"ref_count" / sum($"ref_count").over(everything)).cast("long"))
+      .withColumn("cur_ppm",
+        round(lit(1e6) * $"cur_count" / sum($"cur_count").over(everything)).cast("long"))
+      .withColumn("drift_ppm", abs($"cur_ppm" - $"ref_ppm"))
+      .orderBy($"bin_id")
+  }
+
+  val dq02Oracle: String =
+    """WITH binned AS (
+      |  SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bin_id,
+      |         o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |     OR o_orderdate >= TIMESTAMP '1999-01-01'
+      |), agg AS (
+      |  SELECT bin_id,
+      |         COUNT(CASE WHEN is_ref THEN 1 END) AS ref_count,
+      |         COUNT(CASE WHEN NOT is_ref THEN 1 END) AS cur_count
+      |  FROM binned GROUP BY bin_id
+      |), shares AS (
+      |  SELECT bin_id, ref_count, cur_count,
+      |    CAST(ROUND(1e6 * ref_count / CAST(SUM(ref_count) OVER () AS DOUBLE)) AS BIGINT) AS ref_ppm,
+      |    CAST(ROUND(1e6 * cur_count / CAST(SUM(cur_count) OVER () AS DOUBLE)) AS BIGINT) AS cur_ppm
+      |  FROM agg
+      |)
+      |SELECT bin_id, ref_count, cur_count, ref_ppm, cur_ppm,
+      |  ABS(cur_ppm - ref_ppm) AS drift_ppm
+      |FROM shares ORDER BY bin_id""".stripMargin
+
   /** q48 — winsorization (percentile clipping), the outlier treatment a
     * feature pipeline applies before scaling: clamp each group's values
     * into [p05, p95] and report the clip counts + the exact sum of the
@@ -304,6 +375,7 @@ object Profile {
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
+    Q("dq02_snapshot_drift", dq02, Some(dq02Oracle)),
     Q("q48_winsorize", q48, Some(q48Oracle)),
     Q("q56_zscore_outliers", q56, Some(q56Oracle)),
     Q("q57_footer_stats", q57, Some(q57Oracle)),

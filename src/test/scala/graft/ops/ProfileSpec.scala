@@ -74,6 +74,31 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(nViol > 0L && !r.getAs[Boolean]("passed"))
     assert(r.getAs[Long]("n_checked") == orders.count())
   }
+
+  test("dq02 drift: shares are ppm-normalized, counts partition the windows, range filter pushes down") {
+    import spark.implicits._
+    val df = Profile.dq02(spark, sfSmoke)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10, s"${rows.length} bins")
+    // each window's shares sum to 1e6 up to per-bin half-ulp rounding
+    def ppmSum(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(math.abs(ppmSum("ref_ppm") - 1000000L) <= rows.length / 2 + 1)
+    assert(math.abs(ppmSum("cur_ppm") - 1000000L) <= rows.length / 2 + 1)
+    // bin counts partition each window exactly (nothing dropped or doubled)
+    val orders = graft.Tables.orders(spark, sfSmoke)
+    val nRef = orders.filter($"o_orderdate" < "1998-01-01").count()
+    val nCur = orders.filter($"o_orderdate" >= "1999-01-01").count()
+    assert(rows.map(_.getAs[Long]("ref_count")).sum == nRef)
+    assert(rows.map(_.getAs[Long]("cur_count")).sum == nCur)
+    // drift is the |Δ| of the reported shares, bin by bin
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drift_ppm") ==
+        math.abs(r.getAs[Long]("cur_ppm") - r.getAs[Long]("ref_ppm")))
+    }
+    // the window predicate is date-literal range, so it must reach the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [Or(LessThan(o_orderdate"), plan)
+  }
 }
 
 private object Dq {
