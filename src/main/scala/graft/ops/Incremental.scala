@@ -79,7 +79,81 @@ object Incremental {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dq03 — snapshot diff: row-level added/removed/changed between versions
+  // ---------------------------------------------------------------------
+
+  /** dq03 — the row-level "what changed since yesterday" audit between two
+    * versions of a keyed table: a full-outer join on the primary key
+    * classifies every row as added (new only), removed (old only), or
+    * changed (both sides present, content differs — null-safe compare), and
+    * the unchanged majority is DROPPED, never materialized: the output is
+    * delta-cardinality, not table-cardinality. mv01 maintains an aggregate
+    * in O(delta) given the delta; dq03 is how you GET that delta (and the
+    * audit trail) when the upstream hands you full snapshots instead of a
+    * change feed.
+    *
+    * Shape at scale: both snapshots project to (key, content) before the
+    * join, so only those columns cross the wire; stored bucketed/sorted by
+    * the key, the full-outer join is a zero-shuffle sort-merge. For wide
+    * rows, production compares a per-side content fingerprint (xxhash64 of
+    * the concatenated columns) instead of each column; the gate compares
+    * the real column because engine hash functions differ and the oracle
+    * must reproduce every byte.
+    *
+    * The two "snapshots" here derive deterministically from one table so
+    * the oracle can rebuild them: old = keys not ≡ 0 (mod 11), new = keys
+    * not ≡ 0 (mod 10) with a price bump on keys ≡ 0 (mod 7) — yielding all
+    * three classes (adds where 11 | key but 10 ∤ key, removals vice versa,
+    * changes on the surviving 7 | key rows). The bump is a bare IEEE
+    * multiply (no rounding) so both engines produce the identical double.
+    */
+  def dq03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val old = orders.filter($"o_orderkey" % 11 =!= 0)
+      .select($"o_orderkey".as("k_old"), $"o_totalprice".as("old_price"))
+    val nw = orders.filter($"o_orderkey" % 10 =!= 0)
+      .select(
+        $"o_orderkey".as("k_new"),
+        when($"o_orderkey" % 7 === 0, $"o_totalprice" * lit(1.1))
+          .otherwise($"o_totalprice").as("new_price"))
+    old.join(nw, $"k_old" === $"k_new", "full_outer")
+      .select(
+        when($"k_old".isNull, lit("added"))
+          .when($"k_new".isNull, lit("removed"))
+          .when(!($"old_price" <=> $"new_price"), lit("changed"))
+          .as("change_type"),
+        coalesce($"k_old", $"k_new").as("o_orderkey"),
+        $"old_price", $"new_price")
+      .filter($"change_type".isNotNull)
+      .orderBy($"change_type", $"o_orderkey")
+  }
+
+  val dq03Oracle: String =
+    """WITH old AS (
+      |  SELECT o_orderkey AS k_old, o_totalprice AS old_price
+      |  FROM orders WHERE o_orderkey % 11 <> 0
+      |), nw AS (
+      |  SELECT o_orderkey AS k_new,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * CAST(1.1 AS DOUBLE)
+      |         ELSE o_totalprice END AS new_price
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |), d AS (
+      |  SELECT
+      |    CASE WHEN k_old IS NULL THEN 'added'
+      |         WHEN k_new IS NULL THEN 'removed'
+      |         WHEN old_price IS DISTINCT FROM new_price THEN 'changed'
+      |    END AS change_type,
+      |    COALESCE(k_old, k_new) AS o_orderkey, old_price, new_price
+      |  FROM old FULL OUTER JOIN nw ON k_old = k_new
+      |)
+      |SELECT change_type, o_orderkey, old_price, new_price
+      |FROM d WHERE change_type IS NOT NULL
+      |ORDER BY change_type, o_orderkey""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("mv01_incremental_rollup", mv01, Some(mv01Oracle)),
+    Q("dq03_snapshot_diff", dq03, Some(dq03Oracle)),
   )
 }

@@ -40,4 +40,30 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(rows(Incremental.mergeWeekly(base, emptyDelta)) ==
       rows(Incremental.mergeWeekly(base)))
   }
+
+  test("dq03 diff classes match their membership predicates exactly; unchanged rows never surface") {
+    import spark.implicits._
+    val out = Incremental.dq03(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    val byClass = out.groupBy(_.getAs[String]("change_type"))
+    assert(byClass.keySet == Set("added", "removed", "changed"))
+    // recompute each class's key set from the defining predicates
+    val keys = graft.Tables.orders(spark, sfSmoke)
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val added = keys.filter(k => k % 11 == 0 && k % 10 != 0)
+    val removed = keys.filter(k => k % 10 == 0 && k % 11 != 0)
+    val changed = keys.filter(k => k % 7 == 0 && k % 10 != 0 && k % 11 != 0)
+    def classKeys(c: String) = byClass(c).map(_.getAs[Long]("o_orderkey")).toSet
+    assert(classKeys("added") == added)
+    assert(classKeys("removed") == removed)
+    assert(classKeys("changed") == changed)
+    // delta-cardinality contract: output is exactly the three classes
+    assert(out.length == added.size + removed.size + changed.size)
+    // sides carry the right nulls: adds have no old, removals no new
+    byClass("added").foreach(r => assert(r.isNullAt(r.fieldIndex("old_price"))))
+    byClass("removed").foreach(r => assert(r.isNullAt(r.fieldIndex("new_price"))))
+    byClass("changed").foreach { r =>
+      assert(r.getAs[Double]("new_price") == r.getAs[Double]("old_price") * 1.1)
+    }
+  }
 }
