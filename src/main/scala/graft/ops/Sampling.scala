@@ -231,10 +231,89 @@ object Sampling {
       |  MIN(c_custkey) AS first_key
       |FROM f GROUP BY fold, c_mktsegment ORDER BY fold, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ml04 — leakage-free train/val/test split, keyed on the group
+  // ---------------------------------------------------------------------
+
+  /** 75/12.5/12.5 split id from the key's md5-hex prefix — the same
+    * engine-portable hex-compare scheme as [[foldOf]] (12/16, 2/16, 2/16
+    * of the prefix space; boundaries are string compares, no hex→int).
+    */
+  def splitOf(key: Column): Column = {
+    val h = substring(md5(key.cast("string")), 1, 8)
+    when(h < "c0000000", "train").when(h < "e0000000", "val").otherwise("test")
+  }
+
+  /** ml04 — the split-leakage audit: assign documents to train/val/test
+    * two ways — keyed on `doc_id` (the naive split) and keyed on `source`
+    * (the provenance group) — and report, per (method, split), the doc and
+    * source counts plus each method's count of LEAKY groups: sources whose
+    * documents straddle more than one split. Near-duplicates cluster
+    * within a provenance group, so a group that straddles splits leaks
+    * train content into eval; keying the split on the group makes
+    * straddling impossible BY CONSTRUCTION (a pure function of `source`
+    * cannot send one source two ways), and the audit proves the naive
+    * method does leak on the same data. Same reason Dedup/ml03 key on
+    * content hashes: membership must be a pure function of the right key.
+    *
+    * Shape at scale: the split never materializes (trainers re-derive
+    * membership from the pure predicate); the audit itself is one scan per
+    * method into a 3-row and a 1-row aggregate — the leak count joins in
+    * as a broadcast global scalar (dq01 precedent, whitelisted in
+    * PlanSweepSpec as a bounded 1-row broadcast).
+    */
+  def ml04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    def audit(method: String, splitKey: Column): DataFrame = {
+      val assigned = docs.select($"doc_id", $"source", splitOf(splitKey).as("split_name"))
+      val leaky = assigned
+        .groupBy($"source").agg(countDistinct($"split_name").as("n_splits"))
+        .agg(count(when($"n_splits" > 1, lit(1))).as("n_leaky_sources"))
+      assigned
+        .groupBy($"split_name")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"source").as("n_sources"))
+        .crossJoin(leaky)
+        .select(lit(method).as("method"), $"split_name", $"n_docs",
+          $"n_sources", $"n_leaky_sources")
+    }
+    audit("by_doc_id", $"doc_id")
+      .unionByName(audit("by_source", $"source"))
+      .orderBy($"method", $"split_name")
+  }
+
+  val ml04Oracle: String =
+    """WITH assigned AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e0000000' THEN 'val'
+      |         ELSE 'test' END AS split_id,
+      |    CASE WHEN substring(md5(source), 1, 8) < 'c0000000' THEN 'train'
+      |         WHEN substring(md5(source), 1, 8) < 'e0000000' THEN 'val'
+      |         ELSE 'test' END AS split_src
+      |  FROM documents
+      |), m AS (
+      |  SELECT 'by_doc_id' AS method, split_id AS split_name, doc_id, source FROM assigned
+      |  UNION ALL
+      |  SELECT 'by_source', split_src, doc_id, source FROM assigned
+      |), leaks AS (
+      |  SELECT method, COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS n_leaky_sources
+      |  FROM (SELECT method, source, COUNT(DISTINCT split_name) AS n_splits
+      |        FROM m GROUP BY method, source)
+      |  GROUP BY method
+      |)
+      |SELECT m.method, split_name, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  MIN(leaks.n_leaky_sources) AS n_leaky_sources
+      |FROM m JOIN leaks ON m.method = leaks.method
+      |GROUP BY m.method, split_name
+      |ORDER BY m.method, split_name""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q38_hash_sample", q38, Some(q38Oracle)),
     Q("c03_source_mixing", c03, Some(c03Oracle)),
     Q("q49_token_budget", q49, Some(q49Oracle)),
     Q("ml03_kfold_split", ml03, Some(ml03Oracle)),
+    Q("ml04_leakage_audit", ml04, Some(ml04Oracle)),
   )
 }

@@ -84,4 +84,20 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val enRate = byLang.getOrElse("en", 0L).toDouble / en
     assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
   }
+
+  test("ml04 leakage audit: group-keyed split cannot leak, id-keyed split does") {
+    val rows = Sampling.ml04(spark, sfSmoke).collect()
+    val byMethod = rows.groupBy(_.getAs[String]("method"))
+    assert(byMethod.keySet == Set("by_doc_id", "by_source"))
+    // the group-keyed split has zero straddling sources BY CONSTRUCTION;
+    // the id-keyed split must demonstrate the leak it exists to prevent
+    assert(byMethod("by_source").forall(_.getAs[Long]("n_leaky_sources") == 0L))
+    assert(byMethod("by_doc_id").forall(_.getAs[Long]("n_leaky_sources") > 0L))
+    // both methods partition all docs; by_source moves whole groups
+    val total = graft.Tables.documents(spark, sfSmoke).count()
+    byMethod.values.foreach(m => assert(m.map(_.getAs[Long]("n_docs")).sum == total))
+    val srcSplits = byMethod("by_source").map(_.getAs[Long]("n_sources")).sum
+    val nSources = 20L // sources are disjoint across splits iff they sum to the distinct count
+    assert(srcSplits == nSources, s"source splits overlap: $srcSplits != $nSources")
+  }
 }

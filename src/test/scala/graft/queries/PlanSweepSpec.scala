@@ -32,8 +32,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     "s05_knn_rule_rewrite", "s06_knn_pq", "s08_semantic_dedup",
     "dq01_expectations", "hh01_heavy_hitters", "hh02_heavy_hitters_stream",
     // 1-row global-scalar crossJoins: corpus doc count (t08 IDF), the
-    // stop-key df threshold (t10), dimension min/max bounds (z01)
+    // stop-key df threshold (t10), dimension min/max bounds (z01), the
+    // per-method leak count (ml04)
     "t08_term_importance", "t10_winnowing_pairs", "z01_zorder_buckets",
+    "ml04_leakage_audit",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>
