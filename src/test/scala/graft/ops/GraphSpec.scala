@@ -102,4 +102,40 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val scores = rows.map(_.getLong(2))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("tc01 matches a local brute-force recompute on real topology (sf0.01)") {
+    val sfGate = "/root/testdata/sf0.01"
+    val out = Graph.tc01(spark, sfGate).collect().head
+    // independent recompute: no orientation trick, no Spark — collect the
+    // (order, supplier) pairs and walk adjacency sets
+    val li = graft.Tables.lineitem(spark, sfGate)
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    li.groupBy(_._1).values.foreach { grp =>
+      val ss = grp.map(_._2).sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length if ss(i) < ss(j))
+        co((ss(i), ss(j))) = co.getOrElse((ss(i), ss(j)), 0L) + 1L
+    }
+    // decile threshold: min n with 10·cum ≥ 9·total over ascending counts
+    val counts = co.values.toSeq.sorted
+    val tot = counts.length
+    val thr = counts.zipWithIndex.collectFirst {
+      case (n, i) if (i + 1) * 10 >= tot * 9 => n
+    }.get
+    // NB: Map.collect over pair results would rebuild a Map keyed on s1,
+    // silently collapsing edges — filter + keys keeps the full pair set
+    val edges = co.filter(_._2 >= thr).keys.toSet
+    assert(out.getAs[Long]("n_edges") == edges.size)
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    assert(out.getAs[Long]("n_vertices") == adj.size)
+    val openWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(out.getAs[Long]("n_open_wedges") == openWedges)
+    val triangles = edges.toSeq.map { case (a, b) => (adj(a) & adj(b)).size.toLong }.sum / 3
+    assert(out.getAs[Long]("n_triangles") == triangles)
+    assert(out.getAs[Long]("n_triangles") > 0L, "gate-scale graph should have triangles")
+    assert(out.getAs[Long]("clustering_ppm") ==
+      3L * triangles * 1000000L / openWedges)
+  }
 }

@@ -35,7 +35,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // stop-key df threshold (t10), dimension min/max bounds (z01), the
     // per-method leak count (ml04)
     "t08_term_importance", "t10_winnowing_pairs", "z01_zorder_buckets",
-    "ml04_leakage_audit",
+    "ml04_leakage_audit", "tc01_triangle_count",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>
