@@ -149,9 +149,73 @@ object EventAnalytics {
       |SELECT path, COUNT(*) AS n FROM tri WHERE path IS NOT NULL
       |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** Session gap: events of one user more than 30 minutes apart start a
+    * new session. Compared in exact integer MICROSECONDS in both engines.
+    */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** q59 — batch sessionization (gaps-and-islands): each user's event
+    * stream split into sessions at >30-minute silences, one output row per
+    * session with start/end/duration/event stats. The batch complement of
+    * st02/st08's streaming session windows — this is how historical
+    * backfills and training-data session features are computed.
+    *
+    * Scale shape: the classic two-window gaps-and-islands needs ONE
+    * exchange total. Both windows and the final per-session aggregation
+    * key on user_id first, so after the single hash exchange on user_id
+    * the lag pass, the running-sum pass, and the groupBy(user_id,
+    * session_idx) — whose clustering requirement HashPartitioning(user_id)
+    * already satisfies — all run partition-local. Per-user state is one
+    * sort buffer; nothing global, nothing driver-side.
+    *
+    * All outputs are BIGINT (epoch micros, counts) — no timestamp or
+    * float representation to disagree on.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_us".isNull || $"us" - $"prev_us" > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"new_s").over(run))
+      .groupBy($"user_id", $"session_idx")
+      .agg(
+        min($"us").as("start_us"),
+        max($"us").as("end_us"),
+        (max($"us") - min($"us")).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  val q59Oracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN us - LAG(us, 1) OVER w IS NULL
+       |                   OR us - LAG(us, 1) OVER w > $SessionGapUs
+       |                 THEN 1 ELSE 0 END AS new_s
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sessions AS (
+       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, session_idx, MIN(us) AS start_us, MAX(us) AS end_us,
+       |  MAX(us) - MIN(us) AS duration_us, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT event_type) AS n_types
+       |FROM sessions GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q51_cohort_retention", q51, Some(q51Oracle)),
     Q("q52_funnel_steps", q52, Some(q52Oracle)),
     Q("q58_event_paths", q58, Some(q58Oracle)),
+    Q("q59_sessionize_batch", q59, Some(q59Oracle)),
   )
 }

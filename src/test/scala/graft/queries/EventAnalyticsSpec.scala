@@ -64,4 +64,35 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     val ns = rows.map(_.getLong(1))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q59 sessionize: sessions match a driver-side gaps-and-islands recompute") {
+    import spark.implicits._
+    val rows = EventAnalytics.q59(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // driver-side recompute: sort each user's (us, event_id), split at gaps
+    val byUser = Tables.events(spark, sfSmoke)
+      .select($"user_id", $"event_id", $"event_type",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = byUser.toSeq.flatMap { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._4, e._2))
+      val sessions = ordered.tail.scanLeft(Seq(ordered.head)) { (cur, e) =>
+        if (e._4 - cur.last._4 > EventAnalytics.SessionGapUs) Seq(e) else cur :+ e
+      }.filter(s => s.nonEmpty)
+      // scanLeft emits every prefix; keep only each session's FINAL state
+      val finals = sessions.zipWithIndex.collect {
+        case (s2, i) if i == sessions.length - 1 || sessions(i + 1).length == 1 => s2
+      }
+      finals.zipWithIndex.map { case (s2, i) =>
+        (uid, i + 1L, s2.head._4, s2.last._4, s2.last._4 - s2.head._4,
+          s2.length.toLong, s2.map(_._3).distinct.length.toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == expected)
+    // sanity: at least one user has >1 session and one session has >1 event
+    assert(rows.exists(_._2 > 1L))
+    assert(rows.exists(_._6 > 1L))
+  }
 }
