@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) — the fixed-size
+  * frequency summary that complements the repo's other sketches
+  * (Misra–Gries keeps the top-k KEYS, q46's KLL keeps QUANTILES; Count-Min
+  * answers point frequency queries for ANY key after one pass).
+  *
+  * Why it matters at 100 TB: the sketch is a D×W integer counter matrix
+  * (here 4×512 = 2 KB of longs) whose cells are plain SUMs — associative
+  * and commutative, so Spark's partial aggregation collapses each map task
+  * to ≤ D·W rows before the exchange and ANY merge tree yields the
+  * identical sketch. Estimating a key's frequency costs D lookups; the
+  * classic guarantees hold deterministically on the overcount side
+  * (est ≥ exact always; est ≤ exact + εn with ε = e/W at probability
+  * 1 − e^−D over hash choice). Per-token frequencies over a petabyte
+  * token stream — stopword discovery, df caps for [[TextAnalysis]]'s
+  * inverted indexes, hot-key prediction for [[Skew]] salting — fit in a
+  * broadcast variable instead of a key-cardinality shuffle.
+  *
+  * Determinism: rows are seeded md5 buckets
+  * (`conv(substring(md5(seed:token),1,8),16,10) % W` — the repo-standard
+  * recomputable-hash pattern, Dedup.scala d02/d03), so the DuckDB oracle
+  * rebuilds the ENTIRE sketch cell-for-cell and the estimates hash-match
+  * bit-for-bit. No RNG, no engine-internal hash.
+  */
+object Sketch {
+
+  val Depth = 4 // independent hash rows
+  val Width = 512 // buckets per row
+
+  /** sk01 — Count-Min over the full document token stream, audited
+    * against exact counts for the 20 most frequent tokens: the gated
+    * output carries each token's exact count, its sketch estimate, and
+    * the (provably non-negative) overcount.
+    *
+    * Scale shape: the token pass is narrow (split + explode), the sketch
+    * aggregation's partial rows are capped at D·W per task regardless of
+    * token cardinality, and the probe side is a broadcast of 20·D
+    * coordinate rows against the ≤ D·W counter relation. The exact-count
+    * branch exists for the AUDIT (the oracle needs ground truth); a
+    * production deployment ships only the sketch branch.
+    */
+  /** The document token stream: normalized words, empties dropped. */
+  def tokens(docs: DataFrame): DataFrame = docs
+    .select(explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
+    .filter(col("token") =!= "")
+
+  private def bucket(seed: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), col("token"))), 1, 8), 16, 10)
+      .cast("long") % Width
+
+  /** The sketch itself: one (seed, bucket, cnt) row per non-empty cell.
+    * Cells are SUMs, so sketches over disjoint inputs merge by cell-wise
+    * addition into exactly the whole-input sketch (SketchSpec pins this).
+    */
+  def counters(toks: DataFrame): DataFrame = toks
+    .select(explode(array((0 until Depth).map(lit): _*)).as("seed"), col("token"))
+    .select(col("seed"), bucket(col("seed")).as("bucket"))
+    .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  def sk01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.util.Eager.cached(tokens(Tables.documents(s, dir)))
+    val cm = counters(toks)
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"token").limit(20)
+    top
+      .select($"token", $"exact_n",
+        explode(array((0 until Depth).map(lit): _*)).as("seed"))
+      .select($"token", $"exact_n", $"seed", bucket($"seed").as("bucket"))
+      .join(broadcast(cm), Seq("seed", "bucket"))
+      .groupBy($"token", $"exact_n")
+      .agg(min($"cnt").as("cm_est"))
+      .select($"token", $"exact_n", $"cm_est",
+        ($"cm_est" - $"exact_n").as("overcount"))
+      .orderBy($"exact_n".desc, $"token")
+  }
+
+  val sk01Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT w AS token FROM (
+       |    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |counters AS (
+       |  SELECT seed, ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || token), 1, 8))::BIGINT % $Width AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM toks, (SELECT unnest(range(0, $Depth)) AS seed)
+       |  GROUP BY seed, bucket),
+       |top AS (
+       |  SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY token
+       |  ORDER BY exact_n DESC, token LIMIT 20),
+       |probe AS (
+       |  SELECT token, exact_n, seed,
+       |    ('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || token), 1, 8))::BIGINT % $Width AS bucket
+       |  FROM top, (SELECT unnest(range(0, $Depth)) AS seed))
+       |SELECT token, exact_n, MIN(cnt) AS cm_est, MIN(cnt) - exact_n AS overcount
+       |FROM probe JOIN counters USING (seed, bucket)
+       |GROUP BY token, exact_n
+       |ORDER BY exact_n DESC, token""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("sk01_countmin", sk01, Some(sk01Oracle)),
+  )
+}
