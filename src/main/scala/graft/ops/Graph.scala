@@ -72,13 +72,18 @@ object Graph {
   private def pageRankLoop(edgesIn: DataFrame, iters: Int): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    // hash-partition the edge list by join key ONCE: the cached relation's
-    // outputPartitioning is reused by every iteration's join, so only the
-    // node-cardinality score side ever moves again (the Pregel invariant)
+    // hash-partition the edge list by join key ONCE, with each source's
+    // out-degree attached via a partition-local window (no extra shuffle):
+    // the cached relation's outputPartitioning is reused by every
+    // iteration's join, the degree never needs a second per-iteration
+    // join, and only the node-cardinality score side ever moves again
+    // (the Pregel invariant)
     val edges = graft.util.Eager.cached(
-      edgesIn.select($"src", $"dst").repartition($"src"))
+      edgesIn.select($"src", $"dst").repartition($"src")
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"src"))))
     val deg = graft.util.Eager.cached(
-      edges.groupBy($"src").agg(count(lit(1)).as("deg")))
+      edges.groupBy($"src").agg(first($"deg").as("deg")))
     // two driver-side scalars (node count → init/teleport constants) — the
     // same "build once, then iterate" sequencing as the s04 quantizer fit
     val n = deg.count()
@@ -88,7 +93,6 @@ object Graph {
       .localCheckpoint()
     for (i <- 1 to iters) {
       scores = edges.join(scores, edges("src") === scores("node"))
-        .join(deg, "src")
         .select($"dst", expr("(score * 17) div (20 * deg)").as("contrib"))
         .groupBy($"dst")
         .agg((lit(teleport) + sum($"contrib")).as("score"))
