@@ -677,7 +677,13 @@ object Dedup {
     // and both verify branches
     val sets = graft.util.Eager.cached(
       aug.select($"doc_id", shingleArray($"text").as("sh")))
-    val tokens = sets.select($"doc_id", explode($"sh").as("shingle"))
+    // the token stream is the widest relation here and BOTH shingle-keyed
+    // consumers (the df aggregation+join and the candidate probe) need it
+    // hash-distributed by shingle — partition it once and cache, so each
+    // downstream join reuses the partitioning instead of re-exchanging
+    val tokens = graft.util.Eager.cached(
+      sets.select($"doc_id", explode($"sh").as("shingle"))
+        .repartition($"shingle"))
     val dfRel = tokens.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val prefixTok = tokens.join(dfRel, Seq("shingle"))
       .groupBy($"doc_id")
