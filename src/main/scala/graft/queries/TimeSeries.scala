@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Exact
+
+/** Time-series densification — the regularization step every downstream
+  * consumer of an irregular event stream needs (forecasting features like
+  * ml01's lag panel, day-over-day dashboards, training curricula keyed by
+  * calendar position all assume one row per (series, day), but real fact
+  * streams have silent days).
+  */
+object TimeSeries {
+
+  /** ts01 — gap-fill over a generated date spine: per-region daily order
+    * series densified to EVERY calendar day in the global date range, with
+    * count zero-fill, last-observation-carried-forward revenue, and an
+    * explicit gap marker.
+    *
+    * Scale shape: the facts collapse to (region, day) grain BEFORE the
+    * spine appears — the raw scan partial-aggregates map-side and nothing
+    * event-cardinality crosses the wire. The spine itself is dims × days
+    * (5 regions × ~2,400 days here; at 100 TB it is still only
+    * series × days — spines are METADATA-sized, generated, never scanned),
+    * built from one broadcast 1-row bounds relation and one `sequence`
+    * explode, so the left join probes an already-aggregated relation of
+    * the same grain. The carry-forward window is partition-local per
+    * region. Revenue goes through [[Exact]] decimals, so the forward-fill
+    * propagates bit-identical doubles in both engines.
+    */
+  def ts01(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    val daily = o
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("day"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("rev"))
+    val bounds = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = reg.select(col("r_name"))
+      .crossJoin(broadcast(bounds))
+      .select(col("r_name"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val ffill = Window.partitionBy(col("r_name")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(daily, Seq("r_name", "day"), "left")
+      .select(
+        col("r_name").as("region"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        last(col("rev"), ignoreNulls = true).over(ffill).as("revenue_ff"),
+        col("n").isNull.as("is_gap"))
+      .orderBy(col("region"), col("day"))
+  }
+
+  val ts01Oracle: String =
+    """WITH o AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey, o_totalprice FROM orders),
+      |daily AS (
+      |  SELECT r_name, day, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |  FROM o
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, day),
+      |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+      |spine AS (
+      |  SELECT r_name, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM region, bounds)
+      |SELECT r_name AS region, strftime(s.day, '%Y-%m-%d') AS day,
+      |  COALESCE(n, 0) AS n_orders,
+      |  last_value(rev IGNORE NULLS) OVER (
+      |    PARTITION BY r_name ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS revenue_ff,
+      |  (n IS NULL) AS is_gap
+      |FROM spine s LEFT JOIN daily USING (r_name, day)
+      |ORDER BY region, day""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("ts01_gap_fill", ts01, Some(ts01Oracle)),
+  )
+}
