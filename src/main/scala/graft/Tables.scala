@@ -21,15 +21,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read it as raw nanos (legacy conf) and rebuild a
-    * microsecond timestamp with exact integer division (a double division
-    * would lose precision above 2^53 ns).
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's reader rejects without
+    * the legacy nanos-as-long conf) and plain TIMESTAMP(MICROS) without a
+    * UTC flag (read as TIMESTAMP_NTZ) have both shipped. Dispatch on the
+    * footer schema and normalize to a session-zoned TimestampType either
+    * way: raw nanos get exact integer division (a double division would
+    * lose precision above 2^53 ns); NTZ micros get a cast, which is
+    * value-preserving under the UTC sessions every entry point pins.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

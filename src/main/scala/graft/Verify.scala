@@ -22,13 +22,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A crashed query must surface as a RED gate entry, not vanish from
+        // the artifact (round-4 lesson: 20 analysis failures disappeared and
+        // the report silently overstated correctness). Write a 1-row marker
+        // parquet — its schema can never match any oracle, so the driver's
+        // comparator records an explicit failure for this key.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
       finally
         // queries are self-contained; don't let ~115 queries' Eager.cached
@@ -50,6 +65,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable crash log alongside the markers (empty = clean run)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

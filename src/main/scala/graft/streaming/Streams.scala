@@ -22,15 +22,35 @@ import graft.util.Exact
   */
 object Streams {
 
-  /** events schema with ts as raw nanos (see graft.Tables.events). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
+  /** File-stream source over the events parquet with `ts` normalized to a
+    * session-zoned TimestampType. The raw `ts` physical type has varied
+    * across testdata generations (TIMESTAMP(NANOS) → must be read as raw
+    * long nanos; TIMESTAMP(MICROS) without UTC flag → TIMESTAMP_NTZ), so
+    * the required stream schema is dispatched on the batch footer schema —
+    * a metadata-only read. Feeding µs values through the nanos `DIV 1000`
+    * path would compress every timestamp 1000×, silently collapsing all
+    * watermark/session/interval-join semantics (the round-4 streaming
+    * regression).
+    */
+  private def eventsStream(ss: SparkSession, dir: String): DataFrame = {
+    val tsType = ss.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val src = ss.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", tsType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType),
+      )))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    tsType match {
+      case LongType => src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => src
+      case _ => src.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   private val sinkCounter = new AtomicInteger(0)
 
@@ -84,12 +104,7 @@ object Streams {
   ): DataFrame = {
     val ss = streamSession(s, shufflePartitions = 8)
     import ss.implicits._
-    // file-stream source needs a directory; select just the events file
-    val src = ss.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = eventsStream(ss, dir)
     val agg = src
       .withWatermark("ts", "7 days")
       .groupBy(window($"ts", "7 days", "7 days", "4 days"), $"event_type")
@@ -163,11 +178,7 @@ object Streams {
   def st04(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s, shufflePartitions = 4) // join-state stores
     import ss.implicits._
-    def src = ss.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src = eventsStream(ss, dir)
     val clicks = src.filter($"event_type" === "click")
       .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"ts".as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -222,11 +233,7 @@ object Streams {
   def st09(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s, shufflePartitions = 4)
     import ss.implicits._
-    def src = ss.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src = eventsStream(ss, dir)
     val clicks = src.filter($"event_type" === "click")
       .select($"event_id".as("c_event"), $"user_id".as("c_user"), $"ts".as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -405,14 +412,8 @@ object Streams {
   def st08(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s, shufflePartitions = 8) // state: one row per user
     import ss.implicits._
-    val src = ss.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(
-        $"user_id".as("userId"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"),
-        $"value")
+    val src = eventsStream(ss, dir)
+      .select($"user_id".as("userId"), $"ts", $"value")
       .as[Event]
     val sink = s"st08_sessionize_${sinkCounter.incrementAndGet()}"
     locally {
@@ -574,10 +575,7 @@ object Streams {
   def st07(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s, shufflePartitions = 8) // 25 agg keys
     import ss.implicits._
-    val src = ss.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsStream(ss, dir)
     val dim = graft.Tables.customer(ss, dir)
       .select($"c_custkey".as("user_id"), $"c_mktsegment")
     val agg = src
