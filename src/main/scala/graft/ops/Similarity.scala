@@ -880,6 +880,58 @@ object Similarity {
       |WHERE cosine >= 0.9
       |ORDER BY a, b""".stripMargin
 
+  /** s09 — HARD-NEGATIVE MINING for contrastive training: for each anchor
+    * vector, the top-3 most-similar candidates carrying a DIFFERENT label.
+    * This is the pair-mining step of every contrastive/embedding-training
+    * pipeline (triplet loss, InfoNCE): positives come from same-label pools,
+    * and the informative negatives are precisely the high-cosine
+    * different-label neighbors this query surfaces.
+    *
+    * Scale shape: identical to s03 — the anchor set broadcasts, the
+    * candidate scan stays partition-local, the label filter runs BEFORE
+    * scoring (so same-label pairs never cost a dot product), and per-anchor
+    * top-k goes through the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate (map-side partial heaps merge; no global sort, no window
+    * exchange). At real fan-out (millions of anchors), swap the broadcast
+    * for s04's IVF routing — the mining semantics are unchanged.
+    */
+  def s09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"label".as("anchor_label"), $"embedding".as("qe"))
+    val c = e.filter($"vec_id" >= 5)
+      .select($"vec_id".as("cid"), $"label".as("negative_label"), $"embedding".as("ce"))
+    c.crossJoin(broadcast(q))
+      .filter($"negative_label" =!= $"anchor_label")
+      .select($"qid", $"anchor_label", $"cid", $"negative_label",
+        cosine($"qe", $"ce").as("cosine"))
+      .groupBy($"qid", $"anchor_label")
+      .agg(graft.functions.VectorFunctions.top_k_by($"cosine", $"cid", 3).as("top"))
+      .select($"qid", $"anchor_label", explode($"top").as("t"))
+      .join(c.select($"cid", $"negative_label"), $"t.id" === $"cid")
+      .select($"qid", $"anchor_label", $"cid", $"negative_label",
+        $"t.score".as("cosine"))
+      .orderBy($"qid", $"cosine".desc, $"cid")
+  }
+
+  val s09Oracle: String =
+    """WITH q AS (SELECT vec_id AS qid, label AS qlab, unnest(embedding) AS qe, generate_subscripts(embedding,1) AS i
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, label AS clab, unnest(embedding) AS ce, generate_subscripts(embedding,1) AS i
+      |      FROM embeddings WHERE vec_id >= 5),
+      |dots AS (SELECT qid, qlab, cid, clab, SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE) ORDER BY i) AS dot
+      |         FROM q JOIN c USING (i) WHERE clab <> qlab GROUP BY qid, qlab, cid, clab),
+      |norms AS (SELECT vec_id, SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE) ORDER BY i) AS n2
+      |          FROM (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+      |                FROM embeddings) GROUP BY vec_id)
+      |SELECT qid, qlab AS anchor_label, cid, clab AS negative_label,
+      |  dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+      |FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) <= 3
+      |ORDER BY qid, cosine DESC, cid""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s07_label_centroids", s07, Some(s07Oracle)),
     Q("s08_semantic_dedup", s08, Some(s08Oracle)),
@@ -891,5 +943,6 @@ object Similarity {
     Q("s06_knn_pq", s06Gate, Some(recallGateOracle)),
     Q("d05_embedding_neardup", d05, Some(d05Oracle)),
     Q("d07_embedding_neardup_bucketed", d07, Some(d07Oracle)),
+    Q("s09_hard_negatives", s09, Some(s09Oracle)),
   )
 }

@@ -104,7 +104,52 @@ object Sketch {
        |GROUP BY token, exact_n
        |ORDER BY exact_n DESC, token""".stripMargin
 
+  /** sk02 — HLL CARDINALITY sketch with shard-merge parity (Apache
+    * DataSketches HllSketch via Spark's `hll_sketch_agg` /
+    * `hll_union_agg`): per event type, distinct users are sketched
+    * independently per hash-shard, the shard sketches are UNIONED, and the
+    * gate pins the merge algebra — the union of 8 shard sketches must
+    * estimate EXACTLY what one global sketch over the same rows estimates
+    * (same registers ⇒ same estimate, the mergeability that makes HLL the
+    * 100 TB distinct-count workhorse), plus a 5% relative-error envelope
+    * against the exact count (lgK=12 ⇒ σ ≈ 1.6%).
+    *
+    * Why it matters at scale: COUNT(DISTINCT) is a key-cardinality shuffle;
+    * the sketch is ~2^lgK bytes per group REGARDLESS of cardinality,
+    * partial-aggregates map-side, and merges associatively across shards /
+    * days / clusters — the exact branch here exists only as the audit's
+    * ground truth. The estimate itself is not oracle-recomputable (engine-
+    * internal sketch), so the gate emits the exact count plus the two
+    * parity FACTS, the sk-family pattern (cf. s02/s04/s06 recall gates).
+    */
+  def sk02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"user_id")
+    val sharded = ev
+      .withColumn("shard", pmod(xxhash64($"user_id"), lit(8)))
+      .groupBy($"event_type", $"shard")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_merged"))
+    val global = ev
+      .groupBy($"event_type")
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))).as("est_global"),
+        countDistinct($"user_id").as("n_exact"))
+    global.join(sharded, Seq("event_type"))
+      .select($"event_type", $"n_exact",
+        ($"est_merged" === $"est_global").as("merge_exact"),
+        (abs($"est_global" / $"n_exact" - 1.0) <= 0.05).as("err_ok"))
+      .orderBy($"event_type")
+  }
+
+  val sk02Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |  TRUE AS merge_exact, TRUE AS err_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("sk01_countmin", sk01, Some(sk01Oracle)),
+    Q("sk02_hll_distinct", sk02, Some(sk02Oracle)),
   )
 }

@@ -984,6 +984,57 @@ object TextAnalysis {
        |FROM c LEFT JOIN perdoc USING (doc_id) LEFT JOIN dupdoc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** t15 — RAG-style CHUNKING: each document split into overlapping
+    * token-window chunks (window 64 BPE-ish tokens, stride 48 → 16-token
+    * overlap), the retrieval-index preparation step of a RAG / long-context
+    * training pipeline. Emitted per chunk: its ordinal, start offset,
+    * actual token count (the tail chunk may be short) and an md5
+    * fingerprint of the joined token text — the key a downstream
+    * chunk-level dedup (d09) or embedding stage would consume.
+    *
+    * Scale shape: one narrow projection — tokenize, compute the chunk
+    * count arithmetically, explode a generated index sequence, slice. No
+    * joins, no shuffle except the final presentation sort; chunk count per
+    * doc is ⌈(n−W)/S⌉+1 so output cardinality is ~n/S rows per doc,
+    * linear in corpus size and embarrassingly parallel — the map stage of
+    * a 100 TB chunking job.
+    */
+  def t15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 64 // window (tokens per chunk)
+    val S = 48 // stride (new tokens per chunk; W-S = 16 overlap)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_extract_all($"text", lit(BpeishPattern), lit(0)).as("toks"))
+      .withColumn("n", size($"toks"))
+      .withColumn("n_chunks",
+        when($"n" <= W, lit(1))
+          .otherwise(lit(1) + expr(s"(n - $W + $S - 1) DIV $S")))
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0), $"n_chunks" - 1)).as("chunk_id"))
+      .select(
+        $"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        ($"chunk_id" * S + 1).cast("long").as("chunk_start"),
+        size(slice($"toks", $"chunk_id" * S + 1, lit(W))).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice($"toks", $"chunk_id" * S + 1, lit(W)))).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val t15Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$BpeishPattern') AS t,
+       |    len(regexp_extract_all(text, '$BpeishPattern')) AS n
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, t, n,
+       |    unnest(range(0, CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+       |  FROM toks)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * 48 + 1 AS chunk_start,
+       |  len(list_slice(t, chunk_id * 48 + 1, least(chunk_id * 48 + 64, n))) AS n_tokens,
+       |  md5(array_to_string(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_hash
+       |FROM idx ORDER BY doc_id, chunk_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -999,6 +1050,7 @@ object TextAnalysis {
     Q("t12_sequence_packing", t12, Some(t12Oracle)),
     Q("t13_decontamination", t13, Some(t13Oracle)),
     Q("t14_dup_substrings", t14, Some(t14Oracle)),
+    Q("t15_rag_chunking", t15, Some(t15Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
     Q("c04_curation_pipeline", c04, Some(c04Oracle)),
   )

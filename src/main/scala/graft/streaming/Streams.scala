@@ -606,6 +606,99 @@ object Streams {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
 
+  // ---- transformWithState (Spark 4 arbitrary-state API) ----------------
+
+  final case class Tx(userId: Long, ts: java.sql.Timestamp, eventId: Long, value: Double)
+  final case class TxState(seq: Long, cumQ: Long)
+  final case class TxOut(userId: Long, eventId: Long, seq: Long, cumValue: Double)
+
+  /** Per-user running ordinal + cumulative spend, as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] for Spark 4's
+    * `transformWithState` — the successor API to st08's
+    * flatMapGroupsWithState, with typed named-state primitives
+    * (ValueState/ListState/MapState), per-state TTL, and timers, running
+    * on the RocksDB state store.
+    *
+    * State per key is O(1) — a (seq, cum cents) pair. The cents total is
+    * quantized exactly like st08's sessionizer (HALF_UP, associative
+    * integer adds), so the running value is bit-identical to the oracle's
+    * windowed SUM regardless of micro-batch chopping; the ordinal is the
+    * (ts, event_id)-sorted arrival position, the same within-batch
+    * ordering contract st08 pins.
+    */
+  private class RunningTotals extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, Tx, TxOut] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[TxState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[TxState]("running",
+        org.apache.spark.sql.Encoders.product[TxState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Tx],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TxOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.eventId))
+      var cur = if (state.exists()) state.get() else TxState(0L, 0L)
+      val out = sorted.map { e =>
+        val q = BigDecimal(e.value * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        cur = TxState(cur.seq + 1, cur.cumQ + q)
+        TxOut(key, e.eventId, cur.seq, cur.cumQ / 100.0)
+      }
+      state.update(cur)
+      out.iterator
+    }
+  }
+
+  /** st10 — the [[RunningTotals]] processor as a GATED query: per-user
+    * event ordinals and running spend over the events file stream (the
+    * arrival-position lineage a streaming feature store attaches to each
+    * event). transformWithState requires the RocksDB state-store provider;
+    * the child session pins it per-query, which is also the production
+    * posture — RocksDB state spills to disk, so per-key state survives
+    * executor heap pressure at 100 TB/day.
+    *
+    * Oracle: the batch window equivalents — row_number() for the ordinal
+    * and a running SUM of HALF_UP-quantized cents for the total, ordered
+    * by (ts, event_id) within user.
+    */
+  def st10(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s, shufflePartitions = 8) // state: one row per user
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val src = eventsStream(ss, dir)
+      .select($"user_id".as("userId"), $"ts", $"event_id".as("eventId"), $"value")
+      .as[Tx]
+    val out = src
+      .groupByKey(_.userId)
+      .transformWithState(new RunningTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    val sink = s"st10_tws_${sinkCounter.incrementAndGet()}"
+    locally {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    ss.table(sink)
+      .select($"userId".as("user_id"), $"eventId".as("event_id"),
+        $"seq", $"cumValue".as("cum_value"))
+      .orderBy($"user_id", $"seq")
+  }
+
+  val st10Oracle: String =
+    """SELECT user_id, event_id,
+      |  row_number() OVER w AS seq,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS cum_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, seq""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
     Q("st02_session_windows", st02, Some(st02Oracle)),
@@ -616,5 +709,6 @@ object Streams {
     Q("st07_stream_static_enrich", st07, Some(st07Oracle)),
     Q("st08_stateful_sessionize", st08, Some(st08Oracle)),
     Q("st09_stream_outer_join", st09, Some(st09Oracle)),
+    Q("st10_stream_running_totals", st10, Some(st10Oracle)),
   )
 }

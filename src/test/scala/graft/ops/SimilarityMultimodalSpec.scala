@@ -135,6 +135,40 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("s09 hard negatives: labels always differ, and each anchor gets the true top-3 different-label neighbors") {
+    import spark.implicits._
+    val rows = Similarity.s09(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    // driver-side brute force over the small corpus
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val anchors = e.filter(_._1 < 5)
+    val cands = e.filter(_._1 >= 5)
+    val expected = anchors.flatMap { case (qid, qlab, qe) =>
+      cands.filter(_._2 != qlab)
+        .map { case (cid, clab, ce) => (qid, qlab, cid, clab, cos(qe, ce)) }
+        .sortBy { case (_, _, cid, _, c) => (-c, cid) }
+        .take(3)
+    }
+    assert(rows.length == anchors.length * 3)
+    rows.foreach { case (_, qlab, _, clab, _) =>
+      assert(qlab != clab, "a hard negative must carry a different label")
+    }
+    val got = rows.map { case (q, _, c, _, _) => (q, c) }.toSet
+    val want = expected.map { case (q, _, c, _, _) => (q, c) }.toSet
+    assert(got == want, s"mined pairs diverge: got $got want $want")
+  }
+
   test("cosine is symmetric, bounded, and 1.0 on self") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

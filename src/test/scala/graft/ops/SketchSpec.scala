@@ -39,6 +39,21 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sk02 HLL: shard-merged estimate equals the global sketch, inside the error envelope, exact counts right") {
+    val rows = Sketch.sk02(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, sfSmoke)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (et, n, mergeExact, errOk) =>
+      assert(n == exact(et), s"exact distinct wrong for $et")
+      assert(mergeExact, s"shard-union estimate diverged from global sketch for $et")
+      assert(errOk, s"HLL estimate outside 5% of exact for $et")
+    }
+  }
+
   test("counters merge: disjoint halves cell-wise add to the full sketch") {
     val docs = Tables.documents(spark, sfSmoke)
     val a = Sketch.counters(Sketch.tokens(docs.filter($"doc_id" % 2 === 0)))

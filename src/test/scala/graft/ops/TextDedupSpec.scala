@@ -231,6 +231,37 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t15 chunks tile the token stream: strided starts, full windows except the tail, hash = recompute") {
+    val rows = TextAnalysis.t15(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1)
+    val docs = graft.Tables.documents(spark, sfSmoke)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.BpeishPattern)
+    byDoc.foreach { case (docId, chunks) =>
+      val m = pat.matcher(docs(docId))
+      val toks = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toVector
+      val n = toks.length
+      val sorted = chunks.sortBy(_._2)
+      // chunk ids are 0..k-1 with strided starts
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, cid, start, nTok, hash) =>
+        assert(start == cid * 48 + 1)
+        val slice = toks.slice((start - 1).toInt, (start - 1 + 64).toInt)
+        assert(nTok == slice.length)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.mkString(" ").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        assert(hash == md, s"chunk hash mismatch doc=$docId chunk=$cid")
+      }
+      // full windows except possibly the tail; chunks jointly cover all n tokens
+      sorted.init.foreach { case (_, _, _, nTok, _) => assert(nTok == 64L) }
+      val last = sorted.last
+      assert(last._3 - 1 + last._4 >= n, "chunks must cover the token stream")
+    }
+  }
+
   test("t11 repetition stats are internally consistent and bounded") {
     val rows = TextAnalysis.t11(spark, sfSmoke).collect()
     assert(rows.length == graft.Tables.documents(spark, sfSmoke).count())

@@ -30,6 +30,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
   private val broadcastScanByDesign = Set(
     "s01_knn_bruteforce", "s02_knn_lsh", "s03_knn_heap", "s04_knn_ivf",
     "s05_knn_rule_rewrite", "s06_knn_pq", "s08_semantic_dedup",
+    "s09_hard_negatives", // bounded anchor set × one corpus pass, as s01/s03
     "dq01_expectations", "hh01_heavy_hitters", "hh02_heavy_hitters_stream",
     // 1-row global-scalar crossJoins: corpus doc count (t08 IDF), the
     // stop-key df threshold (t10), dimension min/max bounds (z01), the

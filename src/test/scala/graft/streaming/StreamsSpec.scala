@@ -27,6 +27,24 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("st10 transformWithState running totals equal the batch window recompute") {
+    val streamed = Streams.st10(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = Tables.events(spark, sfSmoke)
+      .select($"user_id", $"event_id", $"ts",
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .select($"user_id", $"event_id",
+        row_number().over(w).cast("long").as("seq"),
+        (sum($"cents").over(w).cast("double") / 100).as("cum_value"))
+      .orderBy($"user_id", $"seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("st08 gated sessionizer: emitted sessions match the batch gaps-and-islands minus open tails") {
     val got = Streams.st08(spark, sfSmoke).collect()
     assert(got.nonEmpty)
