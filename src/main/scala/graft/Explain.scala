@@ -8,7 +8,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { name =>
       println(s"===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

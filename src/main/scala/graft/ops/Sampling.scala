@@ -309,11 +309,45 @@ object Sampling {
       |GROUP BY m.method, split_name
       |ORDER BY m.method, split_name""".stripMargin
 
+  /** q60 — WEIGHTED priority sampling (Duffield–Lund–Thorup 2007): the
+    * top-20 documents by priority w/u where w is the document's weight
+    * (n_chars — longer docs proportionally likelier) and u is a
+    * deterministic content-hash uniform. Weighted sampling is how a
+    * curation pipeline subsamples a corpus while PRESERVING a quality or
+    * length mix (uniform sampling under-represents heavy documents).
+    *
+    * Determinism/exactness: u is the md5-prefix integer in [1, 2³²]
+    * (q38's engine-portable rule), and the priority is QUANTIZED to the
+    * integer quotient (w·2³²) div u — pure BIGINT arithmetic, so rank
+    * comparisons are exact in both engines (a double w/u would make the
+    * selection depend on float rounding at ties); doc_id breaks quotient
+    * ties. Plan shape: one narrow projection into TakeOrderedAndProject —
+    * k rows per partition cross the wire, never the corpus.
+    */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") + 1L).as("u"))
+      .select($"doc_id", $"source", $"n_chars",
+        expr("n_chars * 4294967296 DIV u").as("priority"))
+      .orderBy($"priority".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val q60Oracle: String =
+    """SELECT doc_id, source, n_chars,
+      |  (n_chars * 4294967296) // (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) AS priority
+      |FROM documents
+      |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q38_hash_sample", q38, Some(q38Oracle)),
     Q("c03_source_mixing", c03, Some(c03Oracle)),
     Q("q49_token_budget", q49, Some(q49Oracle)),
     Q("ml03_kfold_split", ml03, Some(ml03Oracle)),
     Q("ml04_leakage_audit", ml04, Some(ml04Oracle)),
+    Q("q60_weighted_sample", q60, Some(q60Oracle)),
   )
 }

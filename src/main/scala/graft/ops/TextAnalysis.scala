@@ -1035,6 +1035,111 @@ object TextAnalysis {
        |  md5(array_to_string(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_hash
        |FROM idx ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** t16 — BPE MERGE INDUCTION (Sennrich et al. 2016, the byte-pair-
+    * encoding vocabulary learner behind GPT/Llama tokenizers): the first 5
+    * merge rules learned from the corpus, each round picking the most
+    * frequent adjacent symbol pair (ties: lexicographic) and fusing it
+    * corpus-wide.
+    *
+    * Representation: the classic word-frequency trick — training runs over
+    * the DISTINCT-word vocabulary with counts, never the raw token stream,
+    * so per-round work is vocabulary-sized (zipf-bounded) regardless of
+    * corpus size. Each word is a TERMINATOR-delimited symbol string
+    * ("c1␁c2␁…␁", ␁ = U+0001): every symbol owns its trailing terminator,
+    * so a merge is a literal `replace` of "l␁r␁" with "lr␁" whose
+    * occurrences can never overlap — "a␁a␁a␁a␁" correctly becomes
+    * "aa␁aa␁" in one pass. (A space-WRAPPED form " l r " is subtly wrong:
+    * consecutive occurrences share the boundary space, and non-overlapping
+    * replace silently skips every second merge site.) The terminator also
+    * makes matches symbol-exact — "a␁bc␁" cannot match pattern "a␁b␁".
+    * Words containing the terminator are dropped defensively in both
+    * engines. Pair stats count ALL adjacent positions (the standard
+    * get_stats), summed with word frequencies as weights.
+    *
+    * Scale shape: 5 rounds × (one narrow pair explode over the vocabulary
+    * + one (l,r)-keyed partial-agg shuffle + a 1-ROW argmax collect + one
+    * narrow replace). The argmax is the only driver touch and is bounded
+    * by construction. Lineage is truncated per round via Eager caching of
+    * the vocabulary-sized relation — the same iterative posture as pr01's
+    * PageRank rounds. Oracle: the identical 5 rounds UNROLLED as chained
+    * DuckDB CTEs, hash-matched.
+    */
+  def t16(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(s, Tables.documents(s, dir), rounds = 5)
+
+  /** The merge-learning core of [[t16]], parameterized for the spec's
+    * hand-computable toy corpora.
+    */
+  /** Symbol terminator for [[bpeMerges]]' delimited word form. */
+  val BpeSep = "\u0001"
+
+  def bpeMerges(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    var vocab = graft.util.Eager.cached(
+      docs
+        .select(explode(split(normalize($"text"), " ")).as("word"))
+        .filter($"word" =!= "" && !$"word".contains(BpeSep))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .select(
+          concat(
+            concat_ws(BpeSep, regexp_extract_all($"word", lit("."), lit(0))),
+            lit(BpeSep)).as("w"),
+          $"freq"))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val syms = vocab
+        .select($"freq", filter(split($"w", BpeSep), x => x =!= "").as("sy"))
+        .filter(size($"sy") >= 2)
+      val best = syms
+        .select($"freq", $"sy", explode(sequence(lit(1), size($"sy") - 1)).as("i"))
+        .select(element_at($"sy", $"i").as("l"),
+          element_at($"sy", $"i" + 1).as("r"), $"freq")
+        .groupBy($"l", $"r").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r")
+        .limit(1)
+        .collect()(0) // bounded: exactly one argmax row per round
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round.toLong, l, r, l + r, cnt))
+      vocab = graft.util.Eager.cached(
+        vocab.select(
+          replace($"w", lit(l + BpeSep + r + BpeSep), lit(l + r + BpeSep)).as("w"),
+          $"freq"))
+    }
+    merges.result().toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"merge_round")
+  }
+
+  val t16Oracle: String = {
+    def pairsOf(v: String, p: String) =
+      s"""$p AS (
+         |  SELECT sy[i] AS l, sy[i+1] AS r, SUM(freq) AS cnt
+         |  FROM (SELECT sy, freq, unnest(range(1, len(sy))) AS i
+         |        FROM (SELECT list_filter(string_split(w, chr(1)), x -> x <> '') AS sy, freq FROM $v))
+         |  GROUP BY l, r)""".stripMargin
+    def bestOf(p: String, b: String) =
+      s"$b AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1)"
+    def mergeOf(v: String, b: String, v2: String) =
+      s"$v2 AS (SELECT replace(w, l||chr(1)||r||chr(1), l||r||chr(1)) AS w, freq FROM $v, $b)"
+    val chain = (1 to 5).map { k =>
+      val steps = Seq(pairsOf(s"v${k - 1}", s"p$k"), bestOf(s"p$k", s"b$k")) ++
+        (if (k < 5) Seq(mergeOf(s"v${k - 1}", s"b$k", s"v$k")) else Nil)
+      steps.mkString(",\n")
+    }.mkString(",\n")
+    val out = (1 to 5).map { k =>
+      s"SELECT $k AS merge_round, l AS lhs, r AS rhs, l||r AS merged, cnt AS pair_count FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT array_to_string(regexp_extract_all(word, '.'), chr(1)) || chr(1) AS w,
+       |    COUNT(*) AS freq
+       |  FROM (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' AND NOT contains(word, chr(1)) GROUP BY word),
+       |$chain
+       |SELECT CAST(merge_round AS BIGINT) AS merge_round, lhs, rhs, merged,
+       |  CAST(pair_count AS BIGINT) AS pair_count
+       |FROM ($out) ORDER BY merge_round""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -1051,6 +1156,7 @@ object TextAnalysis {
     Q("t13_decontamination", t13, Some(t13Oracle)),
     Q("t14_dup_substrings", t14, Some(t14Oracle)),
     Q("t15_rag_chunking", t15, Some(t15Oracle)),
+    Q("t16_bpe_merges", t16, Some(t16Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
     Q("c04_curation_pipeline", c04, Some(c04Oracle)),
   )

@@ -262,6 +262,43 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t16 BPE merges match hand-computed rules on a toy corpus, incl. non-overlapping application") {
+    // "abab" ×3, "abc" ×2: pair counts r1 — (a,b): 3·2+2 = 8 wins;
+    // after merging, "ab ab" ×3 gives (ab,ab)=3, "ab c" gives (ab,c)=2 →
+    // r2 = (ab,ab); r3 then sees "abab" ×3 exhausted → (ab,c)=2.
+    val toy = Seq((1L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(spark, toy, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m(0) == ((1L, "a", "b", "ab", 8L)))
+    assert(m(1) == ((2L, "ab", "ab", "abab", 3L)))
+    assert(m(2) == ((3L, "ab", "c", "abc", 2L)))
+    // non-overlapping application: "aaaa" must become two "aa" symbols,
+    // so round 2's top pair is (aa, aa), not a chain through "aaa"
+    val runs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeMerges(spark, runs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m2(0) == ((1L, "a", "a", "aa", 9L))) // 3 overlapping pairs × 3 words
+    assert(m2(1) == ((2L, "aa", "aa", "aaaa", 3L)))
+  }
+
+  test("q60 weighted sample equals the driver-side priority recompute and favors weight") {
+    val got = Sampling.q60(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables.documents(spark, sfSmoke)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def priority(docId: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val u = java.lang.Long.parseLong(hex, 16) + 1L
+      w * 4294967296L / u
+    }
+    val want = docs.map { case (id, w) => (id, w, priority(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }.take(20)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("t11 repetition stats are internally consistent and bounded") {
     val rows = TextAnalysis.t11(spark, sfSmoke).collect()
     assert(rows.length == graft.Tables.documents(spark, sfSmoke).count())
