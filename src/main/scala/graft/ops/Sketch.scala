@@ -104,23 +104,31 @@ object Sketch {
        |GROUP BY token, exact_n
        |ORDER BY exact_n DESC, token""".stripMargin
 
-  /** sk02 — HLL CARDINALITY sketch with shard-merge parity (Apache
+  /** sk02 — HLL CARDINALITY sketches with a shard-merge audit (Apache
     * DataSketches HllSketch via Spark's `hll_sketch_agg` /
     * `hll_union_agg`): per event type, distinct users are sketched
-    * independently per hash-shard, the shard sketches are UNIONED, and the
-    * gate pins the merge algebra — the union of 8 shard sketches must
-    * estimate EXACTLY what one global sketch over the same rows estimates
-    * (same registers ⇒ same estimate, the mergeability that makes HLL the
-    * 100 TB distinct-count workhorse), plus a 5% relative-error envelope
-    * against the exact count (lgK=12 ⇒ σ ≈ 1.6%).
+    * independently per hash-shard and the shard sketches UNIONED — the
+    * mergeability that makes HLL the 100 TB distinct-count workhorse —
+    * and the gate pins the statistical contract: BOTH the merged and the
+    * globally-built estimate must land inside a 5% envelope of the exact
+    * count (lgK=12 ⇒ σ ≈ 1.6%, so 5% ≈ 3σ; everything is deterministic
+    * given the data — no RNG — hence gateable).
     *
-    * Why it matters at scale: COUNT(DISTINCT) is a key-cardinality shuffle;
-    * the sketch is ~2^lgK bytes per group REGARDLESS of cardinality,
-    * partial-aggregates map-side, and merges associatively across shards /
-    * days / clusters — the exact branch here exists only as the audit's
-    * ground truth. The estimate itself is not oracle-recomputable (engine-
-    * internal sketch), so the gate emits the exact count plus the two
-    * parity FACTS, the sk-family pattern (cf. s02/s04/s06 recall gates).
+    * Deliberately NOT gated: bitwise equality of the merged and global
+    * estimates. DataSketches' union gadget can legitimately land a
+    * different (equally valid) register state than a directly-built
+    * sketch once past sparse mode — asserting equality passes at tiny
+    * cardinality and breaks at scale (observed: equal at sf0.01's 150
+    * users, divergent-but-in-envelope at sf0.1's 1500).
+    *
+    * Why it matters at scale: COUNT(DISTINCT) is a key-cardinality
+    * shuffle; the sketch is ~2^lgK bytes per group REGARDLESS of
+    * cardinality, partial-aggregates map-side, and merges associatively
+    * across shards / days / clusters — the exact branch here exists only
+    * as the audit's ground truth. The estimate itself is not oracle-
+    * recomputable (engine-internal sketch), so the gate emits the exact
+    * count plus the two envelope FACTS, the sk-family pattern (cf.
+    * s02/s04/s06 recall gates).
     */
   def sk02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -138,14 +146,14 @@ object Sketch {
         countDistinct($"user_id").as("n_exact"))
     global.join(sharded, Seq("event_type"))
       .select($"event_type", $"n_exact",
-        ($"est_merged" === $"est_global").as("merge_exact"),
-        (abs($"est_global" / $"n_exact" - 1.0) <= 0.05).as("err_ok"))
+        (abs($"est_merged" / $"n_exact" - 1.0) <= 0.05).as("merged_in_envelope"),
+        (abs($"est_global" / $"n_exact" - 1.0) <= 0.05).as("global_in_envelope"))
       .orderBy($"event_type")
   }
 
   val sk02Oracle: String =
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
-      |  TRUE AS merge_exact, TRUE AS err_ok
+      |  TRUE AS merged_in_envelope, TRUE AS global_in_envelope
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def all: Seq[Q] = Seq(

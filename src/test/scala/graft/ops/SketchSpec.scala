@@ -39,18 +39,24 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("sk02 HLL: shard-merged estimate equals the global sketch, inside the error envelope, exact counts right") {
-    val rows = Sketch.sk02(spark, sfSmoke).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
-    assert(rows.nonEmpty)
-    val exact = Tables.events(spark, sfSmoke)
-      .groupBy($"event_type")
-      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    rows.foreach { case (et, n, mergeExact, errOk) =>
-      assert(n == exact(et), s"exact distinct wrong for $et")
-      assert(mergeExact, s"shard-union estimate diverged from global sketch for $et")
-      assert(errOk, s"HLL estimate outside 5% of exact for $et")
+  test("sk02 HLL: merged and global estimates inside the 5% envelope at BOTH gate and bench scale, exact counts right") {
+    // both SFs deliberately: union-vs-direct register parity held at
+    // sf0.001/sf0.01 cardinalities and broke at sf0.1 (union gadget lands
+    // a different valid state past sparse mode) — the envelope contract is
+    // the one that survives scale, so pin it at the larger SF too
+    for (dir <- Seq(sfSmoke, "/root/testdata/sf0.1")) {
+      val rows = Sketch.sk02(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      assert(rows.nonEmpty)
+      val exact = Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rows.foreach { case (et, n, mergedOk, globalOk) =>
+        assert(n == exact(et), s"exact distinct wrong for $et at $dir")
+        assert(mergedOk, s"shard-union estimate outside 5% of exact for $et at $dir")
+        assert(globalOk, s"global estimate outside 5% of exact for $et at $dir")
+      }
     }
   }
 
