@@ -903,14 +903,18 @@ object Similarity {
       .select($"vec_id".as("qid"), $"label".as("anchor_label"), $"embedding".as("qe"))
     val c = e.filter($"vec_id" >= 5)
       .select($"vec_id".as("cid"), $"label".as("negative_label"), $"embedding".as("ce"))
-    c.crossJoin(broadcast(q))
+    val mined = c.crossJoin(broadcast(q))
       .filter($"negative_label" =!= $"anchor_label")
       .select($"qid", $"anchor_label", $"cid", $"negative_label",
         cosine($"qe", $"ce").as("cosine"))
       .groupBy($"qid", $"anchor_label")
       .agg(graft.functions.VectorFunctions.top_k_by($"cosine", $"cid", 3).as("top"))
       .select($"qid", $"anchor_label", explode($"top").as("t"))
-      .join(c.select($"cid", $"negative_label"), $"t.id" === $"cid")
+    // label recovery: broadcast the k×anchors MINED side and probe the
+    // corpus — the reverse build (broadcasting the corpus-side lookup)
+    // works at gate scale but cannot exist at 10B vectors
+    c.select($"cid", $"negative_label")
+      .join(broadcast(mined), $"t.id" === $"cid")
       .select($"qid", $"anchor_label", $"cid", $"negative_label",
         $"t.score".as("cosine"))
       .orderBy($"qid", $"cosine".desc, $"cid")
