@@ -27,6 +27,64 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("checkpoint recovery: a stopped query resumes from its checkpoint exactly-once (per-batch idempotence)") {
+    // the operational contract every 100 TB/day pipeline leans on: kill a
+    // streaming job mid-stream, restart it on the same checkpoint, and the
+    // union of processed batches covers the input exactly once — any batch
+    // replayed across the restart boundary is re-delivered with IDENTICAL
+    // content and the same batchId (foreachBatch's idempotence key)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val srcDir = java.nio.file.Files.createTempDirectory("ckpt_src_").toString
+    Tables.documents(ss, sfSmoke).select($"doc_id")
+      .repartition(8).write.mode("overwrite").parquet(srcDir)
+    val allIds = Tables.documents(ss, sfSmoke).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_loc_").toString
+    val run1 = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    val run2 = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    def src = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    // run 1: stop after at least 3 micro-batches committed
+    locally {
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          run1.put(id, b.collect().map(_.getLong(0)).toSet): Unit
+        }
+        .start()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (run1.size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      q.stop()
+      assert(run1.size >= 3, "run 1 never committed 3 batches")
+    }
+    // run 2: same checkpoint, drain to the end
+    locally {
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          run2.put(id, b.collect().map(_.getLong(0)).toSet): Unit
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    val m1 = run1.asScala.toMap
+    val m2 = run2.asScala.toMap
+    // run 2 resumed PAST run 1's committed prefix: at most one batchId
+    // overlaps (the one in flight at the kill), and a replay is bit-equal
+    val overlap = m1.keySet.intersect(m2.keySet)
+    assert(overlap.size <= 1, s"resumed query replayed committed batches: $overlap")
+    overlap.foreach(id => assert(m1(id) == m2(id), s"replayed batch $id diverged"))
+    // exactly-once coverage: batches keyed by id tile the input, no dup ids
+    val merged = (m1 ++ m2).values.toSeq
+    assert(merged.map(_.size).sum == allIds.size, "a document was processed twice or lost")
+    assert(merged.reduce(_ ++ _) == allIds)
+  }
+
   test("st10 transformWithState running totals equal the batch window recompute") {
     val streamed = Streams.st10(spark, sfSmoke).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
