@@ -42,5 +42,20 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The whole similarity/ANN surface (native [[graft.functions]]
+    * expressions included) consumes `embedding` as ARRAY<FLOAT>; a
+    * regeneration that ships doubles would silently break every getFloat
+    * accessor (the round-4 events-ts lesson, applied proactively).
+    * Dispatch on the footer type and cast only when it differs, so the
+    * common case keeps a cast-free scan.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = load(spark, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case _ => raw.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+  }
 }
