@@ -342,6 +342,51 @@ object Sampling {
       |FROM documents
       |ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin
 
+  /** c05 — PER-SOURCE DOCUMENT CAPS, the anti-domination stage every
+    * web-corpus pipeline runs (C4 / RefinedWeb cap pages per domain so one
+    * crawler-friendly site cannot own the training mix): keep at most 40
+    * documents per source, chosen by a deterministic UNBIASED priority
+    * (md5 of doc_id — using doc_id order would keep whatever the crawler
+    * happened to fetch first; a content-independent hash is a uniform
+    * draw), and report the per-source audit: total, kept, dropped, and
+    * the kept docs' exact char volume.
+    *
+    * Scale shape: one row_number window partitioned by source — the same
+    * hash exchange the per-source aggregate needs anyway, no global sort.
+    * Skew note: a pathological mega-domain makes one partition hot; the
+    * production form pre-aggregates candidates per (source, salt) and
+    * keeps the top-K of a bounded union (Skew.saltedAgg's posture) — at
+    * this grain the plain window is the honest plan.
+    */
+  def c05(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val K = 40
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars",
+        row_number().over(w).as("rk"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"rk" <= K, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" > K, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"rk" <= K, $"n_chars").otherwise(0L)).as("kept_chars"))
+      .orderBy($"source")
+  }
+
+  val c05Oracle: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN rk <= 40 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q38_hash_sample", q38, Some(q38Oracle)),
     Q("c03_source_mixing", c03, Some(c03Oracle)),
@@ -349,5 +394,6 @@ object Sampling {
     Q("ml03_kfold_split", ml03, Some(ml03Oracle)),
     Q("ml04_leakage_audit", ml04, Some(ml04Oracle)),
     Q("q60_weighted_sample", q60, Some(q60Oracle)),
+    Q("c05_domain_caps", c05, Some(c05Oracle)),
   )
 }

@@ -73,6 +73,27 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(f0.toSeq == f1.toSeq)
   }
 
+  test("c05 domain caps: kept = min(40, total) per source, char volume matches the hash-priority recompute") {
+    val rows = Sampling.c05(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sfSmoke)
+      .select($"source", $"doc_id", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val bySource = docs.groupBy(_._1)
+    assert(rows.length == bySource.size)
+    rows.foreach { case (src, nDocs, nKept, nDropped, keptChars) =>
+      val ds = bySource(src)
+      assert(nDocs == ds.length)
+      assert(nKept == math.min(40, ds.length))
+      assert(nDropped == nDocs - nKept)
+      val expectChars = ds.sortBy { case (_, id, _) => (md5hex(id.toString), id) }
+        .take(40).map(_._3).sum
+      assert(keptChars == expectChars, s"kept set diverges for $src")
+    }
+  }
+
   test("stratified sample honors per-stratum fractions") {
     val docs = Tables.documents(spark, sfSmoke)
     val fractions = Map("en" -> 0.5, "de" -> 0.1, "fr" -> 0.0, "es" -> 0.0, "zh" -> 0.0)
