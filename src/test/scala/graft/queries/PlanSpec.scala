@@ -198,4 +198,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the scan materializes only the pushed aggregate columns, not data rows
     assert(!p.contains("l_quantity"), p)
   }
+
+  test("t15 chunking: one narrow generate pass, no joins, no agg exchange") {
+    val p = plan("t15_rag_chunking")
+    assert(!p.contains("Join"), p) // pure map + explode: the 100 TB chunker shape
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q60 weighted sample: TakeOrderedAndProject, never a global sort") {
+    val p = plan("q60_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("c05 domain caps: exactly one hash exchange (window + agg share the source partitioning)") {
+    val p = plan("c05_domain_caps")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("s09 hard negatives: corpus is never shuffled — anchors broadcast, mined top-k broadcast") {
+    val p = plan("s09_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // bounded anchor set x corpus pass
+    assert(p.contains("BroadcastHashJoin"), p) // label recovery probes with broadcast mined rows
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
