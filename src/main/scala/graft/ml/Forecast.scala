@@ -218,8 +218,73 @@ object Forecast {
       |    / (CAST(sum_a2 AS DOUBLE) - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE) / n) AS r2
       |FROM agg""".stripMargin
 
+  /** ml05 — FEATURE HASHING (the "hashing trick", Weinberger et al. 2009;
+    * Spark's HashingTF / Vowpal Wabbit's representation): each document's
+    * tokens are projected into a FIXED 1024-bucket signed feature vector —
+    * bucket = md5-prefix mod 1024, sign = one further hash bit — and the
+    * gate emits per-doc integer vector facts: nnz (distinct live buckets),
+    * l1 mass Σ|cᵢ|, net signed mass Σcᵢ, and the collision count
+    * (distinct tokens − distinct buckets: vocabulary folded together).
+    *
+    * Why it matters at 100 TB: the hashing trick is the feature extractor
+    * that needs NO vocabulary — no global distinct-token build, no
+    * dictionary broadcast, no OOV handling; every mapper featurizes
+    * independently at fixed width, the only cross-row structure being the
+    * downstream learner's. Spark's own HashingTF uses murmur3 (not
+    * engine-portable); the md5-prefix form here is the repo-standard
+    * recomputable hash, so the DuckDB oracle rebuilds every bucket, sign,
+    * and collision exactly. One narrow explode + one (doc, token)-grain
+    * partial agg + one doc-grain agg — map-side combinable end to end.
+    */
+  def ml05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(split(graft.ops.TextAnalysis.normalize($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    val hashed = toks.select(
+      $"doc_id", $"token",
+      (conv(substring(md5(concat(lit("f:"), $"token")), 1, 8), 16, 10)
+        .cast("long") % 1024).as("bucket"),
+      when(conv(substring(md5(concat(lit("s:"), $"token")), 1, 8), 16, 10)
+        .cast("long") % 2 === 0, 1L).otherwise(-1L).as("sign"))
+    hashed
+      .groupBy($"doc_id", $"bucket")
+      .agg(sum($"sign").as("c"), countDistinct($"token").as("n_toks"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("nnz"),
+        sum(abs($"c")).as("l1"),
+        sum($"c").as("net"),
+        (sum($"n_toks") - count(lit(1))).as("collisions"))
+      .orderBy($"doc_id")
+  }
+
+  val ml05Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, w AS token FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |hashed AS (
+      |  SELECT doc_id, token,
+      |    ('0x' || substring(md5('f:' || token), 1, 8))::BIGINT % 1024 AS bucket,
+      |    CASE WHEN ('0x' || substring(md5('s:' || token), 1, 8))::BIGINT % 2 = 0
+      |         THEN 1 ELSE -1 END AS sign
+      |  FROM toks),
+      |per_bucket AS (
+      |  SELECT doc_id, bucket, SUM(sign) AS c, COUNT(DISTINCT token) AS n_toks
+      |  FROM hashed GROUP BY doc_id, bucket)
+      |SELECT doc_id,
+      |  COUNT(*) AS nnz,
+      |  CAST(SUM(ABS(c)) AS BIGINT) AS l1,
+      |  CAST(SUM(c) AS BIGINT) AS net,
+      |  CAST(SUM(n_toks) - COUNT(*) AS BIGINT) AS collisions
+      |FROM per_bucket GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("ml01_lag_features", ml01, Some(ml01Oracle)),
     Q("ml02_persistence_metrics", ml02, Some(ml02Oracle)),
+    Q("ml05_feature_hashing", ml05, Some(ml05Oracle)),
   )
 }

@@ -20,6 +20,28 @@ class ForecastSpec extends AnyFunSuite with SparkSpec {
     rows.toDF("country", "week", "cases")
   }
 
+  test("ml05 feature hashing matches a driver-side recompute (buckets, signs, collisions)") {
+    val rows = Forecast.ml05(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def h(prefix: String, t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((prefix + t).getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.Tables.documents(spark, sfSmoke).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.take(25).foreach { case (docId, nnz, l1, net, collisions) =>
+      val toks = graft.ops.TextAnalysis.normalizeJvm(docs(docId)).split(' ').filter(_.nonEmpty)
+      val byBucket = toks.groupBy(t => h("f:", t) % 1024)
+      val c = byBucket.view.mapValues(_.map(t => if (h("s:", t) % 2 == 0) 1L else -1L).sum)
+      assert(nnz == byBucket.size)
+      assert(l1 == c.values.map(math.abs).sum)
+      assert(net == c.values.sum)
+      assert(collisions == toks.distinct.length - byBucket.size)
+      assert(nnz <= 1024 && l1 >= math.abs(net) && collisions >= 0)
+    }
+  }
+
   test("lag features: warm-up nulls then correct shifts") {
     val lagged = Forecast.lagFeatures(series, "country", "week", "cases")
     val a = lagged.filter($"country" === "A").orderBy($"week").collect()
