@@ -732,6 +732,103 @@ object Dedup {
        |WHERE n_common * 5 >= sa.s * 4
        |ORDER BY a, b""".stripMargin
 
+  /** c06 — CONTAMINATION BLAST RADIUS: the removal set a decontamination
+    * pass actually applies. t13 flags docs sharing a verbatim 5-gram with
+    * the benchmark split (DIRECT contamination); but a direct doc's
+    * near-duplicates carry the same leaked content in paraphrase-distance
+    * form, so production pipelines remove the WHOLE near-dup cluster.
+    * This query composes the two machineries end to end: the t13 gram
+    * probe → direct set; the d06 MinHash-LSH connected components →
+    * cluster membership; flagged = direct ∪ (members of any cluster
+    * containing a direct doc). Output per flagged corpus doc: the reason
+    * flags (direct / via_cluster).
+    *
+    * Scale shape: both inputs are already the bounded artifacts of their
+    * stages — the direct set is contamination-sized, the component list
+    * candidate-graph-sized; the composition adds one semi-join to find
+    * hot clusters and one broadcast-able join to expand them. Nothing
+    * corpus-cardinality is created beyond what t13/d06 each already
+    * compute. Oracle: the t13 gram CTEs (renamed c-prefixed — the minhash
+    * CTEs own w/sh0/sh at a different shingle size) + the d06 recursive
+    * closure + the same flag joins.
+    */
+  def c06(s: SparkSession, dir: String): DataFrame =
+    blastRadius(Tables.documents(s, dir))
+
+  /** The composition core of [[c06]], parameterized over the corpus for
+    * the spec's planted cluster-expansion cases.
+    */
+  def blastRadius(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val isEval = col("doc_id") % 100 === 7
+    // direct contamination: corpus grams probing the broadcast eval grams
+    val bench = TextAnalysis.contamGramRows(docs.filter(isEval))
+      .select($"g").distinct()
+    val direct = TextAnalysis.contamGramRows(docs.filter(!isEval))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select($"doc_id").distinct()
+    // near-dup components over the full corpus (eval docs can bridge)
+    val sigs = graft.util.Eager.cached(minhashSignatures(docs))
+    val edges = graft.util.Eager.cached(minhashCandidates(sigs)
+      .filter($"est_jaccard" >= 0.5)
+      .select("a", "b"))
+    val comps = graft.util.Eager.cached(connectedComponents(edges))
+    val hot = comps.join(direct, comps("id") === direct("doc_id"), "left_semi")
+      .select($"comp").distinct()
+    val via = comps.join(broadcast(hot), Seq("comp"))
+      .filter(!($"id" % 100 === 7))
+      .select($"id".as("doc_id")).distinct()
+    direct.select($"doc_id", lit(true).as("d"))
+      .join(via.select($"doc_id", lit(true).as("v")), Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"d", lit(false)).as("direct"),
+        coalesce($"v", lit(false)).as("via_cluster"))
+      .orderBy($"doc_id")
+  }
+
+  // def, not val: this oracle reads TextAnalysis.ContamGramWords, and the
+  // Dedup/TextAnalysis objects reference each other — a val here runs during
+  // object init, inside that cycle, and can observe the constant as 0
+  // (observed: the generated SQL contained `list_filter([], ...)`).
+  def c06Oracle: String = {
+    val n = TextAnalysis.ContamGramWords
+    val elems = (0 until n).map(k => s"cws[i+$k]").mkString(", ")
+    val est = (0 until NumPerms)
+      .map(p => s"(CASE WHEN x.s$p = y.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""${sigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)
+       |  WHERE CAST(($est) AS DOUBLE) / $NumPerms >= 0.5),
+       |nodes AS (SELECT a AS id FROM cand UNION SELECT b FROM cand),
+       |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |reach AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+       |comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+       |cw AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS cws
+       |  FROM documents),
+       |csh0 AS (SELECT doc_id, cws,
+       |  unnest(range(1, greatest(len(cws) - ${n - 1}, 1) + 1)) AS i FROM cw),
+       |csh AS (SELECT DISTINCT doc_id,
+       |  array_to_string(list_filter([$elems], x -> x IS NOT NULL), ' ') AS g
+       |  FROM csh0),
+       |cbench AS (SELECT DISTINCT g FROM csh WHERE doc_id % 100 = 7),
+       |direct AS (SELECT DISTINCT c.doc_id
+       |  FROM csh c JOIN cbench b ON c.g = b.g WHERE c.doc_id % 100 <> 7),
+       |hot AS (SELECT DISTINCT cluster_id FROM comp JOIN direct ON comp.id = direct.doc_id),
+       |via AS (SELECT DISTINCT comp.id AS doc_id
+       |  FROM comp JOIN hot ON comp.cluster_id = hot.cluster_id
+       |  WHERE comp.id % 100 <> 7)
+       |SELECT COALESCE(d.doc_id, v.doc_id) AS doc_id,
+       |  d.doc_id IS NOT NULL AS direct,
+       |  v.doc_id IS NOT NULL AS via_cluster
+       |FROM direct d FULL OUTER JOIN via v ON d.doc_id = v.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Oracle)),
     Q("d02_minhash_lsh_candidates", d02, Some(d02Oracle)),
@@ -742,5 +839,6 @@ object Dedup {
     Q("d09_chunk_dedup", d09, Some(d09Oracle)),
     Q("d10_containment_join", d10, Some(d10Oracle)),
     Q("c02_neardup_consolidation", c02, Some(c02Oracle)),
+    Q("c06_contamination_blast_radius", c06, Some(c06Oracle)),
   )
 }

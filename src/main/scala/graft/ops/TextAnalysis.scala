@@ -730,27 +730,31 @@ object TextAnalysis {
     * broadcast left join, never a corpus-wide gram self-join (t10/d02
     * cover the self-join problem with inverted-index banding instead).
     */
+  /** The t13 contamination gram stream, shared with Dedup.c06's
+    * blast-radius composition. Codegen'd gram build (t07's zip/slice
+    * pattern — a transform(...) array build runs interpreted and measured
+    * ~5× slower): explode the zipped shifted slices, concat in the
+    * projection. Docs shorter than n words drop (no truncated gram) — the
+    * corpus guarantees ≥ 10 words per doc, so semantics match the
+    * oracle's shingle CTE at every SF. Gram rows are NOT pre-deduped;
+    * per-doc distinctness is folded into downstream count_distincts,
+    * keeping the corpus side a single narrow pass + one doc_id shuffle.
+    */
+  private[ops] def contamGramRows(docs: DataFrame): DataFrame = {
+    val n = ContamGramWords
+    val ws = split(normalize(col("text")), " ")
+    val span = size(ws) - (n - 1)
+    docs
+      .filter(size(ws) >= n)
+      .select(col("doc_id"), explode(arrays_zip(
+        (1 to n).map(k => slice(ws, lit(k), span)): _*)).as("p"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(k => col(s"p.$k")): _*).as("g"))
+  }
+
   def t13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val n = ContamGramWords
-    // codegen'd gram stream (t07's zip/slice pattern — a transform(...)
-    // array build runs interpreted and measured ~5× slower): explode the
-    // zipped shifted slices, concat in the projection. Docs shorter than n
-    // words would drop (no truncated gram) — the corpus guarantees ≥ 10
-    // words per doc, so semantics match the oracle's shingle CTE at every
-    // SF. Gram rows are NOT pre-deduped; per-doc distinctness is folded
-    // into the final aggregation's count_distincts, keeping the corpus
-    // side a single narrow pass + one doc_id shuffle.
-    def gramRows(docs: DataFrame): DataFrame = {
-      val ws = split(normalize(col("text")), " ")
-      val span = size(ws) - (n - 1)
-      docs
-        .filter(size(ws) >= n)
-        .select(col("doc_id"), explode(arrays_zip(
-          (1 to n).map(k => slice(ws, lit(k), span)): _*)).as("p"))
-        .select(col("doc_id"),
-          concat_ws(" ", (0 until n).map(k => col(s"p.$k")): _*).as("g"))
-    }
+    def gramRows(docs: DataFrame): DataFrame = contamGramRows(docs)
     val docs = Tables.documents(s, dir)
     // benchmark side: 1% of docs — the filter pushes into ITS OWN scan, so
     // the small side never pays a full-corpus gram pass
@@ -841,7 +845,10 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val c04Oracle: String = {
+  // def, not val: reads Dedup.ChunkWords across the TextAnalysis/Dedup
+  // object-reference cycle (see Dedup.c06Oracle for the observed failure
+  // mode — a mid-init read sees the constant as 0)
+  def c04Oracle: String = {
     val en = s"${duckMarker(" the ")} + ${duckMarker(" a ")}"
     val de = s"${duckMarker(" der ")} + ${duckMarker(" und ")}"
     val fr = s"${duckMarker(" le ")} + ${duckMarker(" et ")}"

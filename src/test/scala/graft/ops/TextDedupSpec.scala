@@ -262,6 +262,24 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c06 blast radius: a contaminated doc drags its whole near-dup cluster, bystanders stay") {
+    val filler = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty " +
+      "twentyone twentytwo twentythree twentyfour twentyfive twentysix"
+    val blast = Seq(
+      (7L, "alpha beta gamma delta epsilon"),               // eval split doc
+      (1L, s"alpha beta gamma delta epsilon $filler"),      // direct hit
+      // near-dup of 1 with the eval 5-gram BROKEN (one word swapped
+      // inside it) — flagged only through the cluster
+      (2L, s"alpha beta gamma XRAY epsilon $filler"),
+      (3L, other + " " + other),                            // unrelated bystander
+    ).toDF("doc_id", "text")
+    val rows = Dedup.blastRadius(blast).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.toSeq == Seq((1L, true, true), (2L, false, true)),
+      s"got ${rows.toSeq}")
+  }
+
   test("t16 BPE merges match hand-computed rules on a toy corpus, incl. non-overlapping application") {
     // "abab" ×3, "abc" ×2: pair counts r1 — (a,b): 3·2+2 = 8 wins;
     // after merging, "ab ab" ×3 gives (ab,ab)=3, "ab c" gives (ab,c)=2 →
