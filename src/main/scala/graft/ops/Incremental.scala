@@ -152,8 +152,52 @@ object Incremental {
       |FROM d WHERE change_type IS NOT NULL
       |ORDER BY change_type, o_orderkey""".stripMargin
 
+  /** i01 — INCREMENTAL DEDUP-INDEX maintenance: extend mv01's
+    * partial-state argument from rollups to the MinHash near-dup index.
+    * The corpus is split into a BASE snapshot (doc_id < 400, whose
+    * signatures a production system has already materialized) and a DELTA
+    * batch of new arrivals; only the delta is re-signed, and the arriving
+    * docs probe the merged band index. Per-doc signatures are pure
+    * functions of the doc (no corpus-global state — the permutation
+    * family is fixed), so base signatures are REUSABLE by construction
+    * and candidate generation over base ∪ delta via band buckets is
+    * algebraically identical to a from-scratch rebuild — which is exactly
+    * what the gate proves: the query emits every candidate pair touching
+    * a delta doc, hash-matched against the full-rebuild oracle (d02's
+    * SQL restricted to pairs with a new endpoint).
+    *
+    * 100 TB shape: the nightly ingest signs O(delta) docs, the band join
+    * probes buckets that contain a delta member only (the base×base pairs
+    * already live in yesterday's candidate log — deliberately excluded
+    * here), and nothing base-cardinality is recomputed. Base signatures
+    * arrive through the same `minhashSignatures` call for test economy;
+    * in production they are a parquet read — the plan downstream of the
+    * two inputs is identical.
+    */
+  def i01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val isNew = col("doc_id") >= 400
+    // base signatures: the already-materialized index (reused, not re-signed)
+    val baseSigs = Dedup.minhashSignatures(docs.filter(!isNew))
+    // delta: only the new arrivals are signed this run
+    val deltaSigs = Dedup.minhashSignatures(docs.filter(isNew))
+    val merged = graft.util.Eager.cached(baseSigs.unionByName(deltaSigs))
+    Dedup.minhashCandidates(merged)
+      .filter($"a" >= 400 || $"b" >= 400) // new-endpoint pairs only
+      .orderBy($"a", $"b")
+  }
+
+  // def (not val): composes Dedup's oracle fragments across the object
+  // boundary — see Dedup.c06Oracle for the init-cycle failure a val risks
+  def i01Oracle: String =
+    s"""${Dedup.d02Oracle.replace("ORDER BY a, b", "")}
+       |  AND (x.doc_id >= 400 OR y.doc_id >= 400)
+       |ORDER BY a, b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("mv01_incremental_rollup", mv01, Some(mv01Oracle)),
     Q("dq03_snapshot_diff", dq03, Some(dq03Oracle)),
+    Q("i01_incremental_dedup_index", i01, Some(i01Oracle)),
   )
 }

@@ -33,6 +33,27 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(threeWay == oneShot)
   }
 
+  test("i01 incremental index equals the from-scratch rebuild restricted to new-endpoint pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val incremental = Incremental.i01(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val scratch = Dedup.minhashCandidates(Dedup.minhashSignatures(docs))
+      .filter(col("a") >= 400 || col("b") >= 400)
+      .orderBy(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(incremental.toSeq == scratch.toSeq,
+      "base-signature reuse changed the candidate set")
+    // signature purity — the property that makes reuse sound: a doc's
+    // signature is identical whether signed alone or with the full corpus
+    val alone = Dedup.minhashSignatures(docs.filter(col("doc_id") < 10))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val full = Dedup.minhashSignatures(docs)
+      .filter(col("doc_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(alone == full)
+  }
+
   test("merging an empty delta is a no-op") {
     val ev = graft.Tables.events(spark, sfSmoke)
     val base = Incremental.weeklyPartial(ev)
