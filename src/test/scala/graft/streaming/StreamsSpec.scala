@@ -85,6 +85,38 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(merged.reduce(_ ++ _) == allIds)
   }
 
+  test("Trigger.AvailableNow: bounded backfill drains everything in rate-limited batches then self-terminates") {
+    // the production backfill trigger: process ALL currently-available
+    // input under the rate limits (here 1 file per batch), then stop on
+    // its own — unlike processAllAvailable, which needs a driver babysitting
+    // the query. The contract: multiple bounded batches, full coverage,
+    // voluntary termination.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val srcDir = java.nio.file.Files.createTempDirectory("an_src_").toString
+    Tables.documents(ss, sfSmoke).select($"doc_id")
+      .repartition(6).write.mode("overwrite").parquet(srcDir)
+    val allIds = Tables.documents(ss, sfSmoke).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.collect().map(_.getLong(0)).toSet): Unit
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    import scala.jdk.CollectionConverters._
+    val m = batches.asScala.toMap
+    assert(m.size >= 6, s"rate limit ignored: ${m.size} batches for 6 files")
+    assert(m.values.map(_.size).sum == allIds.size, "row processed twice or lost")
+    assert(m.values.reduce(_ ++ _) == allIds)
+  }
+
   test("st10 transformWithState running totals equal the batch window recompute") {
     val streamed = Streams.st10(spark, sfSmoke).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
