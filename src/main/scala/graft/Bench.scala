@@ -117,7 +117,18 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // executor CPU time per query: contention-immune signal alongside wall
+    // time (a busy host inflates wall but not CPU). Snapshots are fenced by
+    // draining the async listener bus before reading the counter.
+    val cpuListener = new graft.util.CpuTimeListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    def cpuNow(): Long = {
+      org.apache.spark.graftaccess.GraftSparkAccess
+        .drainListenerBus(spark.sparkContext)
+      cpuListener.totalNanos
+    }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val cpus_ = scala.collection.mutable.Map.empty[String, Vector[Double]]
     var rep = 1
     var outOfBudget = false
     while (rep <= reps && !outOfBudget) {
@@ -129,8 +140,12 @@ object Bench {
               f"[bench] HARD CAP ${hardCapSec}%.0f s exhausted after " +
                 f"$elapsedSec%.0f s in rep $rep; skipping remaining queries")
           }
-          if (rep == 1) times(name) = times.getOrElse(name, Vector.empty) :+ -1.0
+          if (rep == 1) {
+            times(name) = times.getOrElse(name, Vector.empty) :+ -1.0
+            cpus_(name) = cpus_.getOrElse(name, Vector.empty) :+ -1.0
+          }
         } else if (rep == 1 || elapsedSec < budgetSec) {
+          val c0 = cpuNow()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -141,7 +156,9 @@ object Bench {
             }
           // a failed rep records -1, never a plausible-looking duration
           val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val c = if (ok) (cpuNow() - c0) / 1e9 else -1.0
           times(name) = times.getOrElse(name, Vector.empty) :+ t
+          cpus_(name) = cpus_.getOrElse(name, Vector.empty) :+ c
           // outside the timed window: this query's Eager.cached relations
           // must not ride into (or slow down) the next query's heap
           spark.catalog.clearCache()
@@ -161,15 +178,34 @@ object Bench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val results = names.map { case (name, _) =>
       val ok = times(name).filter(_ >= 0)
-      if (ok.isEmpty) (name, -1.0, -1.0)
-      else (name, median(ok), ok.max - ok.min)
+      val okCpu = cpus_(name).filter(_ >= 0)
+      if (ok.isEmpty) (name, -1.0, -1.0, -1.0)
+      else (name, median(ok), ok.max - ok.min,
+        if (okCpu.isEmpty) -1.0 else median(okCpu))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val spreads = jmap(_._3)
+    val cpuMap = jmap(_._4)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spreads}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spreads,"cpu":$cpuMap}"""
+    // Artifact durability (two rounds of perf evidence were lost to stdout
+    // interleaving / DNF): write the full JSON to a well-known file FIRST,
+    // then print a marker-prefixed copy (grep-recoverable even if the tail
+    // is truncated), then the bare JSON line (the original driver contract).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(s"GRAFT_BENCH_JSON $json")
+    println(json)
+    Console.out.flush()
     spark.stop()
   }
 }
