@@ -47,13 +47,19 @@ object Warehouse {
     * deterministic content-hash tiebreaker (not partition order), so reruns
     * produce the same table bit-for-bit.
     */
-  def upsert(existing: DataFrame, updates: DataFrame, pk: String): DataFrame = {
+  def upsert(existing: DataFrame, updates: DataFrame, pk: String): DataFrame =
+    upsert(existing, updates, Seq(pk))
+
+  /** Composite-key form of [[upsert]] (e.g. region_yearly_summary's
+    * (WHO_region, Year) PK, reference api/api_crud.py:40-46).
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, pks: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val tagged = existing.withColumn("__priority", lit(0))
       .unionByName(updates.withColumn("__priority", lit(1)))
     val contentTiebreak = xxhash64(existing.columns.toIndexedSeq.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(pk)).orderBy(col("__priority").desc, contentTiebreak)
+      .partitionBy(pks.map(col): _*).orderBy(col("__priority").desc, contentTiebreak)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -84,7 +90,13 @@ object Warehouse {
 
   /** Batch delete-by-key (CRUD delete): anti join on the key set. */
   def deleteByKey(existing: DataFrame, keys: DataFrame, pk: String): DataFrame =
-    existing.join(keys.select(pk), Seq(pk), "left_anti")
+    deleteByKey(existing, keys, Seq(pk))
+
+  /** Composite-key form of [[deleteByKey]]. */
+  def deleteByKey(existing: DataFrame, keys: DataFrame, pks: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    existing.join(keys.select(pks.map(col): _*), pks, "left_anti")
+  }
 
   /** SCD2 merge — versioned dimension maintenance. `history` carries
     * (pk, attrs…, valid_from, valid_to, is_current); `updates` carries

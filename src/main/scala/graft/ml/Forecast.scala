@@ -107,6 +107,49 @@ object Forecast {
     (autoregressive(model, tail, steps), evaluate(model, ready))
   }
 
+  /** Forecast EVERY key of a series frame in one distributed pass — the
+    * producer of the reference's `predicted_weekly_statistics` serving table
+    * (queried at app/routes/data.py:63-65 but never created by any reference
+    * DDL/job — SURVEY.md §1.4; this is its intended semantics).
+    *
+    * Scale shape: one global model fit (distributed), broadcast to
+    * executors; per-key tails are bounded by a window (`row_number ≤
+    * 2·NumLags`), and the autoregressive rollout runs INSIDE
+    * `flatMapGroups` — no per-key driver loop, no collect, so a corpus with
+    * millions of series keys forecasts as one shuffle-by-key stage.
+    *
+    * @param stepDays horizon spacing (7 = weekly grain, matching the fact).
+    */
+  def forecastAll(
+      series: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+      steps: Int, stepDays: Int = 7,
+  ): DataFrame = {
+    val lagged = lagFeatures(series, keyCol, timeCol, valueCol)
+    val (model, _) = train(lagged, valueCol)
+    val spark = series.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    import spark.implicits._
+    val tails = series
+      .select(col(keyCol).cast("string").as("k"),
+        col(timeCol).cast("date").as("t"), col(valueCol).cast("double").as("v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("t").desc)))
+      .filter(col("__rn") <= NumLags * 2).drop("__rn")
+      .as[(String, java.sql.Date, Double)]
+    tails.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val rows = it.toSeq.sortBy(_._2.getTime)
+      if (rows.length < NumLags) Iterator.empty
+      else {
+        val preds = autoregressive(bc.value, rows.map(_._3), steps)
+        val last = rows.last._2.getTime
+        preds.iterator.zipWithIndex.map { case (p, i) =>
+          (k, new java.sql.Date(last + (i + 1).toLong * stepDays * 86400000L), p)
+        }
+      }
+    }.toDF(keyCol, timeCol, s"predicted_$valueCol")
+      .orderBy(keyCol, timeCol)
+  }
+
   /** ml01 — the lag-feature frame over events as an oracle-backed query
     * (ROWS-frame rolling mean + multi-lag windows: the feature-prep operator
     * of §3.3 as a first-class query).

@@ -3,17 +3,22 @@ package graft.serving
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 import graft.Warehouse
 import graft.etl.StarSchema
+import graft.ml.Forecast
 import graft.queries.ServingQueries
 
 /** Thin HTTP shell over the serving layer — the analog of the reference's
   * Flask app (app/main.py:27-43 registers blueprints whose route bodies are
   * SQL; here each route body is a `ServingQueries` function and Spark's
-  * planner replaces Postgres's).
+  * planner replaces Postgres's) PLUS the reference's separate Swagger CRUD
+  * app (api/api_crud.py) on the same server.
   *
   * Deliberately ZERO framework: the engine's contract is
   * `(SparkSession, params) => DataFrame`, and this demonstrates that the
@@ -24,26 +29,43 @@ import graft.queries.ServingQueries
   * kind of router, with every endpoint bounded: aggregates, top-k, or
   * LIMIT/OFFSET pages — never an unbounded collect).
   *
-  * Responses are JSON arrays of row objects via [[Warehouse.jsonRecords]]
-  * (`df.toJSON` — Spark's own row→JSON encoding, computed distributed and
-  * only then collected, bounded by each endpoint's own LIMIT semantics).
+  * Response envelopes mirror the reference route by route: plain arrays
+  * where `fetch_data` returns records (app/routes/data.py:50-61), a
+  * `{"data": …}` wrapper where routes jsonify one (data.py:227, 245, 385;
+  * worldmap.py:19; graph.py:43), the page/limit/total_pages/total_rows
+  * pagination envelope (data.py:172-178), and the two-list top5 summary
+  * (data.py:291-294). Row JSON comes from [[Warehouse.jsonRecords]]
+  * (`df.toJSON` — computed distributed, collected only within each
+  * endpoint's own LIMIT semantics).
   */
 object Serve {
 
-  /** Route table, reference paths preserved (app/routes/data.py:63-331).
-    * Each value: query-params => bounded DataFrame.
+  private val M = new ObjectMapper()
+  private def jstr(s: String): String = M.writeValueAsString(s)
+  private def err(msg: String): String = s"""{"error":${jstr(msg)}}"""
+
+  /** Plain-array routes (the reference's `fetch_data` shape,
+    * app/routes/data.py:63-106, 180-214): per-table scans + totals +
+    * by-country weekly stats. The six star tables are served whole — they
+    * are dims and a weekly fact, the same "SELECT *" the reference exposes;
+    * a 100 TB deployment would cap them like `/api/table/<name>` does.
     */
   def routes(star: StarSchema): Map[String, Map[String, String] => DataFrame] = Map(
     "/api/total_cases" -> (_ => ServingQueries.totalCases(star)),
     "/api/total_deaths" -> (_ => ServingQueries.totalDeaths(star)),
     "/api/total_vaccines" -> (_ => ServingQueries.totalVaccines(star)),
-    "/api/weekly_statistics_total" -> (p =>
-      ServingQueries.weeklyStatisticsTotal(
-        star,
-        page = p.getOrElse("page", "1").toInt,
-        limit = p.getOrElse("limit", "100").toInt)),
     "/api/weekly_statistics_by_country" -> (p =>
       ServingQueries.weeklyStatisticsByCountry(star, p("country_code"))),
+    "/api/who_region" -> (_ => star.whoRegion),
+    "/api/country" -> (_ => star.country),
+    "/api/disease" -> (_ => star.disease),
+    "/api/vaccine" -> (_ => star.vaccine),
+    "/api/daily_vaccine_statistics" -> (_ => star.dailyVaccineStatistics),
+    "/api/weekly_statistics" -> (_ => star.weeklyStatistics),
+  )
+
+  /** `{"data": […]}`-enveloped routes (data.py:227/245, worldmap.py:19). */
+  def dataRoutes(star: StarSchema): Map[String, Map[String, String] => DataFrame] = Map(
     "/api/covid_cases_evolution" -> (_ => ServingQueries.covidCasesEvolution(star)),
     "/api/vaccinations_evolution" -> (_ => ServingQueries.vaccinationsEvolution(star)),
     "/api/worldmap/cases" -> (_ => ServingQueries.worldmapCases(star)),
@@ -65,30 +87,294 @@ object Serve {
     finally ex.close()
   }
 
-  /** Bind and start; port 0 picks an ephemeral port (tests). */
-  def start(star: StarSchema, port: Int): HttpServer = {
+  private def jsonArray(df: DataFrame): String =
+    Warehouse.jsonRecords(df).collect().mkString("[", ",", "]")
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  // ---- CRUD schemas (reference ORM models, api/api_crud.py:23-55) -------
+
+  val countryStatisticsSchema: StructType = StructType(Seq(
+    StructField("country", StringType, nullable = false),
+    StructField("total_cases", LongType),
+    StructField("total_vaccinated", LongType)))
+
+  val regionYearlySummarySchema: StructType = StructType(Seq(
+    StructField("who_region", StringType, nullable = false),
+    StructField("year", IntegerType, nullable = false),
+    StructField("total_cases", LongType),
+    StructField("total_deaths", LongType)))
+
+  /** Bind and start; port 0 picks an ephemeral port (tests).
+    *
+    * @param population optional `(country_code, year, population)` input for
+    *   `/api/country_covid_rates` — the table the reference joins but never
+    *   creates (SURVEY.md §1.4); absent → the route 500s with the same
+    *   `{"error": …}` envelope the reference produces for the missing table.
+    */
+  def start(star: StarSchema, port: Int,
+      population: Option[DataFrame] = None): HttpServer = {
+    val spark = star.country.sparkSession
+    Warehouse.register(spark, star)
+
+    // lazily-built heavyweight surfaces, computed once then O(1) per request
+    lazy val predicted = Forecast.forecastAll(
+      star.weeklyStatistics, "country_short_code", "date_of_report",
+      "week_new_reported_cases", steps = 4).localCheckpoint()
+    lazy val metricsJson = {
+      // the RF metrics surface (app/routes/metrics.py:23-41): fit + score
+      // the weekly series, report R2/RMSE with the reference's rounding
+      val lagged = Forecast.lagFeatures(star.weeklyStatistics,
+        "country_short_code", "date_of_report", "week_new_reported_cases")
+      val (model, ready) = Forecast.train(lagged, "week_new_reported_cases")
+      val m = Forecast.evaluate(model, ready)
+      s"""{"R2":${math.rint(m("r2") * 1e4) / 1e4},"RMSE":${math.rint(m("rmse") * 1e2) / 1e2}}"""
+    }
+
+    val crudCountry = new CrudTable(spark, countryStatisticsSchema, Seq("country"))
+    val crudRegion = new CrudTable(spark, regionYearlySummarySchema, Seq("who_region", "year"))
+
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"running"}"""))
-    val table = routes(star)
+
+    val arr = routes(star)
+    val env = dataRoutes(star)
+
     server.createContext("/api", (ex: HttpExchange) => {
-      table.get(ex.getRequestURI.getPath) match {
-        case Some(fn) =>
-          try {
-            val rows = Warehouse.jsonRecords(fn(queryParams(ex))).collect()
-            respond(ex, 200, rows.mkString("[", ",", "]"))
-          } catch {
-            case e: NoSuchElementException =>
-              respond(ex, 400, s"""{"error":"missing parameter: ${e.getMessage}"}""")
-            case e: Exception =>
-              respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
-          }
-        case None => respond(ex, 404, """{"error":"no such route"}""")
+      val path = ex.getRequestURI.getPath
+      try {
+        (arr.get(path), env.get(path)) match {
+          case (Some(fn), _) => respond(ex, 200, jsonArray(fn(queryParams(ex))))
+          case (_, Some(fn)) =>
+            respond(ex, 200, s"""{"data":${jsonArray(fn(queryParams(ex)))}}""")
+          case _ => handleSpecial(ex, path, star, spark, population,
+            () => predicted, () => metricsJson)
+        }
+      } catch {
+        case e: NoSuchElementException =>
+          respond(ex, 400, err(s"missing parameter: ${e.getMessage}"))
+        case e: Exception =>
+          respond(ex, 500, err(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
       }
     })
+
+    server.createContext("/country_statistics", (ex: HttpExchange) =>
+      handleCrud(ex, "/country_statistics", crudCountry,
+        countryStatisticsSchema, Seq("country")))
+    server.createContext("/region_yearly_summary", (ex: HttpExchange) =>
+      handleCrud(ex, "/region_yearly_summary", crudRegion,
+        regionYearlySummarySchema, Seq("who_region", "year")))
+
     server.start()
     server
   }
+
+  /** Routes with bespoke envelopes or path parameters. */
+  private def handleSpecial(
+      ex: HttpExchange, path: String, star: StarSchema, spark: SparkSession,
+      population: Option[DataFrame], predicted: () => DataFrame,
+      metricsJson: () => String,
+  ): Unit = path match {
+
+    // pagination envelope (data.py:108-178)
+    case "/api/weekly_statistics_total" =>
+      val p = queryParams(ex)
+      val page = p.getOrElse("page", "1").toInt
+      val limit = p.getOrElse("limit", "100").toInt
+      val totalRows = ServingQueries.weeklyStatisticsTotalRows(star)
+      val totalPages = math.ceil(totalRows.toDouble / limit).toInt
+      val data = jsonArray(ServingQueries.weeklyStatisticsTotal(star, page, limit))
+      respond(ex, 200,
+        s"""{"page":$page,"limit":$limit,"total_pages":$totalPages,"total_rows":$totalRows,"data":$data}""")
+
+    // two-list summary (data.py:271-298)
+    case "/api/top5_summary" =>
+      respond(ex, 200,
+        s"""{"top5_deaths":${jsonArray(ServingQueries.top5Deaths(star))},"top5_cases":${jsonArray(ServingQueries.top5Cases(star))}}""")
+
+    case "/api/country_covid_rates" =>
+      population match {
+        case Some(pop) => respond(ex, 200,
+          s"""{"data":${jsonArray(ServingQueries.countryCovidRates(star, pop))}}""")
+        case None => // the reference's own fate: the population table doesn't exist
+          respond(ex, 500, err("relation \"population\" does not exist"))
+      }
+
+    // forecast-output table (data.py:63-65; intended semantics, §1.4)
+    case "/api/predicted_weekly_statistics" =>
+      respond(ex, 200, jsonArray(predicted()))
+
+    // RF model metrics (app/routes/metrics.py:23-41)
+    case "/api/metrics" =>
+      respond(ex, 200, metricsJson())
+
+    // encoding probe (app/main.py:20-31): the reference asks Postgres for
+    // server/client encodings; a parquet warehouse is UTF-8 by format spec —
+    // listTables() is the live-catalog probe standing in for conn.connect()
+    case "/api/encoding" =>
+      Warehouse.listTables(spark) // throws if the catalog is gone → 500
+      respond(ex, 200, """{"server_encoding":"UTF8","client_encoding":"UTF8"}""")
+
+    // per-country metric series (graph.py:10-52): /api/graph/country/<metric>
+    case _ if path.startsWith("/api/graph/country/") =>
+      val metric = path.stripPrefix("/api/graph/country/")
+      queryParams(ex).get("country") match {
+        case None => respond(ex, 400, err("missing parameter: country"))
+        case Some(country) =>
+          // reference METRIC_MAP keys (graph.py:10-14); "vaccinated" is its
+          // daily-shots series (the mapped columns don't exist — intended
+          // semantics per SURVEY.md §1.4)
+          val mapped = metric match {
+            case "cases"      => Some("cases")
+            case "deaths"     => Some("deaths")
+            case "vaccinated" => Some("vaccinations")
+            case _            => None
+          }
+          mapped match {
+            case None => respond(ex, 400, err(s"unknown metric: $metric"))
+            case Some(m) =>
+              val rows = Warehouse.jsonRecords(
+                ServingQueries.graphCountry(star, country, m)).collect()
+              if (rows.isEmpty)
+                respond(ex, 404, err(s"no data for country '$country'"))
+              else respond(ex, 200, s"""{"data":${rows.mkString("[", ",", "]")}}""")
+          }
+      }
+
+    // generic capped scan (tables.py:26-40): {"<name>": […]}
+    case _ if path.startsWith("/api/table/") =>
+      val name = path.stripPrefix("/api/table/")
+      try {
+        val body = jsonArray(Warehouse.tableScan(spark, name, limit = 100))
+        respond(ex, 200, s"""{${jstr(name)}:$body}""")
+      } catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 500, err(s"cannot fetch table '$name': ${e.getMessage}"))
+      }
+
+    // autoregressive forecast (predict_france_with_model.py:54-113).
+    // `days` counts forecast periods at the fact's weekly grain.
+    case "/api/predict_cases" =>
+      val p = queryParams(ex)
+      (p.get("country"), p.get("start_date")) match {
+        case (Some(country), Some(startDate)) =>
+          val days = math.min(p.getOrElse("days", "30").toInt, 104)
+          // honor start_date the way the reference does: the model only
+          // sees history strictly before it (no future leakage)
+          val series = star.weeklyStatistics
+            .filter(col("date_of_report") < org.apache.spark.sql.functions.lit(startDate))
+          val known = series
+            .filter(col("country_short_code") === country).count()
+          if (known < Forecast.NumLags)
+            respond(ex, 400, err(s"too little data for $country before $startDate"))
+          else {
+            val (preds, _) = Forecast.forecastSeries(series,
+              "country_short_code", "date_of_report", "week_new_reported_cases",
+              country, days)
+            val lastKnown = series.filter(col("country_short_code") === country)
+              .agg(org.apache.spark.sql.functions.max("date_of_report"))
+              .collect()(0).getDate(0).toLocalDate
+            val items = preds.zipWithIndex.map { case (v, i) =>
+              s"""{"date":"${lastKnown.plusDays((i + 1).toLong * 7)}","predicted_cases":${v.round}}"""
+            }
+            respond(ex, 200,
+              s"""{"country":${jstr(country)},"start_date":${jstr(startDate)},"days":$days,"predictions":${items.mkString("[", ",", "]")}}""")
+          }
+        case _ =>
+          respond(ex, 400, err("parameters 'country' and 'start_date' are required"))
+      }
+
+    case _ => respond(ex, 404, err("no such route"))
+  }
+
+  /** The Swagger CRUD surface (api/api_crud.py:60-260), both tables:
+    * GET (all / by PK), POST (create), PUT (partial update), DELETE.
+    * Single-row writes flow through [[Warehouse.upsert]]/
+    * [[Warehouse.deleteByKey]] via [[CrudTable]].
+    */
+  private def handleCrud(ex: HttpExchange, prefix: String, table: CrudTable,
+      schema: StructType, pks: Seq[String]): Unit = {
+    val path = ex.getRequestURI.getPath
+    val rest = path.stripPrefix(prefix).stripPrefix("/")
+    val keyParts = if (rest.isEmpty) Seq.empty
+      else rest.split("/").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8"))
+
+    def castKey(i: Int, raw: String): Any = schema(pks(i)).dataType match {
+      case IntegerType => raw.toInt
+      case LongType    => raw.toLong
+      case _           => raw
+    }
+
+    try {
+      (ex.getRequestMethod, keyParts) match {
+        case ("GET", Seq()) =>
+          respond(ex, 200, jsonArray(table.all))
+        case ("GET", ks) if ks.length == pks.length =>
+          table.get(ks.zipWithIndex.map { case (k, i) => castKey(i, k) }) match {
+            case Some(rec) => respond(ex, 200, rec)
+            case None      => respond(ex, 404, err("record not found"))
+          }
+        case ("POST", Seq()) =>
+          val node = M.readTree(readBody(ex))
+          if (pks.exists(pk => !node.hasNonNull(pk)))
+            respond(ex, 400, err(s"fields ${pks.mkString(", ")} are required"))
+          else {
+            table.put(rowFromJson(node, schema))
+            respond(ex, 201, """{"message":"record created"}""")
+          }
+        case ("PUT", ks) if ks.length == pks.length =>
+          val keyVals = ks.zipWithIndex.map { case (k, i) => castKey(i, k) }
+          table.get(keyVals) match {
+            case None => respond(ex, 404, err("record not found"))
+            case Some(existing) =>
+              val cur = M.readTree(existing)
+              val upd = M.readTree(readBody(ex))
+              // partial update: body fields win, PK comes from the path
+              val merged = schema.fields.zipWithIndex.map { case (f, i) =>
+                val pkIdx = pks.indexOf(f.name)
+                if (pkIdx >= 0) keyVals(pkIdx)
+                else {
+                  val n = if (upd.hasNonNull(f.name)) upd.get(f.name)
+                    else cur.get(f.name)
+                  jsonValue(n, f.dataType)
+                }
+              }
+              table.put(merged.toSeq)
+              respond(ex, 200, """{"message":"record updated"}""")
+          }
+        case ("DELETE", ks) if ks.length == pks.length =>
+          if (table.delete(ks.zipWithIndex.map { case (k, i) => castKey(i, k) }))
+            respond(ex, 200, """{"message":"record deleted"}""")
+          else respond(ex, 404, err("record not found"))
+        case (m, _) =>
+          respond(ex, 405, err(s"method $m not allowed on $path"))
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, err(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+    }
+  }
+
+  private def jsonValue(n: com.fasterxml.jackson.databind.JsonNode,
+      dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case IntegerType => n.asInt()
+      case LongType    => n.asLong()
+      case DoubleType  => n.asDouble()
+      case _           => n.asText()
+    }
+
+  private def rowFromJson(node: com.fasterxml.jackson.databind.JsonNode,
+      schema: StructType): Seq[Any] =
+    schema.fields.toSeq.map { f =>
+      if (node.hasNonNull(f.name)) jsonValue(node.get(f.name), f.dataType)
+      else if (f.dataType == LongType) 0L // api_crud.py: data.get(field, 0)
+      else if (f.dataType == IntegerType) 0
+      else null
+    }
 
   /** Demo main: ETL the committed reference CSVs, serve on :8080. */
   def main(args: Array[String]): Unit = {
@@ -102,6 +388,6 @@ object Serve {
     val star = graft.etl.EtlJob.run(spark, dataDir)
     val server = start(star, args.drop(1).headOption.map(_.toInt).getOrElse(8080))
     println(s"serving on :${server.getAddress.getPort} — GET /health, " +
-      routes(star).keys.toSeq.sorted.mkString(", "))
+      (routes(star).keys ++ dataRoutes(star).keys).toSeq.sorted.mkString(", "))
   }
 }

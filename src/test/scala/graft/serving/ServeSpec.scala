@@ -10,25 +10,43 @@ import graft.etl.EtlJob
 
 /** The HTTP shell must return exactly what the underlying DataFrame
   * functions return — same rows, same JSON encoding — plus the Flask
-  * surface's contract details (health probe, 400 on missing param,
-  * 404 on unknown route).
+  * surface's contract details route by route: the plain-array `fetch_data`
+  * shape, the `{"data": …}` wrapper, the pagination envelope
+  * (data.py:172-178), the top5 two-list summary, path-parameterized
+  * graph/table routes, the forecast + metrics ML surfaces, and the Swagger
+  * CRUD app's create→read→update→delete lifecycle (api/api_crud.py).
   */
 class ServeSpec extends AnyFunSuite with SparkSpec {
 
   lazy val star = EtlJob.run(spark, referenceDataDir)
-  lazy val server = Serve.start(star, port = 0) // ephemeral port
+  lazy val population = {
+    import spark.implicits._
+    Seq(("FR", 2023, 68000000L), ("DE", 2023, 83000000L))
+      .toDF("country_code", "year", "population")
+  }
+  lazy val server = Serve.start(star, port = 0, population = Some(population))
 
-  private def get(path: String): (Int, String) = {
+  private def request(method: String, path: String, body: Option[String] = None): (Int, String) = {
     val url = URI.create(
       s"http://localhost:${server.getAddress.getPort}$path").toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("GET")
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.getOutputStream.write(b.getBytes("UTF-8"))
+    }
     val code = conn.getResponseCode
     val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val body = Source.fromInputStream(stream, "UTF-8").mkString
+    val resp = Source.fromInputStream(stream, "UTF-8").mkString
     conn.disconnect()
-    (code, body)
+    (code, resp)
   }
+
+  private def get(path: String): (Int, String) = request("GET", path)
+
+  private def direct(df: org.apache.spark.sql.DataFrame): String =
+    graft.Warehouse.jsonRecords(df).collect().mkString("[", ",", "]")
 
   test("health probe answers like the reference's /health") {
     assert(get("/health") == (200, """{"status":"running"}"""))
@@ -37,25 +55,160 @@ class ServeSpec extends AnyFunSuite with SparkSpec {
   test("metric endpoint body == jsonRecords of the DataFrame it wraps") {
     val (code, body) = get("/api/total_cases")
     assert(code == 200)
-    val direct = graft.Warehouse
-      .jsonRecords(graft.queries.ServingQueries.totalCases(star))
-      .collect().mkString("[", ",", "]")
-    assert(body == direct)
+    assert(body == direct(graft.queries.ServingQueries.totalCases(star)))
   }
 
-  test("paged endpoint honors page/limit query params") {
+  test("every per-table scan route serves its star table") {
+    for ((route, df) <- Seq(
+        "/api/who_region" -> star.whoRegion,
+        "/api/country" -> star.country,
+        "/api/disease" -> star.disease,
+        "/api/vaccine" -> star.vaccine,
+        "/api/daily_vaccine_statistics" -> star.dailyVaccineStatistics,
+        "/api/weekly_statistics" -> star.weeklyStatistics)) {
+      val (code, body) = get(route)
+      assert(code == 200, route)
+      assert(body == direct(df), route)
+    }
+  }
+
+  test("paged endpoint returns the reference's pagination envelope") {
     val (code, body) = get("/api/weekly_statistics_total?page=2&limit=5")
     assert(code == 200)
-    val direct = graft.Warehouse
-      .jsonRecords(graft.queries.ServingQueries
-        .weeklyStatisticsTotal(star, page = 2, limit = 5))
-      .collect().mkString("[", ",", "]")
-    assert(body == direct)
-    assert(body.count(_ == '{') == 5) // LIMIT bounds the payload
+    val data = direct(graft.queries.ServingQueries
+      .weeklyStatisticsTotal(star, page = 2, limit = 5))
+    val totalRows = graft.queries.ServingQueries.weeklyStatisticsTotalRows(star)
+    val totalPages = math.ceil(totalRows.toDouble / 5).toInt
+    assert(body ==
+      s"""{"page":2,"limit":5,"total_pages":$totalPages,"total_rows":$totalRows,"data":$data}""")
+  }
+
+  test("evolution + worldmap routes use the {data: ...} wrapper") {
+    for ((route, df) <- Seq(
+        "/api/covid_cases_evolution" ->
+          graft.queries.ServingQueries.covidCasesEvolution(star),
+        "/api/vaccinations_evolution" ->
+          graft.queries.ServingQueries.vaccinationsEvolution(star),
+        "/api/worldmap/cases" -> graft.queries.ServingQueries.worldmapCases(star),
+        "/api/worldmap/deaths" -> graft.queries.ServingQueries.worldmapDeaths(star),
+        "/api/worldmap/vaccinated" ->
+          graft.queries.ServingQueries.worldmapVaccinated(star))) {
+      val (code, body) = get(route)
+      assert(code == 200, route)
+      assert(body == s"""{"data":${direct(df)}}""", route)
+    }
+  }
+
+  test("top5_summary returns the two-list envelope") {
+    val (code, body) = get("/api/top5_summary")
+    assert(code == 200)
+    assert(body ==
+      s"""{"top5_deaths":${direct(graft.queries.ServingQueries.top5Deaths(star))},"top5_cases":${direct(graft.queries.ServingQueries.top5Cases(star))}}""")
+  }
+
+  test("country_covid_rates joins the provided population input") {
+    val (code, body) = get("/api/country_covid_rates")
+    assert(code == 200)
+    assert(body == s"""{"data":${direct(
+      graft.queries.ServingQueries.countryCovidRates(star, population))}}""")
+  }
+
+  test("graph/country/<metric> is path-parameterized with the reference's guards") {
+    val (code, body) = get("/api/graph/country/cases?country=FR")
+    assert(code == 200)
+    assert(body == s"""{"data":${direct(
+      graft.queries.ServingQueries.graphCountry(star, "FR", "cases"))}}""")
+    // vaccinated maps to the daily-shots series (graph.py METRIC_MAP intent)
+    assert(get("/api/graph/country/vaccinated?country=FR")._1 == 200)
+    assert(get("/api/graph/country/cases")._1 == 400) // missing country
+    assert(get("/api/graph/country/nonsense?country=FR")._1 == 400)
+    assert(get("/api/graph/country/cases?country=ZZ")._1 == 404) // no rows
+  }
+
+  test("table/<name> serves a capped scan in the {name: rows} envelope") {
+    val (code, body) = get("/api/table/disease")
+    assert(code == 200)
+    assert(body.startsWith("""{"disease":["""))
+    assert(get("/api/table/no_such_table")._1 == 500)
+    // the reference's injection hole is closed: a crafted name is unknown
+    assert(get("/api/table/disease;%20DROP%20TABLE%20x")._1 == 500)
+  }
+
+  test("encoding probe reports UTF-8 like the reference's Postgres probe") {
+    assert(get("/api/encoding") ==
+      (200, """{"server_encoding":"UTF8","client_encoding":"UTF8"}"""))
+  }
+
+  test("predicted_weekly_statistics serves the forecastAll output table") {
+    val (code, body) = get("/api/predicted_weekly_statistics")
+    assert(code == 200, body)
+    assert(body.startsWith("""[{"country_short_code":"""))
+    assert(body.contains("\"predicted_week_new_reported_cases\":"))
+  }
+
+  test("metrics reports the RF R2/RMSE envelope") {
+    val (code, body) = get("/api/metrics")
+    assert(code == 200)
+    assert(body.matches("""\{"R2":-?[0-9.]+,"RMSE":[0-9.]+\}"""), body)
+  }
+
+  test("predict_cases forecasts with the reference's envelope and guards") {
+    val (code, body) = get("/api/predict_cases?country=FR&start_date=2023-06-01&days=3")
+    assert(code == 200, body)
+    assert(body.startsWith("""{"country":"FR","start_date":"2023-06-01","days":3,"predictions":["""))
+    assert(body.count(_ == '{') == 4) // envelope + 3 prediction rows
+    assert(body.contains("\"predicted_cases\":"))
+    assert(get("/api/predict_cases?country=FR")._1 == 400) // missing start_date
+    // history shorter than the lookback → 400, like the reference's guard
+    assert(get("/api/predict_cases?country=FR&start_date=2019-01-01&days=3")._1 == 400)
   }
 
   test("missing required param is a 400, unknown route a 404") {
     assert(get("/api/weekly_statistics_by_country")._1 == 400)
     assert(get("/api/does_not_exist")._1 == 404)
+  }
+
+  test("CRUD lifecycle: create → read → update → delete → 404, both tables") {
+    // country_statistics (single PK)
+    assert(get("/country_statistics") == (200, "[]"))
+    val (c1, _) = request("POST", "/country_statistics",
+      Some("""{"country":"France","total_cases":12000,"total_vaccinated":3000}"""))
+    assert(c1 == 201)
+    val (c2, _) = request("POST", "/country_statistics",
+      Some("""{"country":"Spain","total_cases":500}""")) // missing field → 0
+    assert(c2 == 201)
+    assert(request("POST", "/country_statistics",
+      Some("""{"total_cases":1}"""))._1 == 400) // no PK
+    assert(get("/country_statistics/France") ==
+      (200, """{"country":"France","total_cases":12000,"total_vaccinated":3000}"""))
+    assert(get("/country_statistics/Spain") ==
+      (200, """{"country":"Spain","total_cases":500,"total_vaccinated":0}"""))
+    // partial update: only total_cases changes
+    assert(request("PUT", "/country_statistics/France",
+      Some("""{"total_cases":15000}"""))._1 == 200)
+    assert(get("/country_statistics/France") ==
+      (200, """{"country":"France","total_cases":15000,"total_vaccinated":3000}"""))
+    assert(request("PUT", "/country_statistics/Atlantis",
+      Some("""{"total_cases":1}"""))._1 == 404)
+    // list is PK-ordered
+    val (_, all) = get("/country_statistics")
+    assert(all ==
+      """[{"country":"France","total_cases":15000,"total_vaccinated":3000},{"country":"Spain","total_cases":500,"total_vaccinated":0}]""")
+    assert(request("DELETE", "/country_statistics/Spain")._1 == 200)
+    assert(get("/country_statistics/Spain")._1 == 404)
+    assert(request("DELETE", "/country_statistics/Spain")._1 == 404)
+
+    // region_yearly_summary (composite PK who_region/year)
+    assert(request("POST", "/region_yearly_summary",
+      Some("""{"who_region":"EURO","year":2021,"total_cases":100,"total_deaths":5}"""))._1 == 201)
+    assert(get("/region_yearly_summary/EURO/2021") ==
+      (200, """{"who_region":"EURO","year":2021,"total_cases":100,"total_deaths":5}"""))
+    assert(get("/region_yearly_summary/EURO/1999")._1 == 404)
+    assert(request("PUT", "/region_yearly_summary/EURO/2021",
+      Some("""{"total_deaths":7}"""))._1 == 200)
+    assert(get("/region_yearly_summary/EURO/2021") ==
+      (200, """{"who_region":"EURO","year":2021,"total_cases":100,"total_deaths":7}"""))
+    assert(request("DELETE", "/region_yearly_summary/EURO/2021")._1 == 200)
+    assert(get("/region_yearly_summary") == (200, "[]"))
   }
 }
