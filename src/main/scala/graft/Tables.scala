@@ -47,15 +47,23 @@ object Tables {
     * expressions included) consumes `embedding` as ARRAY<FLOAT>; a
     * regeneration that ships doubles would silently break every getFloat
     * accessor (the round-4 events-ts lesson, applied proactively).
-    * Dispatch on the footer type and cast only when it differs, so the
-    * common case keeps a cast-free scan.
+    *
+    * A non-float footer FAILS LOUDLY instead of casting: the DuckDB oracles
+    * read the raw parquet at its native precision, so a silent float32
+    * downcast here would let near-tie top-k selections diverge from the
+    * oracle while both sides look healthy (round-5 advice). If a
+    * double-typed generation ever ships, the right fix is one explicit
+    * normalization on BOTH sides, not a hidden one on one side.
     */
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val raw = load(spark, dir, "embeddings")
     raw.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => raw
-      case _ => raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.parquet ships embedding: $other; this engine's ANN surface " +
+          "and its DuckDB oracles assume array<float> — normalize both sides " +
+          "explicitly instead of silently casting (Tables.embeddings)")
     }
   }
 }

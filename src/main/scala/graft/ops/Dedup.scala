@@ -200,15 +200,23 @@ object Dedup {
     minhashCandidates(sigs).orderBy(col("a"), col("b"))
   }
 
-  val d02Oracle: String = {
+  /** d02's oracle with an optional extra pair predicate — so composers
+    * (i01's delta-only restriction) extend the JOIN structurally instead of
+    * editing the SQL text (round-5 advice: a String.replace on "ORDER BY
+    * a, b" breaks silently the day this query grows another ordered clause).
+    */
+  def d02OracleWhere(pairPredicate: Option[String]): String = {
     val est = (0 until NumPerms)
       .map(p => s"(CASE WHEN x.s$p = y.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+    val extra = pairPredicate.map(p => s"\n  AND ($p)").getOrElse("")
     s"""$sigCtes
        |SELECT x.doc_id AS a, y.doc_id AS b,
        |  CAST(($est) AS DOUBLE) / $NumPerms AS est_jaccard
-       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)
+       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)$extra
        |ORDER BY a, b""".stripMargin
   }
+
+  val d02Oracle: String = d02OracleWhere(None)
 
   /** SimHash (64-bit) per document: per-bit ±1 votes over word hashes.
     *
@@ -420,7 +428,10 @@ object Dedup {
     // loop's plans under the child's, and `labels` is localCheckpoint-
     // materialized so the re-home is free.
     val ss = parent.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // width tracks the candidate graph's size (floor 8, capped at the
+    // parent's width) instead of a constant — see LoopWidth scaladoc
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.util.LoopWidth.forRelation(edges).toString)
     val homed = ss.createDataFrame(edges.toDF("a", "b").rdd, edges.schema)
     val labels = connectedComponentsLoop(homed)
     parent.createDataFrame(labels.rdd, labels.schema)
@@ -655,7 +666,11 @@ object Dedup {
     * misses+1 ordered shingles. Only that prefix of the query side meets
     * the full inverted index: candidate work is Σ_prefix df (and the
     * rarest-first order makes those df the smallest available), not the
-    * Σ df² of a full index self-join — and never n². The verify stage is
+    * Σ df² of a full index self-join — and never n². On top of the
+    * prefix, the PPJoin+ POSITIONAL filter ([[containmentCandidates]])
+    * bounds each candidate's best-case overlap from its first match's
+    * positions and drops provably-failing pairs before verification.
+    * The verify stage is
     * one exact set intersection per candidate, compared as
     * 5·|A∩B| ≥ 4·|A| in integers. The oracle is the EXACT all-pairs
     * containment join over the same augmented corpus, so a hash match
@@ -664,6 +679,64 @@ object Dedup {
     * containment (b may be arbitrarily large) — only the query side
     * shrinks, which is exactly how excerpt-vs-corpus lookups run at scale.
     */
+  /** Candidate pairs for the 80%-containment join over `sets`
+    * (doc_id, sh: array of distinct shingles) — prefix filtering PLUS the
+    * PPJoin+ positional filter (Xiao et al. 2008 §3.2).
+    *
+    * Every document's shingles are ordered by the same global (df, value)
+    * total order, so two documents' COMMON shingles appear in the same
+    * relative order on both sides. For a candidate's FIRST match — at
+    * 1-based positions (i, j) of the ordered lists — the overlap is
+    * bounded by 1 + min(|A|−i, |B|−j): everything else common lies after i
+    * in A and after j in B. Candidates whose bound already fails
+    * 5·|A∩B| ≥ 4·|A| are pruned BEFORE the verify join ever materializes
+    * their shingle arrays — position arithmetic on 8-byte ints replaces
+    * array intersections exactly where the old plan did its heaviest work.
+    * Lossless by the same argument as the prefix filter (the bound is an
+    * upper bound, pruning only provably-failing pairs); the gate hash-
+    * checks against the exact all-pairs oracle.
+    */
+  def containmentCandidates(sets: DataFrame): DataFrame = {
+    // partitioned once and cached: the df aggregation and the ordered-list
+    // build are both shingle-keyed consumers of the token stream — they
+    // reuse one exchange instead of exploding the corpus twice
+    val tokens = graft.util.Eager.cached(
+      sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .repartition(col("shingle")))
+    val dfRel = tokens.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // one doc-keyed aggregation carries BOTH consumers: the sliced prefix
+    // (query side) and the fully-positioned index side explode from the
+    // same cached ordered array — the df join + sort runs once
+    val ordered = graft.util.Eager.cached(
+      tokens.join(dfRel, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+        .withColumn("sz", size(col("ordered"))))
+    val idx = ordered
+      .select(col("doc_id").as("b"), col("sz").as("sz_b"),
+        posexplode(col("ordered")).as(Seq("j0", "p")))
+      .select(col("b"), col("sz_b"), (col("j0") + 1).as("j"),
+        col("p.shingle").as("shingle"))
+    val prefix = ordered
+      .withColumn("k", col("sz") - expr("(4 * sz + 4) DIV 5") + 1)
+      .select(col("doc_id").as("a"), col("sz").as("sz_a"),
+        posexplode(slice(col("ordered"), lit(1), col("k"))).as(Seq("i0", "p")))
+      .select(col("a"), col("sz_a"), (col("i0") + 1).as("i"),
+        col("p.shingle").as("shingle"))
+    prefix.join(idx, Seq("shingle"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        max(col("sz_a")).as("sza"),
+        // lexicographic min = the first match (common tokens share their
+        // relative order, so min i and min j coincide)
+        min(struct(col("i"), col("j"), col("sz_b"))).as("f"))
+      .filter(
+        (lit(1) + least(col("sza") - col("f.i"), col("f.sz_b") - col("f.j"))) * 5
+          >= col("sza") * 4)
+      .select(col("a"), col("b"))
+  }
+
   def d10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
@@ -677,26 +750,7 @@ object Dedup {
     // and both verify branches
     val sets = graft.util.Eager.cached(
       aug.select($"doc_id", shingleArray($"text").as("sh")))
-    // the token stream is the widest relation here and BOTH shingle-keyed
-    // consumers (the df aggregation+join and the candidate probe) need it
-    // hash-distributed by shingle — partition it once and cache, so each
-    // downstream join reuses the partitioning instead of re-exchanging
-    val tokens = graft.util.Eager.cached(
-      sets.select($"doc_id", explode($"sh").as("shingle"))
-        .repartition($"shingle"))
-    val dfRel = tokens.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    val prefixTok = tokens.join(dfRel, Seq("shingle"))
-      .groupBy($"doc_id")
-      .agg(array_sort(collect_list(struct($"df", $"shingle"))).as("ordered"))
-      .withColumn("sz", size($"ordered"))
-      .withColumn("k", $"sz" - expr("(4 * sz + 4) DIV 5") + 1)
-      .select($"doc_id".as("a"), explode(slice($"ordered", lit(1), $"k")).as("p"))
-      .select($"a", $"p.shingle".as("shingle"))
-    val cand = prefixTok
-      .join(tokens.select($"doc_id".as("b"), $"shingle"), Seq("shingle"))
-      .filter($"a" =!= $"b")
-      .select($"a", $"b")
-      .distinct()
+    val cand = containmentCandidates(sets)
     cand
       .join(sets.select($"doc_id".as("a"), $"sh".as("sh_a")), Seq("a"))
       .join(sets.select($"doc_id".as("b"), $"sh".as("sh_b")), Seq("b"))

@@ -62,7 +62,10 @@ object Graph {
     // child's) so ten iterations aren't sixty near-empty-partition stages.
     val parent = edgesIn.sparkSession
     val ss = parent.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // width sized to the edge relation (floor 8 = the sf0.1-tuned constant,
+    // growing with data, capped at the parent's width) — see LoopWidth
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.util.LoopWidth.forRelation(edgesIn).toString)
     val homedIn = edgesIn.select("src", "dst")
     val labels = pageRankLoop(
       ss.createDataFrame(homedIn.rdd, homedIn.schema), iters)
@@ -174,10 +177,11 @@ object Graph {
     */
   def bfsHops(edgesIn: DataFrame, sourcesIn: DataFrame,
       maxHops: Int = MaxHops): DataFrame = {
-    // same child-session narrow width as pageRank; both inputs re-home
+    // same child-session data-derived width as pageRank; both inputs re-home
     val parent = edgesIn.sparkSession
     val ss = parent.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.util.LoopWidth.forRelation(edgesIn).toString)
     val e = edgesIn.select("src", "dst")
     val src = sourcesIn.select("node")
     val visited = bfsLoop(

@@ -191,9 +191,7 @@ object Incremental {
   // def (not val): composes Dedup's oracle fragments across the object
   // boundary — see Dedup.c06Oracle for the init-cycle failure a val risks
   def i01Oracle: String =
-    s"""${Dedup.d02Oracle.replace("ORDER BY a, b", "")}
-       |  AND (x.doc_id >= 400 OR y.doc_id >= 400)
-       |ORDER BY a, b""".stripMargin
+    Dedup.d02OracleWhere(Some("x.doc_id >= 400 OR y.doc_id >= 400"))
 
   def all: Seq[Q] = Seq(
     Q("mv01_incremental_rollup", mv01, Some(mv01Oracle)),

@@ -1093,7 +1093,9 @@ object TextAnalysis {
             lit(BpeSep)).as("w"),
           $"freq"))
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (round <- 1 to rounds) {
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
       val syms = vocab
         .select($"freq", filter(split($"w", BpeSep), x => x =!= "").as("sy"))
         .filter(size($"sy") >= 2)
@@ -1104,13 +1106,22 @@ object TextAnalysis {
         .groupBy($"l", $"r").agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"l", $"r")
         .limit(1)
-        .collect()(0) // bounded: exactly one argmax row per round
-      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((round.toLong, l, r, l + r, cnt))
-      vocab = graft.util.Eager.cached(
-        vocab.select(
-          replace($"w", lit(l + BpeSep + r + BpeSep), lit(l + r + BpeSep)).as("w"),
-          $"freq"))
+        .collect().headOption // bounded: ≤ 1 argmax row per round
+      best match {
+        case None =>
+          // degenerate corpus: every word is already a single symbol — stop
+          // with the merges learned so far (round-5 advice: the old (0)
+          // indexing threw instead of terminating)
+          exhausted = true
+        case Some(b) =>
+          val (l, r, cnt) = (b.getString(0), b.getString(1), b.getLong(2))
+          merges += ((round.toLong, l, r, l + r, cnt))
+          vocab = graft.util.Eager.cached(
+            vocab.select(
+              replace($"w", lit(l + BpeSep + r + BpeSep), lit(l + r + BpeSep)).as("w"),
+              $"freq"))
+          round += 1
+      }
     }
     merges.result().toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
       .orderBy($"merge_round")

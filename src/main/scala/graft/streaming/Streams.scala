@@ -681,8 +681,20 @@ object Streams {
         .format("memory")
         .queryName(sink)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        // ORDERING CONTRACT (round-5 advice): the processor sorts by
+        // (ts, event_id) only WITHIN a micro-batch, so seq/cum_value match
+        // the batch-window oracle because the single events.parquet file
+        // arrives in one batch. A rate limit or multi-file events dir would
+        // silently reorder — fail loudly instead so the gate can never
+        // drift green-looking-but-wrong.
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"st10 ordering contract violated: events arrived in $dataBatches " +
+            "micro-batches; the within-batch sort only equals the global " +
+            "(ts, event_id) order when the source is a single batch")
+      } finally q.stop()
     }
     ss.table(sink)
       .select($"userId".as("user_id"), $"eventId".as("event_id"),

@@ -209,6 +209,32 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     planted.foreach(r => assert(r.getAs[Double]("containment") == 1.0))
   }
 
+  test("d10 positional filter prunes prefix candidates losslessly") {
+    import org.apache.spark.sql.functions.col
+    // Construct a pair the PREFIX filter admits but the POSITIONAL bound
+    // must prune: docs 3 and 4 share exactly one shingle ("S1 S2 S3");
+    // two filler copies of doc 3's tail push its other shingles to df=3,
+    // so the shared df=2 shingle sorts FIRST in doc 3's order (inside its
+    // prefix, k=2) — while doc 4's own shingles are df=1 and sort ahead,
+    // leaving the shared shingle LAST (j = |B|). First-match bound =
+    // 1 + min(|A|-1, |B|-|B|) = 1 < ceil(0.8·6): prefix admits, position
+    // prunes. Docs 1/2 are a true containment pair that must survive.
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r s t u v w"),
+      (3L, "S1 S2 S3 A1 A2 A3 A4 A5"),
+      (4L, "B1 B2 B3 B4 B5 S1 S2 S3"),
+      (5L, "S2 S3 A1 A2 A3 A4 A5"), // fillers: df boost for 3's tail
+      (6L, "S2 S3 A1 A2 A3 A4 A5"),
+    ).toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"), Dedup.shingleArray(col("text")).as("sh"))
+    val cand = Dedup.containmentCandidates(sets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"true candidate lost: $cand")
+    assert(!cand.contains((3L, 4L)) && !cand.contains((4L, 3L)),
+      s"positional filter failed to prune: $cand")
+  }
+
   test("c04 capstone agrees with its component stages") {
     val c04 = TextAnalysis.c04(spark, sfSmoke).collect()
     assert(c04.nonEmpty)
@@ -297,6 +323,14 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
     assert(m2(0) == ((1L, "a", "a", "aa", 9L))) // 3 overlapping pairs × 3 words
     assert(m2(1) == ((2L, "aa", "aa", "aaaa", 3L)))
+    // degenerate corpus: single-symbol words leave no pair to merge — the
+    // loop must terminate with the merges learned so far, not throw
+    val single = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMerges(spark, single, rounds = 3).count() == 0)
+    // and mid-run exhaustion stops early: "ab" ×2 yields exactly one merge
+    val short = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m3 = TextAnalysis.bpeMerges(spark, short, rounds = 5).collect()
+    assert(m3.length == 1 && m3(0).getString(3) == "ab")
   }
 
   test("q60 weighted sample equals the driver-side priority recompute and favors weight") {
