@@ -299,7 +299,11 @@ object Graph {
     * 90th-percentile test is the integer compare 10·cum ≥ 9·total, exact
     * in both engines (no 0.9 double literal anywhere).
     */
-  def tc01(s: SparkSession, dir: String): DataFrame = {
+  /** The canonical (s1 < s2) co-supply decile edge list shared by tc01 and
+    * kc01: supplier pairs whose co-supply count lands in the top decile of
+    * pair strengths. Cached — both consumers iterate/join it repeatedly.
+    */
+  def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir)
@@ -315,8 +319,30 @@ object Graph {
       .select($"n", sum($"cnt").over(histW).as("cum"), sum($"cnt").over(allW).as("tot"))
       .filter($"cum" * 10 >= $"tot" * 9)
       .agg(min($"n").as("t"))
-    val edges = graft.util.Eager.cached(
+    graft.util.Eager.cached(
       co.crossJoin(broadcast(thr)).filter($"n" >= $"t").select($"s1", $"s2"))
+  }
+
+  /** The shared CTE prefix of the co-supply decile graph (tc01/kc01 oracles). */
+  private val coSupplySql: String =
+    """co AS (
+      |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS n
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY s1, s2
+      |), hist AS (
+      |  SELECT n, COUNT(*) AS cnt FROM co GROUP BY n
+      |), thr AS (
+      |  SELECT MIN(n) AS t FROM (
+      |    SELECT n, SUM(cnt) OVER (ORDER BY n) AS cum, SUM(cnt) OVER () AS tot
+      |    FROM hist) WHERE cum * 10 >= tot * 9
+      |), edges AS (
+      |  SELECT s1, s2 FROM co WHERE n >= (SELECT t FROM thr)
+      |)""".stripMargin
+
+  def tc01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coSupplyEdges(s, dir)
     val deg = edges.select($"s1".as("v")).unionByName(edges.select($"s2".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d"))
     val d1 = deg.select($"v".as("v1"), $"d".as("da"))
@@ -345,20 +371,7 @@ object Graph {
   }
 
   val tc01Oracle: String =
-    """WITH co AS (
-      |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS n
-      |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY s1, s2
-      |), hist AS (
-      |  SELECT n, COUNT(*) AS cnt FROM co GROUP BY n
-      |), thr AS (
-      |  SELECT MIN(n) AS t FROM (
-      |    SELECT n, SUM(cnt) OVER (ORDER BY n) AS cum, SUM(cnt) OVER () AS tot
-      |    FROM hist) WHERE cum * 10 >= tot * 9
-      |), edges AS (
-      |  SELECT s1, s2 FROM co WHERE n >= (SELECT t FROM thr)
-      |), deg AS (
+    s"""WITH $coSupplySql, deg AS (
       |  SELECT v, COUNT(*) AS d FROM (
       |    SELECT s1 AS v FROM edges UNION ALL SELECT s2 AS v FROM edges) GROUP BY v
       |), oriented AS (
@@ -381,9 +394,130 @@ object Graph {
       |    (SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS clustering_ppm
       |FROM tri""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // kc01 — k-core decomposition by bounded-round peeling
+  // ---------------------------------------------------------------------
+
+  /** Core order for kc01 — high enough that the decile co-supply graph
+    * actually sheds nodes (a cascade, not a no-op), low enough that a core
+    * survives at the gate SF.
+    */
+  val CoreK = 4
+
+  /** Fixed peel-round budget. Peeling removes ≥ 1 node per non-converged
+    * round on the cascade path; 8 rounds converge at every tested SF
+    * (KCoreSpec asserts the fixpoint), and the FIXED bound is what keeps
+    * the oracle expressible as chained CTEs (the pr01 posture — recursive
+    * SQL cannot re-aggregate degrees per round) and both engines
+    * bit-identical by construction even on a corpus where 8 rounds is NOT
+    * yet the fixpoint: the output is defined as "the round-8 peel state",
+    * which is a superset of the true k-core and equals it at convergence.
+    */
+  val CoreRounds = 8
+
+  /** Bounded-round k-core peel (Seidman 1983; the batch form of the
+    * Matula–Beck peeling order) over a DIRECTED edge list that encodes an
+    * undirected graph both ways (the pr01 convention, so out-degree =
+    * partner count). Round r: restrict edges to both-endpoints-alive
+    * (two left_semi equi joins — never a visited-set anti join growing with
+    * the graph), recount out-degrees (one partial-agg shuffle), keep
+    * nodes with deg ≥ k. Returns round-R survivors with their within-core
+    * degree.
+    *
+    * Scale shape: the edge list is cached ONCE on the loop's child session
+    * (width data-derived via [[graft.util.LoopWidth]], the d06/pr01
+    * pattern); per-round shuffle work is |alive edges| and shrinks
+    * monotonically; alive sets are node-cardinality and lineage-cut per
+    * round; nothing driver-side ever sees an edge. At 100 TB the peel is
+    * R× the cost of a degree count — the same "few bounded supersteps"
+    * envelope as BFS/CC, and each round's semi joins reuse the cached edge
+    * partitioning.
+    *
+    * Why it matters for a training-data pipeline: coreness is the standard
+    * density/authority cut one level up from degree — "drop sources not in
+    * the k-core of the citation/link graph" survives degree spam that a
+    * plain degree threshold does not (a spam hub has high degree but its
+    * neighborhood collapses under peeling).
+    */
+  def kCore(edgesIn: DataFrame, k: Int = CoreK,
+      rounds: Int = CoreRounds): DataFrame = {
+    val parent = edgesIn.sparkSession
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.util.LoopWidth.forRelation(edgesIn).toString)
+    val e = edgesIn.select("src", "dst")
+    val out = kCoreLoop(ss.createDataFrame(e.rdd, e.schema), k, rounds)
+    parent.createDataFrame(out.rdd, out.schema)
+  }
+
+  private def kCoreLoop(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = graft.util.Eager.cached(edgesIn)
+    def aliveEdges(alive: DataFrame): DataFrame = edges
+      .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
+      .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
+    var alive = edges.select($"src".as("node")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = aliveEdges(alive)
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+        .select($"src".as("node"))
+        .localCheckpoint()
+    }
+    aliveEdges(alive)
+      .groupBy($"src").agg(count(lit(1)).as("core_deg"))
+      .select($"src".as("node"), $"core_deg")
+  }
+
+  /** kc01 — the [[CoreK]]-core of the supplier co-supply decile graph
+    * (tc01's edge set): which suppliers sit in a densely interlocked
+    * co-supply community after iteratively shedding weakly-connected ones.
+    */
+  def kc01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = coSupplyEdges(s, dir)
+    val edges = base.select($"s1".as("src"), $"s2".as("dst"))
+      .unionByName(base.select($"s2".as("src"), $"s1".as("dst")))
+    kCore(edges)
+      .select($"node".as("s_suppkey"), $"core_deg")
+      .orderBy($"core_deg".desc, $"s_suppkey")
+  }
+
+  /** The identical peel unrolled: a0 = all nodes; a_r = nodes whose degree
+    * within the a_{r-1}-induced subgraph is ≥ k. Every a_r is
+    * AS MATERIALIZED: each round references its predecessor TWICE (src- and
+    * dst-side), so DuckDB's default CTE inlining would expand 2^rounds
+    * copies of the whole chain (observed: minutes at sf0.01 vs ms
+    * materialized; pr01's single-reference chain never hit this).
+    */
+  val kc01Oracle: String = {
+    val rounds = (1 to CoreRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT e.src AS node FROM dedges e
+         |  JOIN a${r - 1} x ON e.src = x.node
+         |  JOIN a${r - 1} y ON e.dst = y.node
+         |  GROUP BY e.src HAVING COUNT(*) >= $CoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coSupplySql,
+       |dedges AS MATERIALIZED (
+       |           SELECT s1 AS src, s2 AS dst FROM edges
+       |           UNION ALL
+       |           SELECT s2 AS src, s1 AS dst FROM edges),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM dedges),
+       |$rounds
+       |SELECT e.src AS s_suppkey, COUNT(*) AS core_deg
+       |FROM dedges e
+       |JOIN a$CoreRounds x ON e.src = x.node
+       |JOIN a$CoreRounds y ON e.dst = y.node
+       |GROUP BY e.src
+       |ORDER BY core_deg DESC, s_suppkey""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("pr01_pagerank", pr01, Some(pr01Oracle)),
     Q("sp01_bfs_hops", sp01, Some(sp01Oracle)),
     Q("tc01_triangle_count", tc01, Some(tc01Oracle)),
+    Q("kc01_kcore", kc01, Some(kc01Oracle)),
   )
 }

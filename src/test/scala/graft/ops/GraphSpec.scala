@@ -138,4 +138,65 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(out.getAs[Long]("clustering_ppm") ==
       3L * triangles * 1000000L / openWedges)
   }
+
+  // ---------------------------------------------------------------------
+  // kCore / kc01
+  // ---------------------------------------------------------------------
+
+  private def coreOf(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = Graph.CoreRounds, parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    val both = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    Graph.kCore(both.toDF("src", "dst").repartition(parts), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("2-core of triangle + pendant chain strips the chain, keeps the triangle") {
+    // 1-2-3 triangle, chain 3-4-5: 5 peels first, then 4 — a 2-round cascade
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(coreOf(e, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("2-core of a path is empty (full cascade to nothing)") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(coreOf(path, k = 2) == Map.empty[Long, Long])
+  }
+
+  test("bounded-round semantics: a non-converged peel is the round-R state") {
+    // path of 5 with k=2 peels endpoint-pairs inward: round 1 drops {1,5},
+    // round 2 drops {2,4}; at rounds=2 node 3 is alive but partnerless, so
+    // the within-core degree recount (and the oracle's identical final
+    // join) emits nothing for it — the documented non-converged contract
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(coreOf(path, k = 2, rounds = 1) == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(coreOf(path, k = 2, rounds = 2) == Map.empty[Long, Long])
+  }
+
+  test("two triangles sharing a hub: all in the 2-core, hub degree 4") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    assert(coreOf(e, k = 2) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 4L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("k-core is independent of partitioning") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (5L, 6L), (6L, 7L))
+    val ref = coreOf(e, k = 2, parts = 1)
+    for (p <- Seq(4, 13)) assert(coreOf(e, k = 2, parts = p) == ref)
+  }
+
+  test("kc01 converges within CoreRounds at gate scale (extra rounds are a no-op)") {
+    import spark.implicits._
+    val base = Graph.coSupplyEdges(spark, "/root/testdata/sf0.01")
+    val edges = base.select($"s1".as("src"), $"s2".as("dst"))
+      .unionByName(base.select($"s2".as("src"), $"s1".as("dst")))
+    val atBudget = Graph.kCore(edges, Graph.CoreK, Graph.CoreRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val extra = Graph.kCore(edges, Graph.CoreK, Graph.CoreRounds + 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atBudget == extra, "round budget must cover the fixpoint at gate scale")
+    assert(atBudget.nonEmpty, "the gate-scale co-supply graph must retain a core")
+    assert(atBudget.values.forall(_ >= Graph.CoreK),
+      "every core member keeps >= k within-core partners at the fixpoint")
+  }
 }

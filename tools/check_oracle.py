@@ -6,10 +6,20 @@ by graft.Verify, and compares: column names (sorted), row counts, and exact
 values after sorting rows. Usage:
 
     python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Env knobs for the sf0.1 self-audit (where some deliberately-quadratic
+oracle forms exceed the sandbox's memory):
+    ORACLE_MEM_LIMIT   duckdb memory_limit (default 24GB) — a too-big
+                       oracle errors per-query instead of OOM-killing
+                       the whole audit process
+    ORACLE_TIMEOUT_S   per-query wall timeout in seconds (default 300);
+                       the watchdog interrupts duckdb → FAIL, next query
 """
 import json
+import os
 import sys
 import glob
+import threading
 
 import duckdb
 import pandas as pd
@@ -45,26 +55,39 @@ def repr_mismatch(got: pd.DataFrame, want: pd.DataFrame):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    con.execute("SET memory_limit='%s'" % os.environ.get("ORACLE_MEM_LIMIT", "24GB"))
+    timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "300"))
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is a single file; AuditSample's restricted
+        # derivative is a Spark-written directory -> glob the part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark result parquet")
             n_fail += 1
             continue
         got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
         try:
             want = norm(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        finally:
+            timer.cancel()
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
