@@ -936,6 +936,139 @@ object Similarity {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) <= 3
       |ORDER BY qid, cosine DESC, cid""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s10 — MMR diversified retrieval
+  // ---------------------------------------------------------------------
+
+  /** Results selected / relevance pool width for s10. */
+  val MmrK = 8
+  val MmrPool = 30
+
+  /** s10 — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998): the standard RAG retrieval diversifier. Pure cosine top-k
+    * returns near-clones of the best hit; MMR greedily picks
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) with λ = 0.7, so each
+    * pick trades relevance against redundancy with what's already chosen.
+    *
+    * Scale shape — the three-stage funnel every production re-ranker uses:
+    *  1. DISTRIBUTED relevance scan: query broadcast, corpus scan stays
+    *     partition-local, top-[[MmrPool]] via TakeOrderedAndProject (no
+    *     global sort). At 10B vectors this stage swaps in s04's IVF
+    *     routing unchanged.
+    *  2. BOUNDED pairwise matrix: Pool² cosines (30×30) via broadcast —
+    *     quadratic only in the POOL, never the corpus.
+    *  3. GREEDY selection over that bounded matrix in one task
+    *     ([[mmrGreedy]]) — the loop is inherently sequential (pick r
+    *     depends on picks 1..r−1), and keeping it executor-side on ≤ Pool²
+    *     rows is the t16-argmax posture: nothing driver-side, nothing
+    *     corpus-sized.
+    *
+    * Determinism: rel/sim are the same ordered-fold double cosines the
+    * s01 oracle proves bit-identical across engines; the MMR score is the
+    * literal expression `0.7 * rel - 0.3 * ms` in both; ties break on cid.
+    * The oracle unrolls the 8 greedy rounds as chained MATERIALIZED CTEs
+    * (each round references its predecessor repeatedly — the kc01 lesson).
+    */
+  def mmrRerank(e: DataFrame, k: Int = MmrK, pool: Int = MmrPool): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val c = e.filter($"vec_id" >= 5).select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val top = graft.util.Eager.cached(
+      c.crossJoin(broadcast(q))
+        .select($"cid", $"ce", cosine($"qe", $"ce").as("rel"))
+        .orderBy($"rel".desc, $"cid").limit(pool))
+    // full Pool×Pool matrix INCLUDING self-pairs: a candidate must appear
+    // even when the pool degenerates to one row; greedy never looks up
+    // sim(c, c) because c is by construction not in the selected set
+    val left = top.select($"cid".as("a"), $"rel".as("rel_a"), $"ce".as("ea"))
+    val right = top.select($"cid".as("b"), $"ce".as("eb"))
+    left.crossJoin(broadcast(right))
+      .select($"a", $"rel_a", $"b", cosine($"ea", $"eb").as("sim"))
+      .coalesce(1)
+      .as[(Long, Double, Long, Double)]
+      .mapPartitions(it => mmrGreedy(it, k))
+      .toDF("rank", "cid", "rel", "mmr")
+      .orderBy($"rank")
+  }
+
+  /** The greedy MMR loop over the bounded (a, rel_a, b, sim) matrix. */
+  private[ops] def mmrGreedy(rows: Iterator[(Long, Double, Long, Double)],
+      k: Int): Iterator[(Int, Long, Double, Double)] = {
+    val rel = scala.collection.mutable.LongMap.empty[Double]
+    val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    rows.foreach { case (a, relA, b, s) => rel(a) = relA; sim((a, b)) = s }
+    val cids = rel.keys.toArray.sorted // ascending: strict > keeps smallest on ties
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    var rank = 1
+    while (rank <= k && selected.size < cids.length) {
+      var bestId = -1L
+      var bestMmr = 0.0
+      cids.foreach { c =>
+        if (!selected.contains(c)) {
+          // max-sim to the selected set; 0.0 for the empty set (round 1),
+          // matching the oracle's literal `0.3 * 0.0` — NOT a clamp, so
+          // negative cosines flow through MAX exactly like SQL's
+          val ms = if (selected.isEmpty) 0.0 else selected.map(s0 => sim((c, s0))).max
+          val m = 0.7 * rel(c) - 0.3 * ms
+          if (bestId == -1L || m > bestMmr) { bestId = c; bestMmr = m }
+        }
+      }
+      out += ((rank, bestId, rel(bestId), bestMmr))
+      selected += bestId
+      rank += 1
+    }
+    out.iterator
+  }
+
+  def s10(s: SparkSession, dir: String): DataFrame =
+    mmrRerank(Tables.embeddings(s, dir))
+
+  val s10Oracle: String = {
+    val rounds = (2 to MmrK).map { r =>
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1} UNION ALL
+         |  SELECT CAST($r AS INT), cid, rel, mmr FROM (
+         |    SELECT p.cid AS cid, p.rel AS rel, 0.7 * p.rel - 0.3 * MAX(s.sim) AS mmr
+         |    FROM pool p JOIN sims s ON s.a = p.cid
+         |    WHERE s.b IN (SELECT cid FROM sel${r - 1})
+         |      AND p.cid NOT IN (SELECT cid FROM sel${r - 1})
+         |    GROUP BY p.cid, p.rel
+         |    ORDER BY mmr DESC, cid LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) ORDER BY i) AS n2
+       |  FROM (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+       |        FROM embeddings) GROUP BY vec_id),
+       |q AS (SELECT unnest(embedding) AS qe, generate_subscripts(embedding,1) AS i
+       |      FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id AS cid, unnest(embedding) AS ce, generate_subscripts(embedding,1) AS i
+       |      FROM embeddings WHERE vec_id >= 5),
+       |pool AS MATERIALIZED (
+       |  SELECT cid, SUM(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE) ORDER BY i)
+       |           / (sqrt(nq.n2) * sqrt(nc.n2)) AS rel
+       |  FROM q JOIN c USING (i)
+       |  JOIN n nq ON nq.vec_id = 0
+       |  JOIN n nc ON nc.vec_id = cid
+       |  GROUP BY cid, nq.n2, nc.n2
+       |  ORDER BY rel DESC, cid LIMIT $MmrPool),
+       |pc AS MATERIALIZED (SELECT c.* FROM c JOIN pool USING (cid)),
+       |sims AS MATERIALIZED (
+       |  SELECT a.cid AS a, b.cid AS b,
+       |    SUM(CAST(a.ce AS DOUBLE) * CAST(b.ce AS DOUBLE) ORDER BY a.i)
+       |      / (sqrt(na.n2) * sqrt(nb.n2)) AS sim
+       |  FROM pc a JOIN pc b ON a.i = b.i
+       |  JOIN n na ON na.vec_id = a.cid JOIN n nb ON nb.vec_id = b.cid
+       |  GROUP BY a.cid, b.cid, na.n2, nb.n2),
+       |sel1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS INT) AS rank, cid, rel, 0.7 * rel - 0.3 * 0.0 AS mmr
+       |  FROM pool ORDER BY mmr DESC, cid LIMIT 1),
+       |$rounds
+       |SELECT rank, cid, rel, mmr FROM sel$MmrK ORDER BY rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("s07_label_centroids", s07, Some(s07Oracle)),
     Q("s08_semantic_dedup", s08, Some(s08Oracle)),
@@ -948,5 +1081,6 @@ object Similarity {
     Q("d05_embedding_neardup", d05, Some(d05Oracle)),
     Q("d07_embedding_neardup_bucketed", d07, Some(d07Oracle)),
     Q("s09_hard_negatives", s09, Some(s09Oracle)),
+    Q("s10_mmr_rerank", s10, Some(s10Oracle)),
   )
 }
