@@ -1158,6 +1158,85 @@ object TextAnalysis {
        |FROM ($out) ORDER BY merge_round""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t17 — vocabulary growth curve (Heaps' law checkpoints)
+  // ---------------------------------------------------------------------
+
+  /** Corpus-prefix checkpoints for t17 (docs with doc_id < N). */
+  val VocabCheckpoints: Seq[Int] = Seq(50, 100, 200, 500, 1000, 2000, 5000)
+
+  /** t17 — VOCABULARY GROWTH CURVE: distinct token types vs cumulative
+    * token occurrences over growing corpus prefixes — the empirical
+    * Heaps'-law curve (V ≈ K·nᵝ, Heaps 1978) every tokenizer-training and
+    * corpus-sizing exercise starts from ("how much more data until the
+    * vocabulary stops growing?"). A checkpoint N covers docs with
+    * doc_id < N; checkpoints past the corpus repeat the totals (the curve's
+    * plateau is itself the signal).
+    *
+    * Scale shape — the naive form rescans the corpus once per checkpoint;
+    * this one never does: a token type's contribution to EVERY checkpoint
+    * is determined by one number, its FIRST-occurrence doc (min(doc_id) —
+    * one partial-agg shuffle on token), and a doc's occurrence count
+    * contributes via its own id (one narrow per-doc count). Both collapse
+    * to ≤|checkpoints| histogram rows via a literal when-chain, and the
+    * cumulative sums run on that handful of rows. Cost: one token-level
+    * aggregation, regardless of how many checkpoints the curve has — the
+    * same "aggregate once, bucket, cumulate tiny" recipe as tc01's decile
+    * histogram.
+    */
+  def t17(s: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(s, dir))
+
+  /** t17 over any (doc_id, text) relation — unit-testable on toy corpora. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select($"doc_id", explode(split(normalize($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    // smallest checkpoint covering a doc id: cp(d) = min{N : d < N}
+    def cpOf(c: Column): Column =
+      VocabCheckpoints.reverse.foldLeft(lit(null).cast("int")) { (acc, n) =>
+        when(c < n, n).otherwise(acc)
+      }
+    val vhist = toks.groupBy($"token").agg(min($"doc_id").as("fd"))
+      .select(cpOf($"fd").as("cp"))
+      .filter($"cp".isNotNull)
+      .groupBy($"cp").agg(count(lit(1)).as("nv"))
+    val ohist = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .select(cpOf($"doc_id").as("cp"), $"n")
+      .filter($"cp".isNotNull)
+      .groupBy($"cp").agg(sum($"n").as("no"))
+    val cps = VocabCheckpoints.toDF("checkpoint")
+    val w = Window.orderBy($"checkpoint")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cps
+      .join(vhist, $"checkpoint" === vhist("cp"), "left")
+      .drop("cp")
+      .join(ohist, $"checkpoint" === ohist("cp"), "left")
+      .drop("cp")
+      .select($"checkpoint",
+        sum(coalesce($"nv", lit(0L))).over(w).as("vocab_size"),
+        sum(coalesce($"no", lit(0L))).over(w).as("cum_tokens"))
+      .orderBy($"checkpoint")
+  }
+
+  val t17Oracle: String = {
+    val cps = VocabCheckpoints.mkString("[", ", ", "]")
+    """WITH toks AS (
+      |  SELECT doc_id, w AS token FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |fs AS (SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY token),
+      |cps AS (SELECT unnest(""".stripMargin + cps + """) AS checkpoint)
+      |SELECT checkpoint,
+      |  (SELECT COUNT(*) FROM fs WHERE fd < checkpoint) AS vocab_size,
+      |  (SELECT COUNT(*) FROM toks WHERE doc_id < checkpoint) AS cum_tokens
+      |FROM cps ORDER BY checkpoint""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -1175,6 +1254,7 @@ object TextAnalysis {
     Q("t14_dup_substrings", t14, Some(t14Oracle)),
     Q("t15_rag_chunking", t15, Some(t15Oracle)),
     Q("t16_bpe_merges", t16, Some(t16Oracle)),
+    Q("t17_vocab_growth", t17, Some(t17Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
     Q("c04_curation_pipeline", c04, Some(c04Oracle)),
   )

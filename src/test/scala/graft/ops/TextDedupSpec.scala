@@ -408,4 +408,22 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
+
+  test("vocab growth curve: hand-counted checkpoints, monotone, plateaus") {
+    // docs at ids straddling the 50/100/200 checkpoint boundaries:
+    //   cp 50  covers docs 0,1     → types {a,b,c}, 4 occurrences
+    //   cp 100 covers + doc 60     → +{d}: 4 types, 5 occurrences
+    //   cp 200 covers + doc 150    → +{e} (a repeats): 5 types, 7 occurrences
+    //   cp ≥ 500: plateau — the whole corpus is covered
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"), (60L, "d"), (150L, "a e"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(_._1) == TextAnalysis.VocabCheckpoints)
+    assert(out.take(3) == Seq((50, 3L, 4L), (100, 4L, 5L), (200, 5L, 7L)))
+    assert(out.drop(3).forall(c => c._2 == 5L && c._3 == 7L), "plateau")
+    // Heaps-curve invariant: both series are non-decreasing
+    assert(out.sliding(2).forall { case Seq(p, n) => p._2 <= n._2 && p._3 <= n._3 })
+  }
 }
