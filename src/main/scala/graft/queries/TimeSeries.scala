@@ -84,7 +84,114 @@ object TimeSeries {
       |FROM spine s LEFT JOIN daily USING (r_name, day)
       |ORDER BY region, day""".stripMargin
 
+  /** ts02 — LINEAR INTERPOLATION over the ts01 spine: gap days get the
+    * straight-line value between the surrounding observations instead of
+    * ts01's stale carry-forward — the estimator time-series features
+    * (ml01's lags), charting, and resampling actually want on interior
+    * gaps.
+    *
+    * All arithmetic is integer-exact: revenue lives in CENTS (each
+    * o_totalprice is exact at 2 decimals, so the per-day sum is an exact
+    * BIGINT) and the lerp is the weight form
+    * `(v0·(d1−d) + v1·(d−d0)) div (d1−d0)` whose numerator is a
+    * non-negative combination — truncating `div` and DuckDB's `//` agree
+    * there, the same positivity argument pr01's fixed-point scores rely
+    * on. No double ever appears, so the gate is hash-exact by
+    * construction.
+    *
+    * Scale shape: identical to ts01 (facts collapse to series×day grain
+    * map-side; the spine is metadata-sized; the bracketing
+    * last/first-observation windows are partition-local per series). The
+    * interior/edge split is explicit: days before the first or after the
+    * last observation have no bracket and surface kind='edge' with NULL —
+    * silently extrapolating is how dashboards lie.
+    */
+  def ts02(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    val daily = o
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val bounds = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = reg.select(col("r_name"))
+      .crossJoin(broadcast(bounds))
+      .select(col("r_name"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val back = Window.partitionBy(col("r_name")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("r_name")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    spine
+      .join(daily, Seq("r_name", "day"), "left")
+      .select(col("r_name"), col("day"), col("cents"),
+        last(col("cents"), ignoreNulls = true).over(back).as("v0"),
+        last(obsDay, ignoreNulls = true).over(back).as("d0"),
+        first(col("cents"), ignoreNulls = true).over(fwd).as("v1"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("d1"))
+      .select(
+        col("r_name").as("region"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        when(col("cents").isNotNull, lit("obs"))
+          .when(col("v0").isNotNull && col("v1").isNotNull, lit("lerp"))
+          .otherwise(lit("edge")).as("kind"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("v0").isNotNull && col("v1").isNotNull,
+            expr("""(v0 * datediff(d1, day) + v1 * datediff(day, d0))
+                    div datediff(d1, d0)"""))
+          .otherwise(lit(null).cast("long")).as("cents"))
+      .orderBy(col("region"), col("day"))
+  }
+
+  val ts02Oracle: String =
+    """WITH o AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey, o_totalprice FROM orders),
+      |daily AS (
+      |  SELECT r_name, day,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM o
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, day),
+      |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+      |spine AS (
+      |  SELECT r_name, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM region, bounds),
+      |br AS (
+      |  SELECT r_name, s.day, cents,
+      |    last_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY r_name ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS v0,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+      |      PARTITION BY r_name ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS d0,
+      |    first_value(cents IGNORE NULLS) OVER (
+      |      PARTITION BY r_name ORDER BY s.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+      |      PARTITION BY r_name ORDER BY s.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d1
+      |  FROM spine s LEFT JOIN daily USING (r_name, day))
+      |SELECT r_name AS region, strftime(day, '%Y-%m-%d') AS day,
+      |  CASE WHEN cents IS NOT NULL THEN 'obs'
+      |       WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN 'lerp'
+      |       ELSE 'edge' END AS kind,
+      |  CASE WHEN cents IS NOT NULL THEN cents
+      |       WHEN v0 IS NOT NULL AND v1 IS NOT NULL
+      |         THEN (v0 * (d1 - day) + v1 * (day - d0)) // (d1 - d0)
+      |       ELSE NULL END AS cents
+      |FROM br
+      |ORDER BY region, day""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("ts01_gap_fill", ts01, Some(ts01Oracle)),
+    Q("ts02_linear_interp", ts02, Some(ts02Oracle)),
   )
 }

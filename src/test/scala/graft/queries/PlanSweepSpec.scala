@@ -39,7 +39,11 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     "ml04_leakage_audit", "tc01_triangle_count",
     // 1-row date-bounds relation fanned across the dim table to generate
     // the spine (metadata-sized; the facts never touch the nested loop)
-    "ts01_gap_fill",
+    "ts01_gap_fill", "ts02_linear_interp",
+    // BOTH nested-loop sides are LIMIT-bounded: the broadcast query row ×
+    // corpus relevance pass (the s01 shape), then the top-30 pool against
+    // itself — Pool² work by construction, never corpus-quadratic
+    "s10_mmr_rerank",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>

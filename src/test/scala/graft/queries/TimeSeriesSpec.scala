@@ -46,4 +46,34 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       .filter(_.head._5).map(_.head)
     firstDays.foreach { case (_, _, _, rev, _) => assert(rev.isEmpty) }
   }
+
+  test("ts02 lerp values sit on the integer segment between their brackets") {
+    val rows = TimeSeries.ts02(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(rows.exists(_._3 == "lerp") && rows.exists(_._3 == "obs"))
+    def day(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      val obs = sorted.filter(_._3 == "obs")
+        .map(r => day(r._2) -> r._4.get)
+      sorted.foreach {
+        case (reg, d, "lerp", Some(v)) =>
+          val t = day(d)
+          val (d0, v0) = obs.filter(_._1 < t).maxBy(_._1)
+          val (d1, v1) = obs.filter(_._1 > t).minBy(_._1)
+          // exact truncating-div lerp, and the value is inside the bracket
+          assert(v == (v0 * (d1 - t) + v1 * (t - d0)) / (d1 - d0),
+            s"$reg $d: lerp value off the integer segment")
+          assert(v >= math.min(v0, v1) && v <= math.max(v0, v1))
+        case (reg, d, "edge", v) =>
+          assert(v.isEmpty, s"$reg $d: edge must not fabricate a value")
+          val t = day(d)
+          assert(obs.forall(_._1 > t) || obs.forall(_._1 < t),
+            s"$reg $d: edge rows exist only outside the observed bracket")
+        case (_, _, "obs", v) => assert(v.isDefined)
+        case other => fail(s"unexpected row $other")
+      }
+    }
+  }
 }
