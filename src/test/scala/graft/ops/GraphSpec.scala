@@ -185,6 +185,39 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     for (p <- Seq(4, 13)) assert(coreOf(e, k = 2, parts = p) == ref)
   }
 
+  test("k-core matches a brute-force fixpoint peel on random graphs (property)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(10)
+      val nodes = (1L to n.toLong).toSeq
+      val undirected = (for {
+        a <- nodes; b <- nodes if a < b && rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (undirected.nonEmpty) {
+        val k = 2 + rnd.nextInt(2)
+        // brute force: peel ALL deficient nodes per round until fixpoint
+        var alive = undirected.flatMap(e => Seq(e._1, e._2)).toSet
+        var changed = true
+        while (changed) {
+          val deg = alive.map { v =>
+            v -> undirected.count(e =>
+              (e._1 == v && alive(e._2)) || (e._2 == v && alive(e._1)))
+          }.toMap
+          val next = alive.filter(deg(_) >= k)
+          changed = next != alive
+          alive = next
+        }
+        val want = alive.map { v =>
+          v -> undirected.count(e =>
+            (e._1 == v && alive(e._2)) || (e._2 == v && alive(e._1))).toLong
+        }.toMap
+        // rounds = n always covers the cascade; early exit keeps it cheap
+        assert(coreOf(undirected, k, rounds = n) == want,
+          s"trial=$trial n=$n k=$k edges=$undirected")
+      }
+    }
+  }
+
   test("kc01 converges within CoreRounds at gate scale (extra rounds are a no-op)") {
     import spark.implicits._
     val base = Graph.coSupplyEdges(spark, "/root/testdata/sf0.01")

@@ -84,6 +84,37 @@ class MmrSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._2) == Seq(5L))
   }
 
+  test("greedy matches a naive reference on random instances (property)") {
+    // mmrGreedy is a single-pass argmax with explicit tie rules; the
+    // reference below recomputes the textbook objective from scratch every
+    // round. Identical doubles in, identical selections out — exactly.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(12)
+      val ids = (0 until n).map(i => (i * 7 + 3).toLong) // non-contiguous ids
+      val rel = ids.map(_ -> (rnd.nextDouble() * 2 - 1)).toMap
+      val sim = (for (a <- ids; b <- ids) yield {
+        (a, b) -> (if (a == b) 1.0 else rnd.nextDouble() * 2 - 1)
+      }).toMap
+      val k = 1 + rnd.nextInt(n + 2)
+      val rows = for (a <- ids; b <- ids) yield (a, rel(a), b, sim((a, b)))
+      val got = Similarity.mmrGreedy(rows.iterator, k).toSeq
+      // naive reference
+      var selected = Vector.empty[Long]
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+      for (r <- 1 to math.min(k, n)) {
+        val scored = ids.filterNot(selected.contains).map { c =>
+          val ms = if (selected.isEmpty) 0.0 else selected.map(s => sim((c, s))).max
+          c -> (0.7 * rel(c) - 0.3 * ms)
+        }
+        val (bid, bm) = scored.minBy { case (c, m) => (-m, c) }
+        want += ((r, bid, rel(bid), bm))
+        selected :+= bid
+      }
+      assert(got == want.toSeq, s"n=$n k=$k")
+    }
+  }
+
   test("selection is independent of candidate partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
