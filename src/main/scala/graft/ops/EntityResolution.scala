@@ -122,8 +122,88 @@ object EntityResolution {
        |FROM comp JOIN e ON comp.id = e.p_name
        |GROUP BY comp ORDER BY canonical_name""".stripMargin
 
+  /** e03 — BLOCKING-QUALITY EVALUATION: the two standard record-linkage
+    * index metrics (Christen 2012) for e01's head-noun blocking, as one
+    * gated row:
+    *  - REDUCTION RATIO: 1 − candidate/all pairs — how much comparison
+    *    work the blocking scheme saves (in ppm, integer-exact);
+    *  - PAIRS COMPLETENESS: found/true matches — how many true matches
+    *    survive blocking (the recall of the INDEX, before any matcher
+    *    runs).
+    * This is the harness that keeps a blocking scheme honest as data
+    * drifts: RR quantifies cost, PC quantifies loss, and both move when
+    * someone "optimizes" the block key.
+    *
+    * Scale shape: neither pair universe is materialized as pairs —
+    * all-pairs is arithmetic n(n−1)/2, candidate-pairs is Σ C(blockᵢ,2)
+    * over block SIZES (one tiny agg). The exact truth (lev ≤ 2 over
+    * distinct names, blocking-independent) is computed under LENGTH
+    * pruning: lev(a,b) ≤ 2 ⇒ |len a − len b| ≤ 2, so each name joins only
+    * its 5-length window (an equi-join on exploded length keys, never a
+    * cross join) — the provably-lossless analogue of d10's prefix filter.
+    * In production the truth side runs on a domain sample; here the gate
+    * affords it exactly.
+    */
+  def e03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val entities = graft.util.Eager.cached(
+      Tables.part(s, dir).select($"p_name").distinct()
+        .select($"p_name", blockKey($"p_name").as("blk"), length($"p_name").as("len")))
+    val nAgg = entities.agg(count(lit(1)).as("n_entities"))
+    val candAgg = entities.groupBy($"blk").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+    val a = entities.select($"p_name".as("a_name"), $"len".as("la"))
+    val b = entities.select($"p_name".as("b_name"), $"len".as("lb"))
+    val trueAgg = a
+      .select($"a_name", $"la", explode(array((-2 to 2).map($"la" + _): _*)).as("lw"))
+      .join(b, $"lw" === $"lb" && $"a_name" < $"b_name")
+      .filter(levenshtein($"a_name", $"b_name").between(1, MaxEditDistance))
+      .agg(count(lit(1)).as("true_matches"))
+    val a2 = entities.select($"p_name".as("a_name"), $"blk")
+    val b2 = entities.select($"p_name".as("b_name"), $"blk")
+    val foundAgg = a2.join(b2, Seq("blk"))
+      .filter($"a_name" < $"b_name")
+      .filter(levenshtein($"a_name", $"b_name").between(1, MaxEditDistance))
+      .agg(count(lit(1)).as("found_matches"))
+    nAgg.crossJoin(candAgg).crossJoin(trueAgg).crossJoin(foundAgg)
+      .select($"n_entities",
+        expr("n_entities * (n_entities - 1) div 2").as("all_pairs"),
+        $"cand_pairs", $"true_matches", $"found_matches")
+      .select($"*",
+        expr("((all_pairs - cand_pairs) * 1000000) div all_pairs")
+          .as("reduction_ppm"),
+        when($"true_matches" === 0, lit(null).cast("long"))
+          .otherwise(expr("(found_matches * 1000000) div true_matches"))
+          .as("completeness_ppm"))
+  }
+
+  val e03Oracle: String =
+    s"""WITH e AS (SELECT DISTINCT p_name, $blockKeySql AS blk,
+       |    length(p_name) AS len
+       |  FROM part),
+       |n AS (SELECT COUNT(*) AS n_entities FROM e),
+       |cand AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+       |  FROM (SELECT blk, COUNT(*) AS c FROM e GROUP BY blk)),
+       |trueM AS (SELECT COUNT(*) AS true_matches
+       |  FROM e a JOIN e b
+       |    ON b.len BETWEEN a.len - 2 AND a.len + 2 AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $MaxEditDistance),
+       |found AS (SELECT COUNT(*) AS found_matches
+       |  FROM e a JOIN e b ON a.blk = b.blk AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $MaxEditDistance)
+       |SELECT n_entities,
+       |  CAST(n_entities * (n_entities - 1) // 2 AS BIGINT) AS all_pairs,
+       |  cand_pairs, true_matches, found_matches,
+       |  CAST(((n_entities * (n_entities - 1) // 2 - cand_pairs) * 1000000)
+       |    // (n_entities * (n_entities - 1) // 2) AS BIGINT) AS reduction_ppm,
+       |  CASE WHEN true_matches = 0 THEN NULL
+       |       ELSE CAST((found_matches * 1000000) // true_matches AS BIGINT)
+       |  END AS completeness_ppm
+       |FROM n, cand, trueM, found""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("e01_fuzzy_entity_pairs", e01, Some(e01Oracle)),
     Q("e02_entity_clusters", e02, Some(e02Oracle)),
+    Q("e03_blocking_quality", e03, Some(e03Oracle)),
   )
 }

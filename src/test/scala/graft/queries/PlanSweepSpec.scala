@@ -37,6 +37,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // per-method leak count (ml04)
     "t08_term_importance", "t10_winnowing_pairs", "z01_zorder_buckets",
     "ml04_leakage_audit", "tc01_triangle_count",
+    // four 1-row metric aggregates cross-joined into the single audit row
+    "e03_blocking_quality",
     // 1-row date-bounds relation fanned across the dim table to generate
     // the spine (metadata-sized; the facts never touch the nested loop)
     "ts01_gap_fill", "ts02_linear_interp",
