@@ -57,19 +57,8 @@ object AuditSample {
   def restrict(df: DataFrame, key: String, pct: Int): DataFrame =
     df.filter(keep(col(key), pct))
 
-  def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val out = args(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+  def materialize(spark: SparkSession, src: String, out: String): Unit = {
     import spark.implicits._
-    spark.sparkContext.setLogLevel("WARN")
-
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // single parquet file per table, like the driver's testdata layout —
     // check_oracle.py globs the directory form Spark writes
@@ -82,6 +71,18 @@ object AuditSample {
     save(restrict(load("orders"), "o_custkey", 35), "orders")
     Seq("region", "nation", "customer", "supplier", "part", "lineitem")
       .foreach(t => save(load(t), t))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    materialize(spark, args(0), args(1))
     spark.stop()
   }
 }
