@@ -193,9 +193,85 @@ object Incremental {
   def i01Oracle: String =
     Dedup.d02OracleWhere(Some("x.doc_id >= 400 OR y.doc_id >= 400"))
 
+  /** i02 — INCREMENTAL ANN-INDEX maintenance: i01's O(delta) argument
+    * lifted from the MinHash band index to d07's sign-LSH near-dup index —
+    * the nightly-embedding-ingest shape. The base corpus's band signatures
+    * are the STORED index (per-vector signatures are pure functions of the
+    * vector — IncrementalSpec pins purity, so reuse is sound); only the
+    * arriving delta batch is signed (one narrow mapPartitions pass over
+    * O(delta) rows), and delta signatures probe the MERGED band index for
+    * candidate pairs with a new endpoint, then exact-cosine verify at
+    * d07's 0.9 floor.
+    *
+    * The delta here is [[Similarity.plantNearDups]]'s planted copies — the
+    * realistic case where new arrivals near-duplicate existing content —
+    * so the gate is sharp: the oracle recomputes the exact all-pairs sweep
+    * at the same floor RESTRICTED to new-endpoint pairs (a < b and planted
+    * ids sit above [[Similarity.PlantOffset]], so `b ≥ offset` ⟺ at least
+    * one new endpoint), and a hash match proves the incremental probe of
+    * the merged index lost NOTHING vs a full rebuild — d07's pigeonhole
+    * banding argument, inherited unchanged because signatures don't depend
+    * on what else is in the index.
+    *
+    * Scale shape: nothing base-cardinality is recomputed — base signatures
+    * are index artifacts; the bucket join shuffles delta-side bands
+    * against bucket occupancy (never corpus²); the verify join touches
+    * only candidate ids.
+    */
+  def i02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val base = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val aug = graft.util.Eager.cached(Similarity.plantNearDups(base))
+    val delta = aug.filter($"vec_id" >= Similarity.PlantOffset)
+    def bands(e: DataFrame): DataFrame =
+      Similarity.signBandKeys(e, planes = 128, bands = 16)
+        .select(col("vec_id"), posexplode(col("band_keys")).as(Seq("band", "key")))
+    val baseIdx = bands(base) // the stored index, reused as-is
+    val deltaIdx = graft.util.Eager.cached(bands(delta)) // O(delta) signing
+    val merged = baseIdx.unionByName(deltaIdx)
+    val cands = deltaIdx.alias("d")
+      .join(merged.alias("m"),
+        col("d.band") === col("m.band") && col("d.key") === col("m.key") &&
+          col("d.vec_id") =!= col("m.vec_id"))
+      .select(
+        least(col("d.vec_id"), col("m.vec_id")).as("a"),
+        greatest(col("d.vec_id"), col("m.vec_id")).as("b"))
+      .distinct()
+    cands
+      .join(aug.select($"vec_id".as("a"), $"embedding".as("ea")), Seq("a"))
+      .join(aug.select($"vec_id".as("b"), $"embedding".as("eb")), Seq("b"))
+      .select($"a", $"b", Similarity.cosine($"ea", $"eb").as("cosine"))
+      .filter($"cosine" >= Similarity.NearDupFloor)
+      .orderBy($"a", $"b")
+  }
+
+  /** d07's exact all-pairs oracle restricted to new-endpoint pairs. */
+  val i02Oracle: String =
+    """WITH base AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+      |              FROM embeddings),
+      |v AS (SELECT vec_id, e, i FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 100000 AS vec_id,
+      |             CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE e END AS e, i
+      |      FROM base WHERE vec_id % 10 = 0),
+      |norms AS (SELECT vec_id, SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE) ORDER BY i) AS n2
+      |          FROM v GROUP BY vec_id),
+      |dots AS (SELECT x.vec_id AS a, y.vec_id AS b,
+      |           SUM(CAST(x.e AS DOUBLE) * CAST(y.e AS DOUBLE) ORDER BY x.i) AS dot
+      |         FROM v x JOIN v y ON x.i = y.i AND x.vec_id < y.vec_id
+      |         WHERE y.vec_id >= 100000
+      |         GROUP BY 1, 2)
+      |SELECT a, b, cosine FROM (
+      |  SELECT a, b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+      |  FROM dots JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id)
+      |WHERE cosine >= 0.9
+      |ORDER BY a, b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("mv01_incremental_rollup", mv01, Some(mv01Oracle)),
     Q("dq03_snapshot_diff", dq03, Some(dq03Oracle)),
     Q("i01_incremental_dedup_index", i01, Some(i01Oracle)),
+    Q("i02_incremental_ann_index", i02, Some(i02Oracle)),
   )
 }

@@ -87,4 +87,29 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Double]("new_price") == r.getAs[Double]("old_price") * 1.1)
     }
   }
+
+  test("sign-LSH signature purity: a vector's band keys ignore the rest of the index") {
+    // reuse of stored base signatures is sound only if signing a batch in
+    // isolation yields exactly what a full-corpus signing pass yields for
+    // the same ids — the i02 analogue of i01's minhash purity pin
+    import org.apache.spark.sql.functions._
+    val all = Similarity.plantNearDups(graft.Tables.embeddings(spark, sfSmoke))
+    val subset = all.filter(col("vec_id") % 3 === 0)
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.signBandKeys(df, planes = 128, bands = 16).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val fromFull = keysOf(all).view.filterKeys(_ % 3 == 0).toMap
+    assert(keysOf(subset) == fromFull)
+  }
+
+  test("i02 incremental probe finds exactly what the full d07 rebuild finds") {
+    import org.apache.spark.sql.functions._
+    val inc = Incremental.i02(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Similarity.d07(spark, sfSmoke)
+      .filter(col("b") >= Similarity.PlantOffset).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty, "planted delta must produce near-dup pairs")
+  }
 }
