@@ -224,4 +224,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // label recovery probes with broadcast mined rows
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  // ----- round-6 shapes -----
+
+  test("s10 MMR: pool selection is TakeOrdered, never a global sort of the corpus") {
+    val p = plan("s10_mmr_rerank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p) // pool matrix is broadcast-only
+  }
+
+  test("t17 vocab growth: histograms cumulate on checkpoint cardinality, not token rows") {
+    val p = plan("t17_vocab_growth")
+    // the only window sorts run AFTER the bucket aggregation: every Window
+    // operator's input is an aggregated histogram, visible as partial_
+    // aggregates upstream; and the token relation is aggregated exactly
+    // twice (type first-occurrence + per-doc counts), never joined raw
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows >= 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_min")
+      || p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), s"checkpoint joins must broadcast\n$p")
+  }
+
+  test("ts02 lerp: facts collapse map-side; spine joins only aggregated grain") {
+    val p = plan("ts02_linear_interp")
+    // dims broadcast onto the fact scan; the ONLY sort-merge join is the
+    // spine ⋈ daily outer join, and both its sides are (series, day) grain
+    // — the facts were aggregated below it (metadata-sized at scale)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val smjs = "SortMergeJoin \\[[^\\]]*\\]".r.findAllIn(p).toList
+    assert(smjs.nonEmpty && smjs.forall(_.contains("r_name")),
+      s"only the series-grain spine join may sort-merge: $smjs")
+  }
+
+  test("e03 blocking quality: pair universes stay un-materialized (agg-only plan)") {
+    val p = plan("e03_blocking_quality")
+    // all-pairs/candidate-pairs appear only as arithmetic over aggregated
+    // counts: the four 1-row metric relations cross-join via broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
