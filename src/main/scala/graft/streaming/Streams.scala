@@ -32,7 +32,7 @@ object Streams {
     * watermark/session/interval-join semantics (the round-4 streaming
     * regression).
     */
-  private def eventsStream(ss: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(ss: SparkSession, dir: String): DataFrame = {
     val tsType = ss.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val src = ss.readStream
       .schema(StructType(Seq(
@@ -67,7 +67,7 @@ object Streams {
     * module reads the raw events parquet (nanos ts); it is inert for
     * µs-timestamp sources.
     */
-  private def streamSession(s: SparkSession, shufflePartitions: Int): SparkSession = {
+  private[graft] def streamSession(s: SparkSession, shufflePartitions: Int): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

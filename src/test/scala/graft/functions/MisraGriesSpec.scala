@@ -47,4 +47,27 @@ class MisraGriesSpec extends AnyFunSuite with SparkSpec {
       .selectExpr("mg[0].item", "mg[0].est").collect()(0)
     assert(out.getString(0) == "q" && out.getLong(1) == 5L)
   }
+
+  test("hh03 emits exactly the closed windows and audits both hot tiers in each") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.HeavyHitters.hh03(spark, dir).collect()
+    // the append-mode emission rule, recomputed batch-side: a week window
+    // is closed iff its end <= max(ts) - 7 days
+    val closedWeeks = graft.Tables.events(spark, dir)
+      .select(date_trunc("week", col("ts")).as("wk"), col("ts"))
+      .agg(collect_set(date_format(col("wk"), "yyyy-MM-dd")).as("wks"),
+        max(col("ts")).as("mx"))
+      .select(explode(col("wks")).as("wk"), col("mx"))
+      .filter(expr("to_timestamp(wk) + INTERVAL 7 DAY <= mx - INTERVAL 7 DAY"))
+      .collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(0)).toSet == closedWeeks,
+      "audited windows must be exactly the watermark-closed ones")
+    // every closed window surfaces both planted hot tiers, bounds green
+    closedWeeks.foreach { wk =>
+      val items = out.filter(_.getString(0) == wk).map(_.getString(1)).toSet
+      assert(items == Set("hot_a", "hot_b"), s"$wk: $items")
+    }
+    assert(out.forall(r => r.getBoolean(3) && r.getBoolean(4)))
+  }
 }
