@@ -352,10 +352,105 @@ object Multimodal {
       |FROM m LEFT JOIN pervid USING (media_id) LEFT JOIN dupvid USING (media_id)
       |ORDER BY m.media_id""".stripMargin
 
+  /** Hamming radius / chunk geometry for m05: 6 chunks × 10 bits over the
+    * 60-bit signature — pigeonhole-lossless for radius ≤ 5 (cf. d08's
+    * 4 × 16 over 64 bits at radius 3).
+    */
+  val PHashRadius = 5
+  val PHashChunks = 6
+
+  /** 60-bit perceptual signature of a full frame: bit i set iff byte i's
+    * value is ≥ the frame's mean over the 60 signature bytes (the exact
+    * integer compare 60·vᵢ ≥ Σv — no division, no float). This is the
+    * block-threshold aHash recipe on the stub decode's byte plane; a real
+    * decoder swaps in DCT coefficients with the IDENTICAL downstream
+    * banding/verify pipeline. Top 4 bits stay clear, so the signed-shift
+    * hazard at bit 63 never arises in either engine.
+    */
+  private[ops] def frameSig(block: Array[Byte]): Long = {
+    var total = 0
+    var i = 0
+    while (i < 60) { total += block(i) & 0xFF; i += 1 }
+    var sig = 0L
+    i = 0
+    while (i < 60) {
+      if (60 * (block(i) & 0xFF) >= total) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** m05 — PERCEPTUAL frame near-dup across videos: m04 collapses
+    * byte-identical frames; this catches the re-encoded / slightly-edited
+    * boilerplate exact hashing misses (the pHash step of every video-dedup
+    * pipeline). Signatures per distinct (video, sig), then the d08 recipe:
+    * chunk banding for candidates (a pair within radius 5 differs in ≤ 5
+    * of 6 chunks, so at least one chunk matches — lossless), exact
+    * `bit_count(xor)` verify on survivors, per-video-pair counts.
+    *
+    * The oracle is the exact all-pairs hamming scan at the same radius, so
+    * the hash match PROVES the banding dropped nothing — the same
+    * guarantee-by-gate d08 establishes for SimHash text signatures,
+    * re-established here on the multimodal plane. Scale shape: quadratic
+    * work only inside shared chunk buckets; the verify is one integer
+    * xor/popcount per candidate; nothing frame-cardinality is ever
+    * driver-side.
+    */
+  def m05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = graft.util.Eager.cached(
+      sampleFrames(mediaTable(s, dir))
+        .filter(_.frame_bytes.length == 64) // tail fragments carry no stable plane
+        .map(f => (f.media_id, frameSig(f.frame_bytes)))
+        .toDF("media_id", "sig")
+        .distinct())
+    val chunked = sigs.select($"media_id", $"sig",
+      posexplode(array((0 until PHashChunks).map(c =>
+        shiftright($"sig", 10 * c).bitwiseAND(lit(1023L))): _*)).as(Seq("chunk", "key")))
+    val cands = chunked.alias("x")
+      .join(chunked.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("x.sig").as("sa"),
+        col("y.media_id").as("media_b"), col("y.sig").as("sb"))
+      .distinct()
+    cands
+      .filter(bit_count($"sa".bitwiseXOR($"sb")) <= PHashRadius)
+      .groupBy($"media_a", $"media_b")
+      .agg(count(lit(1)).as("n_near_frames"))
+      .orderBy($"media_a", $"media_b")
+  }
+
+  /** Exact all-pairs hamming scan at the same radius — the banding-
+    * losslessness oracle (d08 posture).
+    */
+  val m05Oracle: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (SELECT media_id, j, substring(text, CAST(j * 256 + 1 AS INT), 64) AS frame
+       |  FROM (SELECT media_id, text,
+       |          unnest(range(0, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0) AS BIGINT))) AS j
+       |        FROM m WHERE octet_length(encode(text)) > 0)),
+       |f64 AS (SELECT media_id, j, frame FROM fr WHERE length(frame) = 64),
+       |by AS (SELECT media_id, j, i - 1 AS bit,
+       |         ascii(substring(frame, CAST(i AS INT), 1)) AS v
+       |       FROM f64, (SELECT unnest(range(1, 61)) AS i)),
+       |tt AS (SELECT media_id, j, SUM(v) AS total FROM by GROUP BY 1, 2),
+       |sig AS (SELECT DISTINCT media_id,
+       |          CAST(SUM(CASE WHEN 60 * v >= total
+       |                        THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+       |                        ELSE 0 END) AS BIGINT) AS sig
+       |        FROM by JOIN tt USING (media_id, j) GROUP BY media_id, j)
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |  COUNT(*) AS n_near_frames
+       |FROM sig a JOIN sig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $PHashRadius
+       |GROUP BY 1, 2 ORDER BY media_a, media_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_multimodal_meta", m01, Some(m01Oracle)),
     Q("m02_multimodal_pipeline", m02, Some(m02Oracle)),
     Q("m03_decode_meta_parity", m03, Some(m03Oracle)),
     Q("m04_frame_dedup", m04, Some(m04Oracle)),
+    Q("m05_frame_neardup_phash", m05, Some(m05Oracle)),
   )
 }

@@ -229,4 +229,35 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.forall(_.frame_idx % 4 == 0)) // stride honored
     assert(frames.forall(_.frame_bytes.length <= 64))
   }
+
+  test("m05 frameSig: exact bits on a crafted block; tail bytes ignored") {
+    // 30 bytes of 100 then 30 of 200: total 9000, so 60·100 < 9000 (bits
+    // 0–29 clear) and 60·200 ≥ 9000 (bits 30–59 set); the last 4 bytes
+    // must not matter
+    val block = Array.fill(30)(100.toByte) ++ Array.fill(30)(200.toByte) ++
+      Array.fill(4)(7.toByte)
+    val expected = ((1L << 30) - 1) << 30
+    assert(Multimodal.frameSig(block) == expected)
+    assert(Multimodal.frameSig(block.dropRight(4) ++ Array.fill(4)(99.toByte))
+      == expected)
+    // exact mean boundary counts as set (>=): all-equal bytes → all 60 bits
+    assert(Multimodal.frameSig(Array.fill(64)(50.toByte)) == (1L << 60) - 1)
+  }
+
+  test("m05 banding is lossless: engine pairs equal a local brute-force hamming scan") {
+    val out = Multimodal.m05(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // recompute from the same payload bytes, no banding
+    val media = Multimodal.mediaTable(spark, sfSmoke)
+    val sigs = Multimodal.sampleFrames(media).collect()
+      .filter(_.frame_bytes.length == 64)
+      .map(f => (f.media_id, Multimodal.frameSig(f.frame_bytes)))
+      .distinct
+    val want = (for {
+      (ma, sa) <- sigs; (mb, sb) <- sigs if ma < mb
+      if java.lang.Long.bitCount(sa ^ sb) <= Multimodal.PHashRadius
+    } yield (ma, mb)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == want)
+    assert(out.nonEmpty, "smoke corpus should contain perceptual near-dups")
+  }
 }
