@@ -372,6 +372,55 @@ object Profile {
       |  COUNT(*) AS n_rows
       |FROM lineitem""".stripMargin
 
+  /** gv01 — ERASURE BLAST-RADIUS audit (the right-to-be-forgotten report
+    * a governed pipeline produces before executing a delete/pseudonymize
+    * pass): per event_type, how many rows and distinct users an erasure
+    * cohort touches, plus the PSEUDONYMIZATION PARITY facts — the
+    * deterministic md5 pseudonym is injective on the cohort
+    * (distinct pseudonyms == distinct forgotten users) and never echoes a
+    * raw id. The cohort here is a pure hash rule (~5% of users, the
+    * q38/c05 engine-portable md5 bucket) so the oracle recomputes
+    * membership exactly; a production run swaps in an erasure-request
+    * table via a broadcast semi-join with the same downstream audit.
+    *
+    * Scale shape: ONE pass over the fact — the cohort predicate and
+    * pseudonym are per-row hash expressions (no lookup state), and all
+    * five measures are conditional aggregates that partial-aggregate
+    * map-side; nothing user-cardinality crosses the wire beyond the
+    * per-type distinct counts Spark already shuffles for count_distinct.
+    */
+  def gv01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val forget = conv(substring(md5(concat(lit("forget:"), $"user_id".cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100 < 5
+    val pseud = md5(concat(lit("pseud:"), $"user_id".cast("string")))
+    Tables.events(s, dir)
+      .select($"event_type", $"user_id", forget.as("f"), pseud.as("p"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when($"f", 1)).as("n_affected"),
+        countDistinct(when($"f", $"user_id")).as("n_forget_users"),
+        countDistinct(when($"f", $"p")).as("n_pseudonyms"),
+        count(when($"f" && $"p" === $"user_id".cast("string"), 1)).as("n_raw_leaks"),
+      )
+      .orderBy($"event_type")
+  }
+
+  val gv01Oracle: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_total,
+      |  COUNT(CASE WHEN f THEN 1 END) AS n_affected,
+      |  COUNT(DISTINCT CASE WHEN f THEN user_id END) AS n_forget_users,
+      |  COUNT(DISTINCT CASE WHEN f THEN p END) AS n_pseudonyms,
+      |  COUNT(CASE WHEN f AND p = CAST(user_id AS VARCHAR) THEN 1 END) AS n_raw_leaks
+      |FROM (
+      |  SELECT event_type, user_id,
+      |    ('0x' || substring(md5('forget:' || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 5 AS f,
+      |    md5('pseud:' || CAST(user_id AS VARCHAR)) AS p
+      |  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
@@ -379,5 +428,6 @@ object Profile {
     Q("q48_winsorize", q48, Some(q48Oracle)),
     Q("q56_zscore_outliers", q56, Some(q56Oracle)),
     Q("q57_footer_stats", q57, Some(q57Oracle)),
+    Q("gv01_forget_scope", gv01, Some(gv01Oracle)),
   )
 }
