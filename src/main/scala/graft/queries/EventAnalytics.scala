@@ -212,10 +212,80 @@ object EventAnalytics {
        |FROM sessions GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** ep01 — SESSION-SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE use
+    * case, q58's fixed trigrams generalized to whole-session order
+    * predicates): per (user, calendar-day) session, the full event-type
+    * sequence is materialized ONCE as an ordered '>'-joined string, and
+    * each pattern is a pure expression over FIRST-OCCURRENCE POSITIONS —
+    *  - signup_then_purchase: a signup strictly before the first purchase,
+    *  - clean_purchase: a purchase with no error anywhere before it,
+    *  - bounce: single-event sessions.
+    * Position arithmetic (`instr`) instead of regex is deliberate: the
+    * "no X before Y" class needs lookahead in regex form, which RE2-family
+    * engines (and thus the oracle) reject — positions express it exactly
+    * and identically in both engines.
+    *
+    * Scale shape: one fact-scale exchange (the session groupBy); sequence
+    * strings are session-sized, never corpus-sized; the pattern counts are
+    * conditional aggregates over the session relation that
+    * partial-aggregate map-side. The ordering inside a session is the
+    * deterministic (ts, event_id) total order, built by sort_array over
+    * the collected struct — no window, no second shuffle.
+    */
+  def ep01(s: SparkSession, dir: String): DataFrame =
+    sessionPatterns(Tables.events(s, dir))
+
+  /** ep01 over any (user_id, ts, event_id, event_type) relation. */
+  def sessionPatterns(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val sessions = events
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          e => e.getField("event_type")),
+        ">").as("seq"))
+    val pSignup = instr($"seq", "signup")
+    val pPurchase = instr($"seq", "purchase")
+    val pError = instr($"seq", "error")
+    val patterns = Seq(
+      ("bounce", instr($"seq", ">") === 0),
+      ("clean_purchase", pPurchase > 0 && (pError === 0 || pError > pPurchase)),
+      ("signup_then_purchase", pSignup > 0 && pPurchase > pSignup),
+    )
+    patterns.map { case (name, cond) =>
+      sessions.agg(count(when(cond, 1)).as("n_sessions"))
+        .select(lit(name).as("pattern"), $"n_sessions")
+    }.reduce(_ unionByName _).orderBy($"pattern")
+  }
+
+  val ep01Oracle: String =
+    """WITH s AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY 1, 2)
+      |SELECT pattern, n_sessions FROM (
+      |  SELECT 'bounce' AS pattern,
+      |    COUNT(CASE WHEN strpos(seq, '>') = 0 THEN 1 END) AS n_sessions FROM s
+      |  UNION ALL
+      |  SELECT 'clean_purchase',
+      |    COUNT(CASE WHEN strpos(seq, 'purchase') > 0
+      |               AND (strpos(seq, 'error') = 0
+      |                    OR strpos(seq, 'error') > strpos(seq, 'purchase'))
+      |          THEN 1 END) FROM s
+      |  UNION ALL
+      |  SELECT 'signup_then_purchase',
+      |    COUNT(CASE WHEN strpos(seq, 'signup') > 0
+      |               AND strpos(seq, 'purchase') > strpos(seq, 'signup')
+      |          THEN 1 END) FROM s)
+      |ORDER BY pattern""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q51_cohort_retention", q51, Some(q51Oracle)),
     Q("q52_funnel_steps", q52, Some(q52Oracle)),
     Q("q58_event_paths", q58, Some(q58Oracle)),
+    Q("ep01_pattern_match", ep01, Some(ep01Oracle)),
     Q("q59_sessionize_batch", q59, Some(q59Oracle)),
   )
 }

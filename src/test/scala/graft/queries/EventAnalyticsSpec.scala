@@ -95,4 +95,29 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._2 > 1L))
     assert(rows.exists(_._6 > 1L))
   }
+
+  test("ep01 patterns: planted sessions land in exactly the right buckets") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // one calendar-day session per user:
+    //  u1: signup > click > purchase        → signup_then_purchase + clean
+    //  u2: error > purchase                 → purchase, but NOT clean
+    //  u3: purchase > error                 → clean (error only after)
+    //  u4: view                             → bounce
+    //  u5: purchase > signup                → purchase before signup: clean only
+    val ev = Seq(
+      (1L, t(1), 10L, "signup"), (1L, t(2), 11L, "click"), (1L, t(3), 12L, "purchase"),
+      (2L, t(1), 20L, "error"), (2L, t(2), 21L, "purchase"),
+      (3L, t(1), 30L, "purchase"), (3L, t(2), 31L, "error"),
+      (4L, t(1), 40L, "view"),
+      (5L, t(1), 50L, "purchase"), (5L, t(2), 51L, "signup"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.sessionPatterns(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "bounce" -> 1L, // u4
+      "clean_purchase" -> 3L, // u1, u3, u5
+      "signup_then_purchase" -> 1L, // u1
+    ))
+  }
 }
