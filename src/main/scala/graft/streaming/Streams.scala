@@ -711,6 +711,80 @@ object Streams {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, seq""".stripMargin
 
+  /** st11 — streaming dedup via the DEDICATED
+    * `dropDuplicatesWithinWatermark` operator (Spark 3.5+): st05 builds a
+    * dedup LEDGER by aggregation (Complete mode, converged state); this is
+    * the pass-through form every ingest front-door actually runs — emit
+    * each key's first arrival, drop replays, and let the watermark EVICT
+    * per-key state once a duplicate can no longer arrive. TTL'd dedup
+    * state is the at-least-once-transport answer: state is O(keys per
+    * horizon), not O(stream).
+    *
+    * The gate makes the multi-batch state path real and DETERMINISTIC:
+    * batch 1 is the full events table, batch 2 is nothing but REPLAYS
+    * (copies of events from the stream's final watermark horizon,
+    * ts ≥ max(ts) − 7d, so their keys are provably still in state
+    * whichever order the two files arrive — and since replays are
+    * byte-identical rows, the emitted set is the same either way). Output
+    * = exactly one copy of every event, which is what the batch oracle
+    * states; any replay leaking through would double a row and break the
+    * hash.
+    */
+  def st11(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s, shufflePartitions = 8)
+    import ss.implicits._
+    val ev = graft.Tables.events(ss, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val chunkDir = java.nio.file.Files
+      .createTempDirectory("st11_replay_").toString
+    val horizon = ev.agg(max($"ts").as("mx"))
+      .select(($"mx" - expr("INTERVAL 7 DAYS")).as("lo")) // 1-row bound
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$chunkDir/_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$chunkDir/$name.parquet"))
+    }
+    writeOne(ev, "0_full")
+    writeOne(ev.crossJoin(broadcast(horizon)).filter($"ts" >= $"lo")
+      .drop("lo"), "1_replays")
+    val src = ss.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+      )))
+      .option("maxFilesPerTrigger", "1") // replays arrive as their own batch
+      .parquet(chunkDir)
+    val deduped = src
+      .withWatermark("ts", "7 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sink = s"st11_dedup_ttl_${sinkCounter.incrementAndGet()}"
+    locally {
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val out = ss.table(sink)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    s.createDataFrame(out.rdd, out.schema).orderBy(col("event_id"))
+  }
+
+  /** Perfect replay suppression = the clean batch table. */
+  val st11Oracle: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM events ORDER BY event_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
     Q("st02_session_windows", st02, Some(st02Oracle)),
@@ -722,5 +796,6 @@ object Streams {
     Q("st08_stateful_sessionize", st08, Some(st08Oracle)),
     Q("st09_stream_outer_join", st09, Some(st09Oracle)),
     Q("st10_stream_running_totals", st10, Some(st10Oracle)),
+    Q("st11_stream_dedup_ttl", st11, Some(st11Oracle)),
   )
 }

@@ -361,4 +361,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       assert(s.sessionEnd.getTime - s.sessionStart.getTime == 5 * 60000)
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: replays suppressed in-horizon, key state evicted after") {
+    // the st11 operator's TTL contract, pinned batch-by-batch:
+    //  b1: k1 emitted; b2: in-horizon replay of k1 dropped, k2 emitted and
+    //  the watermark advanced far past k1's expiry; b3: k1 REAPPEARS with
+    //  a fresh ts → emitted again (state was evicted — dedup is per
+    //  horizon, not forever; that bounded memory IS the operator's point)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDS().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ddww_out").start()
+    def emitted(): Seq[(Long, Long)] =
+      spark.table("ddww_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq.sorted
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    try {
+      input.addData((1L, new Timestamp(t0)))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, t0)))
+      input.addData((1L, new Timestamp(t0 + 60000)), // replay, in horizon
+        (2L, new Timestamp(t0 + 30 * 60000))) // advances watermark past k1
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, t0), (2L, t0 + 30 * 60000)))
+      input.addData((1L, new Timestamp(t0 + 31 * 60000))) // fresh arrival post-expiry
+      q.processAllAvailable()
+      assert(emitted() ==
+        Seq((1L, t0), (1L, t0 + 31 * 60000), (2L, t0 + 30 * 60000)))
+    } finally q.stop()
+  }
 }
