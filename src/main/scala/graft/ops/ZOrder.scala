@@ -225,9 +225,79 @@ object ZOrder {
       |WHERE p_brand = 'Brand#13'
       |GROUP BY p_type ORDER BY p_type""".stripMargin
 
+  /** z04 — LAYOUT SKIPPING-EFFECTIVENESS audit: z01 proves the curve math;
+    * this quantifies WHY the layout wins, as the file-skipping count a
+    * zone-map scan would actually do. Two 64-file layouts of the same rows
+    * — the z-curve (bucket = top 6 z-bits) vs a plain sort by dimension A
+    * (bucket = top 6 qa-bits) — each summarized to per-file min/max zone
+    * maps of the SECONDARY dimension B; 20 deterministic md5-priority
+    * probe values of B then count, per layout, how many files a
+    * `WHERE B = probe` scan must touch (zone map overlaps). Under the
+    * A-sort, B's per-file spans are near-global → most files touched;
+    * under the z-curve each file covers a bounded B-range → a fraction.
+    * This is the audit a 100 TB layout job runs to decide whether
+    * re-clustering pays: a few 64-row zone-map relations and a 20-row
+    * probe side — nothing fact-scale beyond the one quantized projection
+    * both layouts share.
+    */
+  def z04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val stats = li.agg(
+      min($"l_orderkey").as("amin"), max($"l_orderkey").as("amax"),
+      min($"l_partkey").as("bmin"), max($"l_partkey").as("bmax"))
+    val qz = graft.util.Eager.cached(
+      li.crossJoin(broadcast(stats))
+        .selectExpr(
+          s"${quantizeExpr("l_orderkey", "amin", "amax")} AS qa",
+          s"${quantizeExpr("l_partkey", "bmin", "bmax")} AS qb"))
+    val zBoxes = qz
+      .withColumn("bucket", shiftright(zValue($"qa", $"qb"), 2 * Bits - 6))
+      .groupBy($"bucket")
+      .agg(min($"qb").as("min_b"), max($"qb").as("max_b"))
+    val aBoxes = qz
+      .withColumn("bucket", shiftright($"qa", Bits - 6))
+      .groupBy($"bucket")
+      .agg(min($"qb").as("min_b"), max($"qb").as("max_b"))
+    val probes = qz.select($"qb").distinct()
+      .withColumn("pri",
+        conv(substring(md5(concat(lit("z04:"), $"qb".cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+      .orderBy($"pri", $"qb").limit(20).select($"qb")
+    def touched(boxes: DataFrame, as: String): DataFrame = probes
+      .join(broadcast(boxes), $"qb".between(col("min_b"), col("max_b")))
+      .groupBy($"qb").agg(count(lit(1)).as(as))
+    touched(zBoxes, "n_files_zorder")
+      .join(touched(aBoxes, "n_files_asorted"), Seq("qb"))
+      .orderBy($"qb")
+  }
+
+  val z04Oracle: String = {
+    def q(x: String, lo: String, hi: String): String =
+      s"(($x - $lo) * ${1 << Bits}) // ($hi - $lo + 1)"
+    s"""WITH st AS (SELECT MIN(l_orderkey) AS amin, MAX(l_orderkey) AS amax,
+       |    MIN(l_partkey) AS bmin, MAX(l_partkey) AS bmax FROM lineitem),
+       |qz AS (SELECT ${q("l_orderkey", "amin", "amax")} AS qa,
+       |    ${q("l_partkey", "bmin", "bmax")} AS qb FROM lineitem, st),
+       |zb AS (SELECT (${zValueSql("qa", "qb")}) >> ${2 * Bits - 6} AS bucket,
+       |    MIN(qb) AS min_b, MAX(qb) AS max_b FROM qz GROUP BY 1),
+       |ab AS (SELECT qa >> ${Bits - 6} AS bucket,
+       |    MIN(qb) AS min_b, MAX(qb) AS max_b FROM qz GROUP BY 1),
+       |probes AS (SELECT qb FROM (SELECT DISTINCT qb FROM qz)
+       |  ORDER BY ('0x' || substring(md5('z04:' || CAST(qb AS VARCHAR)), 1, 8))::BIGINT, qb
+       |  LIMIT 20),
+       |tz AS (SELECT qb, COUNT(*) AS n_files_zorder FROM probes
+       |  JOIN zb ON qb BETWEEN min_b AND max_b GROUP BY qb),
+       |ta AS (SELECT qb, COUNT(*) AS n_files_asorted FROM probes
+       |  JOIN ab ON qb BETWEEN min_b AND max_b GROUP BY qb)
+       |SELECT qb, n_files_zorder, n_files_asorted
+       |FROM tz JOIN ta USING (qb) ORDER BY qb""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("z01_zorder_buckets", z01, Some(z01Oracle)),
     Q("z02_dpp_pruned_scan", z02, Some(z02Oracle)),
     Q("z03_bloom_pruned_join", z03, Some(z03Oracle)),
+    Q("z04_layout_skipping", z04, Some(z04Oracle)),
   )
 }

@@ -39,6 +39,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     "ml04_leakage_audit", "tc01_triangle_count",
     // four 1-row metric aggregates cross-joined into the single audit row
     "e03_blocking_quality",
+    // 20-probe × 64-zone-map containment joins — both sides bounded
+    "z04_layout_skipping",
     // 1-row date-bounds relation fanned across the dim table to generate
     // the spine (metadata-sized; the facts never touch the nested loop)
     "ts01_gap_fill", "ts02_linear_interp",
