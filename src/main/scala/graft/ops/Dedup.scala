@@ -883,6 +883,57 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The d11 similarity thresholds swept. */
+  val SweepTaus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** d11 — DEDUP THRESHOLD SENSITIVITY: the τ-tuning report a dedup
+    * deployment produces BEFORE committing to a similarity floor — at each
+    * candidate threshold, how many near-dup pairs fire and how many
+    * documents they touch. Too low a τ merges distinct content; too high
+    * leaves paraphrase duplicates in the corpus; this one relation shows
+    * the knee. ONE d02 signature/banding pass feeds every threshold (the
+    * candidate relation is banding-bounded and tiny relative to the
+    * corpus; the 5-row τ relation broadcasts across it), so the sweep
+    * costs the same as a single-threshold run — at 100 TB you never
+    * re-sign the corpus per knob setting.
+    *
+    * Zero-count thresholds stay present (left joins + coalesce): "0.9
+    * fires nothing" is exactly the fact the tuner needs to see.
+    */
+  def d11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = graft.util.Eager.cached(minhashSignatures(Tables.documents(s, dir)))
+    val cands = graft.util.Eager.cached(minhashCandidates(sigs))
+    val tdf = SweepTaus.toDF("tau")
+    val p = cands.crossJoin(broadcast(tdf)).filter($"est_jaccard" >= $"tau")
+    val pairs = p.groupBy($"tau").agg(count(lit(1)).as("n_pairs"))
+    val docs = p.select($"tau", explode(array($"a", $"b")).as("d"))
+      .groupBy($"tau").agg(countDistinct($"d").as("n_docs"))
+    tdf.join(pairs, Seq("tau"), "left").join(docs, Seq("tau"), "left")
+      .select($"tau",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs", lit(0L)).as("n_docs"))
+      .orderBy($"tau")
+  }
+
+  val d11Oracle: String = {
+    val est = (0 until NumPerms)
+      .map(p => s"(CASE WHEN x.s$p = y.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+    val taus = SweepTaus.mkString("[", ", ", "]")
+    s"""$sigCtes,
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(($est) AS DOUBLE) / $NumPerms AS est_jaccard
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)),
+       |t AS (SELECT CAST(unnest($taus) AS DOUBLE) AS tau),
+       |p AS (SELECT tau, a, b FROM cand, t WHERE est_jaccard >= tau),
+       |pairs AS (SELECT tau, COUNT(*) AS n_pairs FROM p GROUP BY tau),
+       |docs AS (SELECT tau, COUNT(DISTINCT d) AS n_docs FROM (
+       |    SELECT tau, a AS d FROM p UNION ALL SELECT tau, b FROM p) GROUP BY tau)
+       |SELECT t.tau, COALESCE(n_pairs, 0) AS n_pairs, COALESCE(n_docs, 0) AS n_docs
+       |FROM t LEFT JOIN pairs USING (tau) LEFT JOIN docs USING (tau)
+       |ORDER BY tau""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Oracle)),
     Q("d02_minhash_lsh_candidates", d02, Some(d02Oracle)),
@@ -892,6 +943,7 @@ object Dedup {
     Q("d08_simhash_pairs", d08, Some(d08Oracle)),
     Q("d09_chunk_dedup", d09, Some(d09Oracle)),
     Q("d10_containment_join", d10, Some(d10Oracle)),
+    Q("d11_dedup_threshold_sweep", d11, Some(d11Oracle)),
     Q("c02_neardup_consolidation", c02, Some(c02Oracle)),
     Q("c06_contamination_blast_radius", c06, Some(c06Oracle)),
   )

@@ -41,6 +41,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     "e03_blocking_quality",
     // 20-probe × 64-zone-map containment joins — both sides bounded
     "z04_layout_skipping",
+    // 5-row τ relation broadcast across the banding-bounded candidate set
+    "d11_dedup_threshold_sweep",
     // 1-row date-bounds relation fanned across the dim table to generate
     // the spine (metadata-sized; the facts never touch the nested loop)
     "ts01_gap_fill", "ts02_linear_interp",
