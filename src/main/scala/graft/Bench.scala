@@ -203,9 +203,16 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    println(s"GRAFT_BENCH_JSON $json")
+    // Print the bare JSON (the original driver contract) BEFORE the marker
+    // line: a bounded tail capture (the driver grabs ~2 KB of stdout) then
+    // always ends with the greppable marker even when sbt's own trailer or
+    // truncation eats earlier lines. The marker also goes to stderr as a
+    // second capture channel.
     println(json)
+    println(s"GRAFT_BENCH_JSON $json")
     Console.out.flush()
+    System.err.println(s"GRAFT_BENCH_JSON $json")
+    System.err.flush()
     spark.stop()
   }
 }

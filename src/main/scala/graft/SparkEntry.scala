@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.etl.WhoStarQueries
 import graft.ml.Forecast
 import graft.ops.{AsOf, Dedup, EntityResolution, Graph, HeavyHitters, Incremental, Multimodal, Profile, RangeJoin, Sampling, Similarity, Sketch, Skew, TextAnalysis, ZOrder}
 import graft.queries.{Aggregates, EventAnalytics, Joins, Q, Relational, Shaping, TimeSeries, Windows}
@@ -21,7 +22,8 @@ object SparkEntry {
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
       Streams.all ++ Forecast.all ++ Skew.all ++ AsOf.all ++ RangeJoin.all ++
       Profile.all ++ Sampling.all ++ Incremental.all ++ ZOrder.all ++ HeavyHitters.all ++
-      EntityResolution.all ++ EventAnalytics.all ++ Graph.all ++ Sketch.all ++ TimeSeries.all
+      EntityResolution.all ++ EventAnalytics.all ++ Graph.all ++ Sketch.all ++
+      TimeSeries.all ++ WhoStarQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * scan → join → agg → join → top-k (SURVEY.md §7 build order step 1).

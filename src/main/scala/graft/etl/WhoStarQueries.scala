@@ -1,0 +1,226 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DerivedTables, Q}
+
+/** Driver-gated queries over the WHO-star ETL (SURVEY.md §2.1–§2.6, the
+  * reference's actual pipeline: app/etl.py:59-172).
+  *
+  * Until round 6 the WHO-star ops (J1/J2 normalized-key joins, F7 CASE
+  * recode, W1/W2 id/lag windows, F15's real null-fill, A1-on-WHO) were
+  * covered only by ScalaTest over the reference's committed CSVs; these
+  * queries register the same tables in `SparkEntry.queries` so each gets a
+  * direct DuckDB-oracle CORRECTNESS entry — the oracle SQL re-derives every
+  * table from the SAME source CSVs with `read_csv` (explicit column types
+  * mirroring [[Schemas]]).
+  *
+  * Deliberate §1.4 deltas are encoded in the oracle too (they are the
+  * engine's documented semantics, not the reference's bugs):
+  *  - real `COALESCE(New_cases,0)` fill (reference fills a string column —
+  *    a silent no-op, app/etl.py:65);
+  *  - per-element trim of the VACCINES_USED split (app/etl.py:135 misses
+  *    " B" keys; moot on the committed snapshot where the column is empty);
+  *  - `new_reported_shots` cast to BIGINT, not the reference's INT cast
+  *    that would clamp China's 3.5e9 (app/etl.py:143);
+  *  - the lag window orders by the typed DATE (string order in the
+  *    reference, app/etl.py:122).
+  *
+  * Dates/timestamps are serialized with `date_format` (repo-wide gate
+  * convention: the driver's comparator needs representation-stable values
+  * across Spark parquet and DuckDB→pandas).
+  */
+object WhoStarQueries {
+
+  /** The reference's committed source CSVs (read-only). The specs use the
+    * same path (SparkSpec.referenceDataDir).
+    */
+  val dataDir: String = "/root/reference/app/data/data_covid"
+
+  private def star(s: SparkSession): StarSchema = EtlJob.run(s, dataDir)
+
+  // ---- Spark side ---------------------------------------------------------
+
+  /** wst01 — who_region dim: distinct codes + CASE-chain recode (F7, A13;
+    * reference app/etl.py:67-88). Blank region → UNKNOWN; both UNKNOWN and
+    * literal OTHER display as "Other".
+    */
+  def wst01(s: SparkSession, dir: String): DataFrame =
+    star(s).whoRegion.orderBy("who_region_short_code")
+
+  /** wst02 — country dim: distinct (code, name, region) off the prepared
+    * fact (A13, P1; reference app/etl.py:91-95).
+    */
+  def wst02(s: SparkSession, dir: String): DataFrame =
+    star(s).country
+      .orderBy("country_short_code", "country_name", "who_region_short_code")
+
+  /** wst03 — vaccine dim: ids 1..N in name order + sentinel (0,'unknown')
+    * (W1's scale-safe replacement + O6 union; reference app/etl.py:98-107).
+    */
+  def wst03(s: SparkSession, dir: String): DataFrame =
+    star(s).vaccine.orderBy("id")
+
+  /** wst04 — weekly_statistics fact: Monday-week rollup of the null-filled
+    * counts (A1 multi-key groupBy+sum, F1/F2 date_trunc week, F15 real fill;
+    * reference app/etl.py:111-117).
+    */
+  def wst04(s: SparkSession, dir: String): DataFrame =
+    star(s).weeklyStatistics
+      .withColumn("date_of_report", date_format(col("date_of_report"), "yyyy-MM-dd"))
+      .orderBy("country_short_code", "date_of_report")
+
+  /** wst05 — daily_vaccine_statistics: lag-delta shots, split/trim/explode
+    * vaccine lists, normalized-key joins to country + vaccine dims (J1/J2,
+    * W2 lag, F4–F6, F8 when(isNull); reference app/etl.py:122-158).
+    */
+  def wst05(s: SparkSession, dir: String): DataFrame =
+    star(s).dailyVaccineStatistics
+      .withColumn("day_of_report", date_format(col("day_of_report"), "yyyy-MM-dd"))
+      .orderBy("country_short_code", "day_of_report", "vaccine_id", "new_reported_shots")
+
+  /** wst06 — covid_global_yearly_summary serving table: yearly rollup + CFR
+    * ratio-of-sums + Jan-1 timestamp axis (A11, F9/F10 coalesce/nullif,
+    * F11–F13; reference README.md:16-24).
+    */
+  def wst06(s: SparkSession, dir: String): DataFrame = {
+    val covid = EtlJob.prepareCovid(
+      EtlJob.readWhoCovid(s, s"$dataDir/WHO-COVID-19-global-data.csv"))
+    DerivedTables.covidGlobalYearlySummary(covid)
+      .withColumn("Year_ts", date_format(col("Year_ts"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("Year")
+  }
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  private val whoCsv: String =
+    s"""read_csv('$dataDir/WHO-COVID-19-global-data.csv', header=true, columns={
+       |  'Date_reported':'DATE','Country_code':'VARCHAR','Country':'VARCHAR',
+       |  'WHO_region':'VARCHAR','New_cases':'INT','Cumulative_cases':'BIGINT',
+       |  'New_deaths':'INT','Cumulative_deaths':'BIGINT'})""".stripMargin
+
+  private val vaccCsv: String =
+    s"""read_csv('$dataDir/vaccination-data.csv', header=true, columns={
+       |  'COUNTRY':'VARCHAR','ISO3':'VARCHAR','WHO_REGION':'VARCHAR',
+       |  'DATA_SOURCE':'VARCHAR','DATE_UPDATED':'DATE',
+       |  'TOTAL_VACCINATIONS':'DOUBLE','PERSONS_VACCINATED_1PLUS_DOSE':'DOUBLE',
+       |  'TOTAL_VACCINATIONS_PER100':'DOUBLE',
+       |  'PERSONS_VACCINATED_1PLUS_DOSE_PER100':'DOUBLE',
+       |  'PERSONS_LAST_DOSE':'DOUBLE','PERSONS_LAST_DOSE_PER100':'DOUBLE',
+       |  'VACCINES_USED':'VARCHAR','FIRST_VACCINE_DATE':'DATE',
+       |  'NUMBER_VACCINES_TYPES_USED':'INT','PERSONS_BOOSTER_ADD_DOSE':'DOUBLE',
+       |  'PERSONS_BOOSTER_ADD_DOSE_PER100':'DOUBLE'})""".stripMargin
+
+  private val metaCsv: String =
+    s"""read_csv('$dataDir/vaccination-metadata.csv', header=true, columns={
+       |  'ISO3':'VARCHAR','PRODUCT_NAME':'VARCHAR','VACCINE_NAME':'VARCHAR',
+       |  'COMPANY_NAME':'VARCHAR','AUTHORIZATION_DATE':'DATE','START_DATE':'DATE',
+       |  'END_DATE':'DATE','COMMENT':'VARCHAR','DATA_SOURCE':'VARCHAR'})""".stripMargin
+
+  /** Region recode CASE chain, shared by wst01's oracle. */
+  private val regionCase: String =
+    """CASE who_region_short_code
+      |  WHEN 'EMRO' THEN 'Eastern Mediterranean Region'
+      |  WHEN 'EURO' THEN 'European Region'
+      |  WHEN 'AFRO' THEN 'African Region'
+      |  WHEN 'WPRO' THEN 'Western Pacific Region'
+      |  WHEN 'AMRO' THEN 'Region of the Americas'
+      |  WHEN 'SEARO' THEN 'South-East Asia Region'
+      |  ELSE 'Other' END""".stripMargin
+
+  val wst01Oracle: String =
+    s"""SELECT who_region_short_code, $regionCase AS who_region_name
+       |FROM (SELECT DISTINCT COALESCE(WHO_region, 'UNKNOWN') AS who_region_short_code
+       |      FROM $whoCsv)
+       |ORDER BY who_region_short_code""".stripMargin
+
+  val wst02Oracle: String =
+    s"""SELECT DISTINCT Country_code AS country_short_code, Country AS country_name,
+       |  COALESCE(WHO_region, 'UNKNOWN') AS who_region_short_code
+       |FROM $whoCsv
+       |ORDER BY country_short_code, country_name, who_region_short_code""".stripMargin
+
+  val wst03Oracle: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS id, name,
+       |  1 AS treated_disease
+       |FROM (SELECT DISTINCT VACCINE_NAME AS name FROM $metaCsv
+       |      WHERE VACCINE_NAME IS NOT NULL)
+       |UNION ALL SELECT CAST(0 AS INT), 'unknown', 1
+       |ORDER BY id""".stripMargin
+
+  val wst04Oracle: String =
+    s"""SELECT Country_code AS country_short_code,
+       |  CAST(date_trunc('week', Date_reported) AS VARCHAR) AS date_of_report,
+       |  CAST(SUM(COALESCE(New_cases, 0)) AS INT) AS week_new_reported_cases,
+       |  CAST(SUM(COALESCE(New_deaths, 0)) AS INT) AS week_new_reported_deaths,
+       |  1 AS disease_id
+       |FROM $whoCsv
+       |GROUP BY 1, 2
+       |ORDER BY country_short_code, date_of_report""".stripMargin
+
+  val wst05Oracle: String =
+    s"""WITH country AS (
+       |  SELECT DISTINCT Country_code AS country_short_code, Country AS country_name
+       |  FROM $whoCsv
+       |), lagged AS (
+       |  -- lag BEFORE the list explode, matching the engine's window-then-
+       |  -- explode order (one snapshot row per country in the committed data,
+       |  -- so lag is null and the fallback yields TOTAL_VACCINATIONS)
+       |  SELECT lower(trim(COUNTRY)) AS country_name_clean,
+       |    DATE_UPDATED AS day_of_report, VACCINES_USED,
+       |    CAST(trunc(COALESCE(
+       |      TOTAL_VACCINATIONS - lag(TOTAL_VACCINATIONS)
+       |        OVER (PARTITION BY COUNTRY ORDER BY DATE_UPDATED),
+       |      TOTAL_VACCINATIONS)) AS BIGINT) AS new_reported_shots
+       |  FROM $vaccCsv
+       |  WHERE DATE_UPDATED IS NOT NULL
+       |), shots AS (
+       |  SELECT country_name_clean, day_of_report, new_reported_shots,
+       |    unnest(CASE WHEN VACCINES_USED IS NULL OR trim(VACCINES_USED) = ''
+       |           THEN ['unknown']
+       |           ELSE list_transform(string_split(trim(VACCINES_USED), ','),
+       |                               x -> trim(x)) END) AS vaccine
+       |  FROM lagged
+       |), vaccine AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS id, name
+       |  FROM (SELECT DISTINCT VACCINE_NAME AS name FROM $metaCsv
+       |        WHERE VACCINE_NAME IS NOT NULL)
+       |  UNION ALL SELECT CAST(0 AS INT), 'unknown'
+       |)
+       |SELECT cb.country_short_code,
+       |  CAST(s.day_of_report AS VARCHAR) AS day_of_report,
+       |  v.id AS vaccine_id,
+       |  COALESCE(s.new_reported_shots, CAST(0 AS BIGINT)) AS new_reported_shots
+       |FROM shots s
+       |LEFT JOIN (SELECT lower(trim(country_name)) AS country_name_clean,
+       |             country_short_code FROM country) cb
+       |  USING (country_name_clean)
+       |LEFT JOIN vaccine v ON s.vaccine = v.name
+       |WHERE cb.country_short_code IS NOT NULL
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  val wst06Oracle: String =
+    s"""SELECT Year, total_new_cases, total_new_deaths,
+       |  total_cumulative_cases, total_cumulative_deaths,
+       |  (CAST(total_cumulative_deaths AS DOUBLE)
+       |    / NULLIF(total_cumulative_cases, 0)) * 100 AS CFR,
+       |  strftime(CAST(Year || '-01-01' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS Year_ts
+       |FROM (
+       |  SELECT CAST(EXTRACT(YEAR FROM Date_reported) AS INT) AS Year,
+       |    CAST(SUM(COALESCE(New_cases, 0)) AS BIGINT) AS total_new_cases,
+       |    CAST(SUM(COALESCE(New_deaths, 0)) AS BIGINT) AS total_new_deaths,
+       |    CAST(SUM(Cumulative_cases) AS BIGINT) AS total_cumulative_cases,
+       |    CAST(SUM(Cumulative_deaths) AS BIGINT) AS total_cumulative_deaths
+       |  FROM $whoCsv GROUP BY 1)
+       |ORDER BY Year""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("wst01_who_region_dim", wst01, Some(wst01Oracle)),
+    Q("wst02_country_dim", wst02, Some(wst02Oracle)),
+    Q("wst03_vaccine_dim", wst03, Some(wst03Oracle)),
+    Q("wst04_weekly_statistics", wst04, Some(wst04Oracle)),
+    Q("wst05_daily_vaccine_statistics", wst05, Some(wst05Oracle)),
+    Q("wst06_global_yearly_summary", wst06, Some(wst06Oracle)),
+  )
+}

@@ -78,7 +78,20 @@ def main():
             n_fail += 1
             continue
         got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
-        timer = threading.Timer(timeout_s, con.interrupt)
+        # Watchdog: interrupt only while THIS query is still running. A bare
+        # Timer(timeout_s, con.interrupt) can fire in the window between
+        # con.execute() returning and timer.cancel(), interrupting an idle
+        # connection and spuriously cancelling the NEXT query — guard the
+        # interrupt behind a per-query done flag under a lock.
+        done_lock = threading.Lock()
+        done = [False]
+
+        def _interrupt():
+            with done_lock:
+                if not done[0]:
+                    con.interrupt()
+
+        timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
         try:
             want = norm(con.execute(sql).df())
@@ -87,6 +100,8 @@ def main():
             n_fail += 1
             continue
         finally:
+            with done_lock:
+                done[0] = True
             timer.cancel()
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
