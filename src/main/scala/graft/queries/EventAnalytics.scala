@@ -223,14 +223,19 @@ object EventAnalytics {
     * Position arithmetic (`instr`) instead of regex is deliberate: the
     * "no X before Y" class needs lookahead in regex form, which RE2-family
     * engines (and thus the oracle) reject — positions express it exactly
-    * and identically in both engines.
+    * and identically in both engines. Probes search DELIMITED tokens
+    * (`instr('>'||seq||'>', '>'||type||'>')`), not raw substrings, so an
+    * event type that contains another as a substring (e.g. 'signup_failed'
+    * vs 'signup') can never mis-position a first occurrence.
     *
     * Scale shape: one fact-scale exchange (the session groupBy); sequence
-    * strings are session-sized, never corpus-sized; the pattern counts are
-    * conditional aggregates over the session relation that
-    * partial-aggregate map-side. The ordering inside a session is the
-    * deterministic (ts, event_id) total order, built by sort_array over
-    * the collected struct — no window, no second shuffle.
+    * strings are session-sized, never corpus-sized; all three pattern
+    * counts come from a SINGLE aggregate over the session relation
+    * (three count(when(..)) measures unpivoted to rows), so one pass is
+    * guaranteed by construction rather than by hoping ReusedExchange
+    * kicks in for three union branches. The ordering inside a session is
+    * the deterministic (ts, event_id) total order, built by sort_array
+    * over the collected struct — no window, no second shuffle.
     */
   def ep01(s: SparkSession, dir: String): DataFrame =
     sessionPatterns(Tables.events(s, dir))
@@ -246,39 +251,47 @@ object EventAnalytics {
           sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
           e => e.getField("event_type")),
         ">").as("seq"))
-    val pSignup = instr($"seq", "signup")
-    val pPurchase = instr($"seq", "purchase")
-    val pError = instr($"seq", "error")
+    val wrapped = concat(lit(">"), $"seq", lit(">"))
+    def pos(eventType: String) = instr(wrapped, ">" + eventType + ">")
+    val pSignup = pos("signup")
+    val pPurchase = pos("purchase")
+    val pError = pos("error")
     val patterns = Seq(
       ("bounce", instr($"seq", ">") === 0),
       ("clean_purchase", pPurchase > 0 && (pError === 0 || pError > pPurchase)),
       ("signup_then_purchase", pSignup > 0 && pPurchase > pSignup),
     )
-    patterns.map { case (name, cond) =>
-      sessions.agg(count(when(cond, 1)).as("n_sessions"))
-        .select(lit(name).as("pattern"), $"n_sessions")
-    }.reduce(_ unionByName _).orderBy($"pattern")
+    sessions
+      .agg(
+        patterns.head match { case (n, c) => count(when(c, 1)).as(n) },
+        patterns.tail.map { case (n, c) => count(when(c, 1)).as(n) }: _*)
+      .select(explode(array(patterns.map { case (n, _) =>
+        struct(lit(n).as("pattern"), col(n).as("n_sessions"))
+      }: _*)).as("r"))
+      .select($"r.pattern", $"r.n_sessions")
+      .orderBy($"pattern")
   }
 
   val ep01Oracle: String =
     """WITH s AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
       |    string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
-      |  FROM events GROUP BY 1, 2)
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT seq, '>' || seq || '>' AS wseq FROM s)
       |SELECT pattern, n_sessions FROM (
       |  SELECT 'bounce' AS pattern,
-      |    COUNT(CASE WHEN strpos(seq, '>') = 0 THEN 1 END) AS n_sessions FROM s
+      |    COUNT(CASE WHEN strpos(seq, '>') = 0 THEN 1 END) AS n_sessions FROM w
       |  UNION ALL
       |  SELECT 'clean_purchase',
-      |    COUNT(CASE WHEN strpos(seq, 'purchase') > 0
-      |               AND (strpos(seq, 'error') = 0
-      |                    OR strpos(seq, 'error') > strpos(seq, 'purchase'))
-      |          THEN 1 END) FROM s
+      |    COUNT(CASE WHEN strpos(wseq, '>purchase>') > 0
+      |               AND (strpos(wseq, '>error>') = 0
+      |                    OR strpos(wseq, '>error>') > strpos(wseq, '>purchase>'))
+      |          THEN 1 END) FROM w
       |  UNION ALL
       |  SELECT 'signup_then_purchase',
-      |    COUNT(CASE WHEN strpos(seq, 'signup') > 0
-      |               AND strpos(seq, 'purchase') > strpos(seq, 'signup')
-      |          THEN 1 END) FROM s)
+      |    COUNT(CASE WHEN strpos(wseq, '>signup>') > 0
+      |               AND strpos(wseq, '>purchase>') > strpos(wseq, '>signup>')
+      |          THEN 1 END) FROM w)
       |ORDER BY pattern""".stripMargin
 
   def all: Seq[Q] = Seq(

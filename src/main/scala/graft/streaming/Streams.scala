@@ -723,9 +723,13 @@ object Streams {
     * The gate makes the multi-batch state path real and DETERMINISTIC:
     * batch 1 is the full events table, batch 2 is nothing but REPLAYS
     * (copies of events from the stream's final watermark horizon,
-    * ts ≥ max(ts) − 7d, so their keys are provably still in state
-    * whichever order the two files arrive — and since replays are
-    * byte-identical rows, the emitted set is the same either way). Output
+    * ts ≥ max(ts) − 7d, so their keys are provably still in state when
+    * the replays arrive). ORDER IS LOAD-BEARING: FileStreamSource picks
+    * files oldest-mtime-first, and if the replay file formed batch 1 the
+    * watermark would advance to max(ts)−7d and batch 2's older full-table
+    * rows would be dropped as LATE data — so the mtimes are set
+    * explicitly (full ≪ replays) rather than trusting write order, and a
+    * require() pins batch 1 to exactly the full-table row count. Output
     * = exactly one copy of every event, which is what the batch oracle
     * states; any replay leaking through would double a row and break the
     * hash.
@@ -739,17 +743,22 @@ object Streams {
       .createTempDirectory("st11_replay_").toString
     val horizon = ev.agg(max($"ts").as("mx"))
       .select(($"mx" - expr("INTERVAL 7 DAYS")).as("lo")) // 1-row bound
-    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+        mtimeMs: Long): Unit = {
       val tmp = s"$chunkDir/_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$chunkDir/$name.parquet"))
+      val dest = java.nio.file.Paths.get(s"$chunkDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // FileStreamSource orders by mtime: make "full before replays"
+      // explicit instead of an accident of sequential write timing
+      dest.toFile.setLastModified(mtimeMs)
     }
-    writeOne(ev, "0_full")
+    val t0 = System.currentTimeMillis()
+    writeOne(ev, "0_full", t0 - 120000L)
     writeOne(ev.crossJoin(broadcast(horizon)).filter($"ts" >= $"lo")
-      .drop("lo"), "1_replays")
+      .drop("lo"), "1_replays", t0)
     val src = ss.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType),
@@ -764,14 +773,31 @@ object Streams {
       .withWatermark("ts", "7 days")
       .dropDuplicatesWithinWatermark("event_id")
     val sink = s"st11_dedup_ttl_${sinkCounter.incrementAndGet()}"
-    locally {
+    val fullCount = ev.count()
+    try {
       val q = deduped.writeStream
         .outputMode(OutputMode.Append())
         .format("memory")
         .queryName(sink)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        // the ordering invariant, asserted: batch 1 must be the whole
+        // full table — a replay-first ordering would make it smaller and
+        // silently drop the older full rows as late data
+        val firstBatch = q.recentProgress.toSeq
+          .sortBy(_.batchId).find(_.numInputRows > 0)
+        require(firstBatch.exists(_.numInputRows == fullCount),
+          s"st11 ordering contract violated: first data batch had " +
+            s"${firstBatch.map(_.numInputRows)} rows, expected $fullCount " +
+            "(the full table must form batch 1, replays batch 2)")
+      } finally q.stop()
+    } finally {
+      // don't leak a full events copy per run/bench rep
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(chunkDir))
     }
     val out = ss.table(sink)
       .select($"event_id", $"user_id", $"event_type", $"value",
