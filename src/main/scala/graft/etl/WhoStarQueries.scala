@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DerivedTables, Q}
+import graft.queries.{DerivedTables, Q, ServingQueries}
 
 /** Driver-gated queries over the WHO-star ETL (SURVEY.md §2.1–§2.6, the
   * reference's actual pipeline: app/etl.py:59-172).
@@ -91,6 +91,18 @@ object WhoStarQueries {
       .withColumn("Year_ts", date_format(col("Year_ts"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("Year")
   }
+
+  /** wst07 — the weekly serving join (reference app/routes/data.py:124-146):
+    * fact ⋈ broadcast country dim ⋈ weekly-vaccinations CTE on COMPUTED
+    * year+ISO-week keys (J4/J3, F3 ISO-week parity, A4 computed groupBy) —
+    * deliberately NOT the ETL's date_trunc week, so ISO week 1 can land in
+    * the prior calendar year (SURVEY.md §2.8), reproduced in both engines.
+    */
+  def wst07(s: SparkSession, dir: String): DataFrame =
+    ServingQueries.weeklyJoined(star(s))
+      .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+      .orderBy("country_short_code", "date", "country",
+        "confirmed_cases", "deaths", "vaccinations")
 
   // ---- DuckDB oracle ------------------------------------------------------
 
@@ -215,6 +227,59 @@ object WhoStarQueries {
        |  FROM $whoCsv GROUP BY 1)
        |ORDER BY Year""".stripMargin
 
+  val wst07Oracle: String =
+    s"""WITH covid AS (SELECT * FROM $whoCsv),
+       |ws AS (
+       |  SELECT Country_code AS country_short_code,
+       |    date_trunc('week', Date_reported) AS date_of_report,
+       |    CAST(SUM(COALESCE(New_cases, 0)) AS INT) AS confirmed_cases,
+       |    CAST(SUM(COALESCE(New_deaths, 0)) AS INT) AS deaths
+       |  FROM covid GROUP BY 1, 2),
+       |country AS (
+       |  SELECT DISTINCT Country_code AS country_short_code, Country AS country_name,
+       |    COALESCE(WHO_region, 'UNKNOWN') AS who_region_short_code
+       |  FROM covid),
+       |lagged AS (
+       |  SELECT lower(trim(COUNTRY)) AS country_name_clean,
+       |    DATE_UPDATED AS day_of_report, VACCINES_USED,
+       |    CAST(trunc(COALESCE(
+       |      TOTAL_VACCINATIONS - lag(TOTAL_VACCINATIONS)
+       |        OVER (PARTITION BY COUNTRY ORDER BY DATE_UPDATED),
+       |      TOTAL_VACCINATIONS)) AS BIGINT) AS new_reported_shots
+       |  FROM $vaccCsv
+       |  WHERE DATE_UPDATED IS NOT NULL),
+       |shots AS (
+       |  SELECT country_name_clean, day_of_report, new_reported_shots,
+       |    unnest(CASE WHEN VACCINES_USED IS NULL OR trim(VACCINES_USED) = ''
+       |           THEN ['unknown']
+       |           ELSE list_transform(string_split(trim(VACCINES_USED), ','),
+       |                               x -> trim(x)) END) AS vaccine
+       |  FROM lagged),
+       |dvs AS (
+       |  SELECT cb.country_short_code, s.day_of_report,
+       |    COALESCE(s.new_reported_shots, CAST(0 AS BIGINT)) AS new_reported_shots
+       |  FROM shots s
+       |  LEFT JOIN (SELECT lower(trim(country_name)) AS country_name_clean,
+       |               country_short_code FROM country) cb
+       |    USING (country_name_clean)
+       |  WHERE cb.country_short_code IS NOT NULL),
+       |wv AS (
+       |  SELECT country_short_code,
+       |    CAST(EXTRACT(YEAR FROM day_of_report) AS INT) AS yr,
+       |    CAST(EXTRACT(WEEK FROM day_of_report) AS INT) AS wk,
+       |    CAST(SUM(new_reported_shots) AS BIGINT) AS vaccinations
+       |  FROM dvs GROUP BY 1, 2, 3)
+       |SELECT CAST(ws.date_of_report AS VARCHAR) AS date,
+       |  c.country_name AS country, ws.confirmed_cases, ws.deaths,
+       |  wv.vaccinations, ws.country_short_code
+       |FROM ws
+       |LEFT JOIN country c USING (country_short_code)
+       |LEFT JOIN wv ON wv.country_short_code = ws.country_short_code
+       |  AND wv.yr = EXTRACT(YEAR FROM ws.date_of_report)
+       |  AND wv.wk = EXTRACT(WEEK FROM ws.date_of_report)
+       |ORDER BY ws.country_short_code, date, country, confirmed_cases,
+       |  deaths, vaccinations""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("wst01_who_region_dim", wst01, Some(wst01Oracle)),
     Q("wst02_country_dim", wst02, Some(wst02Oracle)),
@@ -222,5 +287,6 @@ object WhoStarQueries {
     Q("wst04_weekly_statistics", wst04, Some(wst04Oracle)),
     Q("wst05_daily_vaccine_statistics", wst05, Some(wst05Oracle)),
     Q("wst06_global_yearly_summary", wst06, Some(wst06Oracle)),
+    Q("wst07_weekly_joined", wst07, Some(wst07Oracle)),
   )
 }

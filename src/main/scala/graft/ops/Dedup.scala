@@ -669,7 +669,10 @@ object Dedup {
     * Σ df² of a full index self-join — and never n². On top of the
     * prefix, the PPJoin+ POSITIONAL filter ([[containmentCandidates]])
     * bounds each candidate's best-case overlap from its first match's
-    * positions and drops provably-failing pairs before verification.
+    * positions, the LENGTH filter drops sz_b·5 < sz_a·4 pairs before the
+    * pair shuffle, and the SUFFIX bound (exact prefix-match count m +
+    * remaining-suffix overlap cap) prunes the rest — all three drop only
+    * provably-failing pairs before verification.
     * The verify stage is
     * one exact set intersection per candidate, compared as
     * 5·|A∩B| ≥ 4·|A| in integers. The oracle is the EXACT all-pairs
@@ -724,16 +727,37 @@ object Dedup {
       .select(col("a"), col("sz_a"), (col("i0") + 1).as("i"),
         col("p.shingle").as("shingle"))
     prefix.join(idx, Seq("shingle"))
-      .filter(col("a") =!= col("b"))
+      // LENGTH filter (lossless, pre-shuffle): containment needs
+      // |A∩B| ≥ 0.8·|A| and |A∩B| ≤ |B|, so sz_b·5 < sz_a·4 fails
+      // provably. sz_a/sz_b are constant per (a,b), so this drops WHOLE
+      // pairs and cannot distort the per-pair match count m below.
+      .filter(col("a") =!= col("b") && col("sz_b") * 5 >= col("sz_a") * 4)
       .groupBy(col("a"), col("b"))
       .agg(
         max(col("sz_a")).as("sza"),
+        max(col("sz_b")).as("szb"),
+        // m = |A_prefix ∩ B| EXACTLY (prefix and index each hold a shingle
+        // once), and the last prefix match's B-position bounds where any
+        // common suffix token can live: common tokens share their relative
+        // order, so a common token after A's prefix sits after j_last in B.
+        count(lit(1)).as("m"),
+        max(col("j")).as("j_last"),
         // lexicographic min = the first match (common tokens share their
         // relative order, so min i and min j coincide)
-        min(struct(col("i"), col("j"), col("sz_b"))).as("f"))
+        min(struct(col("i"), col("j"))).as("f"))
+      // PPJoin+ positional bound from the first match: overlap ≤
+      // 1 + min(|A|−i, |B|−j)
       .filter(
-        (lit(1) + least(col("sza") - col("f.i"), col("f.sz_b") - col("f.j"))) * 5
+        (lit(1) + least(col("sza") - col("f.i"), col("szb") - col("f.j"))) * 5
           >= col("sza") * 4)
+      // SUFFIX bound from the whole prefix: overlap = m + |common in A's
+      // suffix| ≤ m + min(|A|−k, |B|−j_last), with k = prefix length =
+      // sz − ⌈0.8·sz⌉ + 1, i.e. |A|−k = ⌈0.8·sza⌉ − 1. Upper bound ⇒
+      // pruning only provably-failing pairs; the exact all-pairs oracle
+      // hash-checks that nothing was lost.
+      .filter(
+        (col("m") + least(expr("(4 * sza + 4) DIV 5") - 1,
+          col("szb") - col("j_last"))) * 5 >= col("sza") * 4)
       .select(col("a"), col("b"))
   }
 

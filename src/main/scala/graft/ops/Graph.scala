@@ -92,21 +92,61 @@ object Graph {
     val n = deg.count()
     val init = Scale / n
     val teleport = init * 3 / 20 // (1 − d)·init with d = 17/20, floored
-    var scores = deg.select($"src".as("node"), lit(init).as("score"))
-      .localCheckpoint()
-    for (i <- 1 to iters) {
-      scores = edges.join(scores, edges("src") === scores("node"))
+    def step(cur: DataFrame): DataFrame =
+      edges.join(cur, edges("src") === cur("node"))
         .select($"dst", expr("(score * 17) div (20 * deg)").as("contrib"))
         .groupBy($"dst")
         .agg((lit(teleport) + sum($"contrib")).as("score"))
         .select($"dst".as("node"), $"score")
+    var scores = deg.select($"src".as("node"), lit(init).as("score"))
+      .localCheckpoint()
+    // checkpoint from three rounds earlier, for the fixed-point probe below
+    var prevCp = scores
+    var executed = 0
+    var i = 1
+    var done = false
+    while (i <= iters && !done) {
+      val next = step(scores)
+      executed += 1
       // lineage cut every third round: a depth-3 plan re-optimizes fine,
       // and each localCheckpoint is a whole extra job — at ten iterations
       // the checkpoint jobs dominated the loop's wall-clock
-      if (i % 3 == 0 || i == iters) scores = scores.localCheckpoint()
+      if (i % 3 == 0 || i == iters) {
+        scores = next.localCheckpoint()
+        // Fixed-point early exit (kc01's posture): scores are exact
+        // BIGINTs and the round function is deterministic, so
+        // checkpoint_i == checkpoint_{i-3} bit-for-bit proves the score
+        // sequence is periodic (period dividing 3) from round i-3 on —
+        // every later round only walks that cycle, so round `iters`
+        // equals round i + ((iters − i) mod 3): run exactly those and
+        // stop, output identical to the full fixed count the oracle
+        // unrolls (a true fixpoint is the period-1 case). Probing only
+        // materialized checkpoints costs node-cardinality joins and zero
+        // edge-join recomputation.
+        if (i < iters) {
+          val same = scores
+            .join(prevCp.select($"node", $"score".as("prev_score")), Seq("node"))
+            .filter($"score" =!= $"prev_score")
+            .isEmpty
+          if (same) {
+            for (_ <- 1 to ((iters - i) % 3)) { scores = step(scores); executed += 1 }
+            scores = scores.localCheckpoint()
+            done = true
+          }
+        }
+        prevCp = scores
+      } else scores = next
+      i += 1
     }
+    Graph.lastExecutedRounds = executed
     scores
   }
+
+  /** Diagnostic only (read by the fast-convergence spec): how many rounds
+    * the last [[pageRankLoop]] actually executed after the fixed-point
+    * early exit. Not part of any query's semantics.
+    */
+  @volatile private[ops] var lastExecutedRounds: Int = -1
 
   def pr01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

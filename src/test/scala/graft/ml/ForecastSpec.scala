@@ -70,6 +70,37 @@ class ForecastSpec extends AnyFunSuite with SparkSpec {
     assert(metrics("rmse") > 0)
   }
 
+  test("forecast quality pin: per-country MAE on the WHO fixture stays bounded") {
+    // The one observable delta vs the reference is the model family (MLlib
+    // RF + rollout vs LSTM, SURVEY §7 hard-part 3); this pins the fit
+    // quality on the committed WHO fixture (the reference's own spot-check
+    // surface, predict_france_with_model.py:108-110) so a feature-prep or
+    // training change can't silently regress forecast quality. Bounds are
+    // the recorded deterministic MAEs (seed 42) × 1.25 headroom.
+    import org.apache.spark.sql.functions.{abs => fabs, avg => favg}
+    val star = graft.etl.EtlJob.run(spark, referenceDataDir)
+    val series = star.weeklyStatistics.select(
+      $"country_short_code".as("country"),
+      $"date_of_report".as("week"),
+      $"week_new_reported_cases".cast("double").as("cases"))
+    val lagged = Forecast.lagFeatures(series, "country", "week", "cases")
+    val (model, ready) = Forecast.train(lagged, "cases")
+    // recorded round 7: FR 110571.0, IT 75217.1, DE 98082.1, ES 49585.6,
+    // GB 56594.2 (deterministic at seed 42 on the committed fixture)
+    val bounds = Map(
+      "FR" -> 138000.0, "IT" -> 94000.0, "DE" -> 123000.0,
+      "ES" -> 62000.0, "GB" -> 71000.0)
+    val maes = model.transform(ready)
+      .filter($"country".isin(bounds.keys.toSeq: _*))
+      .select($"country", fabs($"prediction" - $"label").as("ae"))
+      .groupBy($"country").agg(favg($"ae").as("mae"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    bounds.foreach { case (c, b) =>
+      info(f"$c mae = ${maes(c)}%.1f (bound $b%.1f)")
+      assert(maes(c) <= b, s"$c MAE ${maes(c)} exceeded pinned bound $b")
+    }
+  }
+
   test("RF forecast fits the series and rolls out finite predictions") {
     val (preds, metrics) = Forecast.forecastSeries(
       series, "country", "week", "cases", key = "A", steps = 6)

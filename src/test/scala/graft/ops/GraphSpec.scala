@@ -49,6 +49,20 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(ref(3L) > ref(4L))
   }
 
+  test("fixed-point early exit: a regular graph converges, skips rounds, same scores") {
+    // 4-cycle (2-regular): uniform init IS the fixed point —
+    // contrib = (25e10·17)//40 = 106250000000, ×2 + teleport 37500000000
+    // = 25e10 = init. The boundary probe at i=3 sees checkpoint_3 ==
+    // checkpoint_0, exits, and runs (10−3) mod 3 = 1 more round → 4
+    // executed rounds, output identical to the full 10 the oracle unrolls.
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L),
+      (2L, 3L), (3L, 2L), (3L, 0L), (0L, 3L))
+    val s = scoresOf(edges, Graph.Iters)
+    assert(s == (0L to 3L).map(_ -> 250000000000L).toMap)
+    assert(Graph.lastExecutedRounds == 4,
+      s"expected early exit after 4 rounds, executed ${Graph.lastExecutedRounds}")
+  }
+
   test("total mass stays within (0.5, 1.0] of Scale") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
     val total = scoresOf(edges, Graph.Iters).values.sum
