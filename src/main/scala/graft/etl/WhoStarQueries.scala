@@ -92,6 +92,19 @@ object WhoStarQueries {
       .orderBy("Year")
   }
 
+  /** wst08 — region_yearly_summary serving table (reference:
+    * app/sql/region_yearly_summary.sql + README.md:27-33): region-yearly
+    * rollup of the prepared fact with the Jan-1 timestamp axis (A5/A11,
+    * F11, the Grafana region panels' source).
+    */
+  def wst08(s: SparkSession, dir: String): DataFrame = {
+    val covid = EtlJob.prepareCovid(
+      EtlJob.readWhoCovid(s, s"$dataDir/WHO-COVID-19-global-data.csv"))
+    DerivedTables.covidRegionYearlySummary(covid)
+      .withColumn("Year_ts", date_format(col("Year_ts"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("WHO_region", "Year")
+  }
+
   /** wst07 — the weekly serving join (reference app/routes/data.py:124-146):
     * fact ⋈ broadcast country dim ⋈ weekly-vaccinations CTE on COMPUTED
     * year+ISO-week keys (J4/J3, F3 ISO-week parity, A4 computed groupBy) —
@@ -227,6 +240,17 @@ object WhoStarQueries {
        |  FROM $whoCsv GROUP BY 1)
        |ORDER BY Year""".stripMargin
 
+  val wst08Oracle: String =
+    s"""SELECT COALESCE(WHO_region, 'UNKNOWN') AS WHO_region,
+       |  CAST(EXTRACT(YEAR FROM Date_reported) AS INT) AS Year,
+       |  CAST(SUM(COALESCE(New_cases, 0)) AS BIGINT) AS total_new_cases,
+       |  CAST(SUM(COALESCE(New_deaths, 0)) AS BIGINT) AS total_new_deaths,
+       |  strftime(CAST(CAST(EXTRACT(YEAR FROM Date_reported) AS INT) || '-01-01' AS TIMESTAMP),
+       |           '%Y-%m-%d %H:%M:%S') AS Year_ts
+       |FROM $whoCsv
+       |GROUP BY 1, 2
+       |ORDER BY WHO_region, Year""".stripMargin
+
   val wst07Oracle: String =
     s"""WITH covid AS (SELECT * FROM $whoCsv),
        |ws AS (
@@ -288,5 +312,6 @@ object WhoStarQueries {
     Q("wst05_daily_vaccine_statistics", wst05, Some(wst05Oracle)),
     Q("wst06_global_yearly_summary", wst06, Some(wst06Oracle)),
     Q("wst07_weekly_joined", wst07, Some(wst07Oracle)),
+    Q("wst08_region_yearly_summary", wst08, Some(wst08Oracle)),
   )
 }
