@@ -42,18 +42,30 @@ object Bench {
       // is the real bound in a bad window. Partial warmth still helps, the
       // cost sits outside every timed region, and the 3-rep lower-median
       // discards whatever rep 1 still has to fault.
-      val defaultMb = (Runtime.getRuntime.maxMemory() / (1 << 20) * 85 / 100).toInt
-      val mb = sys.env.get("SPARK_GRAFT_PRETOUCH_MB").map(_.toInt).getOrElse(defaultMb)
-      val boxSec = sys.env.getOrElse("SPARK_GRAFT_PRETOUCH_BOX_SEC", "240").toInt
+      // target 80% (not 85): near the ceiling G1 must find CONTIGUOUS free
+      // regions for each 64 MB humongous array with nothing reclaimable —
+      // fragmentation (or maxMemory over-report) can OOM the bench before
+      // any query runs. The catch below degrades to partial pre-touch
+      // instead of dying, and the env knobs parse defensively.
+      val defaultMb = (Runtime.getRuntime.maxMemory() / (1 << 20) * 80 / 100).toInt
+      val mb = sys.env.get("SPARK_GRAFT_PRETOUCH_MB")
+        .flatMap(_.toIntOption).getOrElse(defaultMb)
+      val boxSec = sys.env.get("SPARK_GRAFT_PRETOUCH_BOX_SEC")
+        .flatMap(_.toIntOption).getOrElse(240)
       val t0 = System.nanoTime()
       var touched = 0
       val hold = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      while (touched < mb && (System.nanoTime() - t0) / 1e9 < boxSec) {
-        val a = new Array[Byte](64 << 20)
-        var off = 0
-        while (off < a.length) { a(off) = 1; off += 4096 }
-        hold += a
-        touched += 64
+      try {
+        while (touched < mb && (System.nanoTime() - t0) / 1e9 < boxSec) {
+          val a = new Array[Byte](64 << 20)
+          var off = 0
+          while (off < a.length) { a(off) = 1; off += 4096 }
+          hold += a
+          touched += 64
+        }
+      } catch {
+        case _: OutOfMemoryError =>
+          System.err.println(s"[bench] pre-touch OOM at $touched MB; continuing partial")
       }
       hold.clear()
       System.err.println(
@@ -164,8 +176,26 @@ object Bench {
         .drainListenerBus(spark.sparkContext)
       cpuListener.totalNanos
     }
+    // whole-process user/sys CPU from /proc/self/stat (utime/stime, fields
+    // 14/15): executorCpuTime can't distinguish "plan did more work" from
+    // "host faulted anonymous memory under us" (sys time counts toward
+    // thread CPU) — the round-7 forensics on s08/sp01 took a manual git
+    // diff to dismiss. With per-query stime in the artifact, a
+    // memory-pathology window is machine-separable from a real regression.
+    def procUserSys(): (Double, Double) =
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        // comm (field 2) may contain spaces — fields restart after last ')'
+        val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+        val hz = 100.0 // USER_HZ: 100 on every mainstream Linux
+        (rest(11).toDouble / hz, rest(12).toDouble / hz)
+      } catch { case _: Throwable => (-1.0, -1.0) }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val cpus_ = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val usrs = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val syss = scala.collection.mutable.Map.empty[String, Vector[Double]]
     var rep = 1
     var outOfBudget = false
     while (rep <= reps && !outOfBudget) {
@@ -180,9 +210,12 @@ object Bench {
           if (rep == 1) {
             times(name) = times.getOrElse(name, Vector.empty) :+ -1.0
             cpus_(name) = cpus_.getOrElse(name, Vector.empty) :+ -1.0
+            usrs(name) = usrs.getOrElse(name, Vector.empty) :+ -1.0
+            syss(name) = syss.getOrElse(name, Vector.empty) :+ -1.0
           }
         } else if (rep == 1 || elapsedSec < budgetSec) {
           val c0 = cpuNow()
+          val (u0, s0) = procUserSys()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -194,8 +227,13 @@ object Bench {
           // a failed rep records -1, never a plausible-looking duration
           val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
           val c = if (ok) (cpuNow() - c0) / 1e9 else -1.0
+          val (u1, s1) = if (ok) procUserSys() else (-1.0, -1.0)
           times(name) = times.getOrElse(name, Vector.empty) :+ t
           cpus_(name) = cpus_.getOrElse(name, Vector.empty) :+ c
+          usrs(name) = usrs.getOrElse(name, Vector.empty) :+
+            (if (ok && u0 >= 0 && u1 >= 0) u1 - u0 else -1.0)
+          syss(name) = syss.getOrElse(name, Vector.empty) :+
+            (if (ok && s0 >= 0 && s1 >= 0) s1 - s0 else -1.0)
           // outside the timed window: this query's Eager.cached relations
           // must not ride into (or slow down) the next query's heap
           spark.catalog.clearCache()
@@ -213,21 +251,28 @@ object Bench {
     // (host disk dip) masquerades as the query's time. Odd rep counts are
     // unaffected; reps=2 degrades to min — the standard noisy-box posture.
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    def medOf(m: scala.collection.Map[String, Vector[Double]], name: String): Double = {
+      val ok = m.getOrElse(name, Vector.empty).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else median(ok)
+    }
+    case class R(name: String, wall: Double, spread: Double,
+        cpu: Double, usr: Double, sysT: Double)
     val results = names.map { case (name, _) =>
       val ok = times(name).filter(_ >= 0)
-      val okCpu = cpus_(name).filter(_ >= 0)
-      if (ok.isEmpty) (name, -1.0, -1.0, -1.0)
-      else (name, median(ok), ok.max - ok.min,
-        if (okCpu.isEmpty) -1.0 else median(okCpu))
+      if (ok.isEmpty) R(name, -1.0, -1.0, -1.0, -1.0, -1.0)
+      else R(name, median(ok), ok.max - ok.min,
+        medOf(cpus_, name), medOf(usrs, name), medOf(syss, name))
     }
-    def jmap(f: ((String, Double, Double, Double)) => Double): String =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val spreads = jmap(_._3)
-    val cpuMap = jmap(_._4)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def jmap(f: R => Double): String =
+      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_.wall)
+    val spreads = jmap(_.spread)
+    val cpuMap = jmap(_.cpu)
+    val usrMap = jmap(_.usr)
+    val sysMap = jmap(_.sysT)
+    val total = results.map(_.wall).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spreads,"cpu":$cpuMap}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
     // Artifact durability (two rounds of perf evidence were lost to stdout
     // interleaving / DNF): write the full JSON to a well-known file FIRST,
     // then print a marker-prefixed copy (grep-recoverable even if the tail
@@ -247,8 +292,17 @@ object Bench {
     // second capture channel.
     println(json)
     println(s"GRAFT_BENCH_JSON $json")
+    // Compact secondary marker as the ABSOLUTE LAST line (< 500 bytes):
+    // the full marker is ~8-12 KB and the driver's tail window keeps only
+    // ~2 KB, which lost the line's head three rounds running (parsed:null).
+    // Totals + pointer to the full artifact survive any 2 KB tail.
+    val failed = results.count(_.wall < 0)
+    val summary =
+      f"""GRAFT_BENCH_SUMMARY {"n":${results.size},"failed":$failed,"total_s":$total%.1f,"sf":"$sfDir","reps":$reps,"file":"$outFile"}"""
+    println(summary)
     Console.out.flush()
     System.err.println(s"GRAFT_BENCH_JSON $json")
+    System.err.println(summary)
     System.err.flush()
     spark.stop()
   }

@@ -161,8 +161,13 @@ object EtlJob {
       val w = Window.partitionBy($"COUNTRY").orderBy($"DATE_UPDATED")
       // delta-from-previous-snapshot; first row per country falls back to the
       // running total (reference: app/etl.py:122-131 — and with the committed
-      // one-row-per-country data, every row IS the first row)
+      // one-row-per-country data, every row IS the first row).
+      // Null-dated snapshots are dropped BEFORE the window (matching the
+      // oracle's lagged CTE): lag ordered by a null date is ill-defined, and
+      // filtering after the window would let a null-dated row shift the lag
+      // inputs of its country's real rows
       val withShots = vaccinationData
+        .filter($"DATE_UPDATED".isNotNull)
         .withColumn("prev_vaccines", lag($"TOTAL_VACCINATIONS", 1).over(w))
         .withColumn("new_reported_shots",
           when(($"TOTAL_VACCINATIONS" - $"prev_vaccines").isNull, $"TOTAL_VACCINATIONS")
@@ -184,7 +189,6 @@ object EtlJob {
           // delta documented here)
           $"new_reported_shots".cast("long").as("new_reported_shots"),
         )
-        .filter($"day_of_report".isNotNull)
       val countryByName = country
         .select(lower(trim($"country_name")).as("country_name_clean"), $"country_short_code")
       withVaccines

@@ -1,0 +1,294 @@
+package graft.ml
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pure-JVM inference for the reference's committed PyTorch LSTM
+  * (`modele_lstm_owid.pth`, architecture at
+  * app/routes/predict_france_with_model.py:38-50: 2-layer LSTM, hidden 128,
+  * input 3 features + 215 one-hot country ids, Linear 128→1), closing the
+  * last observable model-family delta of the `/api/predict_cases` endpoint
+  * (SURVEY.md §2.9): the weights the reference serves are now loadable and
+  * runnable here with no Python/torch dependency.
+  *
+  * Loader notes (all public formats):
+  *  - A PyTorch zip checkpoint stores one raw little-endian float32 buffer
+  *    per tensor (`data/0..9`) plus a pickled key→storage map (`data.pkl`).
+  *    The state-dict key order and storage ids were verified against the
+  *    committed file; the loader re-checks both (key strings must appear in
+  *    canonical nn.LSTM order, buffer lengths must match the declared
+  *    architecture) and refuses anything else.
+  *  - The sklearn LabelEncoder (`label_encoder.pkl`) stores `classes_` as a
+  *    pickled list of strings between an EMPTY_LIST/MARK and APPENDS opcode
+  *    pair; [[loadClasses]] is a 20-line reader of exactly that framing.
+  *
+  * Math notes: gate layout and update rule follow the nn.LSTM contract
+  * (gates i,f,g,o stacked in that row order; c' = f⊙c + i⊙g,
+  * h' = o⊙tanh c'). Arithmetic is Float (the checkpoint is float32 and the
+  * reference feeds float32 tensors); bit-exact parity with a specific BLAS's
+  * fused-multiply-add order is not claimed, agreement is to float32
+  * round-off.
+  *
+  * Scale: inference is a per-request scalar loop over one 50-row window —
+  * the same driver-side shape as the reference's endpoint (and Forecast's RF
+  * rollout). Nothing here touches an unbounded relation; the Spark side only
+  * prepares the bounded per-country feature tail.
+  */
+object Lstm {
+
+  val ModelPath = "/root/reference/modele_lstm_owid.pth"
+  val EncoderPath = "/root/reference/label_encoder.pkl"
+
+  /** Reference window length (predict_france_with_model.py:21). */
+  val Lookback = 50
+  val Hidden = 128
+  val NumFeatures = 3
+
+  /** One LSTM layer's parameters; `wIh` is (4·hidden × inputSize) row-major
+    * with gate rows stacked [i, f, g, o] (the nn.LSTM layout).
+    */
+  final case class Layer(
+      inputSize: Int,
+      hiddenSize: Int,
+      wIh: Array[Float],
+      wHh: Array[Float],
+      bIh: Array[Float],
+      bHh: Array[Float]) {
+    require(wIh.length == 4 * hiddenSize * inputSize, s"wIh ${wIh.length}")
+    require(wHh.length == 4 * hiddenSize * hiddenSize, s"wHh ${wHh.length}")
+    require(bIh.length == 4 * hiddenSize && bHh.length == 4 * hiddenSize)
+
+    /** Full output sequence (h_t per step) — stacked layers consume every
+      * step of the layer below, not just the last.
+      */
+    def runSeq(xs: Array[Array[Float]]): Array[Array[Float]] = {
+      val h = new Array[Float](hiddenSize)
+      val c = new Array[Float](hiddenSize)
+      val gates = new Array[Float](4 * hiddenSize)
+      val out = new Array[Array[Float]](xs.length)
+      var t = 0
+      while (t < xs.length) {
+        val x = xs(t)
+        var r = 0
+        while (r < 4 * hiddenSize) {
+          var acc: Float = bIh(r) + bHh(r)
+          val wiOff = r * inputSize
+          var j = 0
+          while (j < inputSize) { acc += wIh(wiOff + j) * x(j); j += 1 }
+          val whOff = r * hiddenSize
+          j = 0
+          while (j < hiddenSize) { acc += wHh(whOff + j) * h(j); j += 1 }
+          gates(r) = acc
+          r += 1
+        }
+        var k = 0
+        while (k < hiddenSize) {
+          val ig = sigmoid(gates(k))
+          val fg = sigmoid(gates(hiddenSize + k))
+          val gg = tanhF(gates(2 * hiddenSize + k))
+          val og = sigmoid(gates(3 * hiddenSize + k))
+          val cNew = fg * c(k) + ig * gg
+          c(k) = cNew
+          h(k) = og * tanhF(cNew)
+          k += 1
+        }
+        out(t) = h.clone()
+        t += 1
+      }
+      out
+    }
+  }
+
+  final case class Network(layers: Array[Layer], fcW: Array[Float], fcB: Float) {
+    val inputSize: Int = layers.head.inputSize
+
+    /** The reference forward: feed the sequence through the stack, take the
+      * top layer's LAST hidden state, apply the linear head (`fc(hn[-1])`).
+      */
+    def forward(xs: Array[Array[Float]]): Float = {
+      var seq = xs
+      for (l <- layers) seq = l.runSeq(seq)
+      val hLast = seq.last
+      var acc: Float = fcB
+      var j = 0
+      while (j < hLast.length) { acc += fcW(j) * hLast(j); j += 1 }
+      acc
+    }
+  }
+
+  private def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x.toDouble))).toFloat
+  private def tanhF(x: Float): Float = math.tanh(x.toDouble).toFloat
+
+  // ---- checkpoint loader --------------------------------------------------
+
+  private val StateDictKeys = Seq(
+    "lstm.weight_ih_l0", "lstm.weight_hh_l0", "lstm.bias_ih_l0", "lstm.bias_hh_l0",
+    "lstm.weight_ih_l1", "lstm.weight_hh_l1", "lstm.bias_ih_l1", "lstm.bias_hh_l1",
+    "fc.weight", "fc.bias")
+
+  /** Load a 2-layer LSTM+Linear state dict from a PyTorch zip checkpoint. */
+  def loadPth(path: String, hidden: Int = Hidden): Network = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      val byName = zf.entries().asScala.map(e => e.getName -> e).toMap
+      val prefix = byName.keys.find(_.endsWith("/data.pkl"))
+        .map(_.stripSuffix("data.pkl"))
+        .getOrElse(throw new IllegalArgumentException(s"$path: no data.pkl"))
+      def bytes(name: String): Array[Byte] = {
+        val in = zf.getInputStream(byName(prefix + name))
+        try in.readAllBytes() finally in.close()
+      }
+      val byteorder = new String(bytes("byteorder"), StandardCharsets.UTF_8).trim
+      require(byteorder == "little", s"$path: unsupported byteorder '$byteorder'")
+      // the pickle must bind the canonical keys in order to storages 0..9 —
+      // ascending first-occurrence positions of the key strings prove the
+      // binding order without a full unpickler (each key appears exactly
+      // once, immediately before its storage id)
+      val pkl = new String(bytes("data.pkl"), StandardCharsets.ISO_8859_1)
+      val pos = StateDictKeys.map { k =>
+        val i = pkl.indexOf(k)
+        require(i >= 0, s"$path: state-dict key $k missing"); i
+      }
+      require(pos == pos.sorted, s"$path: state-dict keys out of canonical order")
+      def floats(i: Int): Array[Float] = {
+        val fb = ByteBuffer.wrap(bytes(s"data/$i"))
+          .order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+        val a = new Array[Float](fb.remaining()); fb.get(a); a
+      }
+      val w0 = floats(0)
+      require(w0.length % (4 * hidden) == 0, s"$path: weight_ih_l0 size ${w0.length}")
+      val inputSize = w0.length / (4 * hidden)
+      val l0 = Layer(inputSize, hidden, w0, floats(1), floats(2), floats(3))
+      val l1 = Layer(hidden, hidden, floats(4), floats(5), floats(6), floats(7))
+      val fcW = floats(8)
+      require(fcW.length == hidden, s"$path: fc.weight size ${fcW.length}")
+      Network(Array(l0, l1), fcW, floats(9)(0))
+    } finally zf.close()
+  }
+
+  /** Read `classes_` out of a pickled sklearn LabelEncoder: the class names
+    * are SHORT_BINUNICODE strings between the `]` EMPTY_LIST + MARK and the
+    * APPENDS opcode (verified framing of the committed joblib pickle).
+    */
+  def loadClasses(path: String): Array[String] = {
+    val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // locate ']' EMPTY_LIST, 0x94 MEMOIZE, '(' MARK
+    var start = -1
+    var i = 0
+    while (start < 0 && i < data.length - 2) {
+      if (data(i) == ']'.toByte && data(i + 1) == 0x94.toByte && data(i + 2) == '('.toByte)
+        start = i + 3
+      i += 1
+    }
+    require(start > 0, s"$path: no pickled list found")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = start
+    var done = false
+    while (!done) {
+      java.lang.Byte.toUnsignedInt(data(p)) match {
+        case 0x8c => // SHORT_BINUNICODE: 1-byte length + utf-8 payload
+          val len = java.lang.Byte.toUnsignedInt(data(p + 1))
+          out += new String(data, p + 2, len, StandardCharsets.UTF_8)
+          p += 2 + len
+        case 0x94 => p += 1 // MEMOIZE
+        case 0x65 => done = true // 'e' APPENDS — end of list items
+        case op =>
+          throw new IllegalArgumentException(
+            s"$path: unexpected pickle opcode 0x${op.toHexString} at $p")
+      }
+    }
+    out.toArray
+  }
+
+  /** The committed model + encoder, loaded once (70 KB zip / 3 KB pickle). */
+  lazy val referenceModel: Network = loadPth(ModelPath)
+  lazy val referenceClasses: Array[String] = loadClasses(EncoderPath)
+
+  // ---- the reference rollout ----------------------------------------------
+
+  /** MinMax scale per column, sklearn semantics: (x−min)/(max−min) with a
+    * zero range mapping to scale 1 (`_handle_zeros_in_scale`). Returns the
+    * scaled copy plus (min, range) of column 0 for the inverse transform.
+    */
+  private[ml] def minMaxScale(features: Array[Array[Double]]): (Array[Array[Double]], Double, Double) = {
+    val cols = features.head.length
+    val mins = Array.fill(cols)(Double.MaxValue)
+    val maxs = Array.fill(cols)(Double.MinValue)
+    for (row <- features; c <- 0 until cols) {
+      if (row(c) < mins(c)) mins(c) = row(c)
+      if (row(c) > maxs(c)) maxs(c) = row(c)
+    }
+    val ranges = Array.tabulate(cols)(c => if (maxs(c) > mins(c)) maxs(c) - mins(c) else 1.0)
+    val scaled = features.map(row => Array.tabulate(cols)(c => (row(c) - mins(c)) / ranges(c)))
+    (scaled, mins(0), ranges(0))
+  }
+
+  /** The reference's autoregressive loop (predict_france_with_model.py:
+    * 87-101): window = last [[Lookback]] scaled rows hstacked with the
+    * country one-hot; each step feeds the prediction back as the next
+    * new_cases with zeros for the other two features; inverse-transform
+    * column 0 at the end.
+    *
+    * `history` is the country's (new_cases, new_tests, people_vaccinated)
+    * matrix in date order, already filtered the reference's way; the window
+    * is its last [[Lookback]] rows. Requires `history.length ≥ Lookback`.
+    */
+  def predictCases(
+      net: Network,
+      history: Array[Array[Double]],
+      countryId: Int,
+      numCountries: Int,
+      days: Int): Array[Double] = {
+    require(history.length >= Lookback, s"need ≥ $Lookback rows, got ${history.length}")
+    require(net.inputSize == NumFeatures + numCountries,
+      s"model input ${net.inputSize} != $NumFeatures + $numCountries")
+    val (scaled, min0, range0) = minMaxScale(history)
+    val onehot = Array.tabulate(numCountries)(i => if (i == countryId) 1.0 else 0.0)
+    val window = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    window ++= scaled.takeRight(Lookback).map(_ ++ onehot)
+    val preds = new Array[Double](days)
+    var d = 0
+    while (d < days) {
+      val x = window.takeRight(Lookback)
+        .map(row => row.map(_.toFloat)).toArray
+      val p = net.forward(x).toDouble
+      preds(d) = p * range0 + min0
+      window += (Array(p, 0.0, 0.0) ++ onehot)
+      d += 1
+    }
+    preds
+  }
+
+  // ---- Spark-side feature prep ---------------------------------------------
+
+  /** The reference's owid pre-filter (predict_france_with_model.py:25-35):
+    * drop null new_cases, keep positive counts, clamp to 2020-2022, fill
+    * remaining feature nulls with 0, keep only encoder-known locations.
+    * Runs distributed; the per-country tail collected later is bounded.
+    */
+  def prepareOwid(owid: DataFrame, known: Set[String]): DataFrame =
+    owid
+      .filter(col("new_cases").isNotNull && col("new_cases") > 0)
+      .filter(col("date").between("2020-01-01", "2022-12-31"))
+      .na.fill(0, Seq("new_tests", "people_vaccinated"))
+      .filter(col("location").isin(known.toSeq: _*))
+
+  /** Bounded per-country history: rows strictly before `startDate`, date
+    * order, as the (new_cases, new_tests, people_vaccinated) matrix the
+    * rollout consumes. One country's 2020-2022 daily tail ≤ ~1100 rows.
+    */
+  def countryHistory(prepared: DataFrame, country: String, startDate: String): Array[Array[Double]] =
+    prepared
+      .filter(col("location") === country && col("date") < startDate)
+      .orderBy("date")
+      .select(
+        col("new_cases").cast("double"),
+        col("new_tests").cast("double"),
+        col("people_vaccinated").cast("double"))
+      .collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+}

@@ -124,9 +124,15 @@ object Graph {
         // materialized checkpoints costs node-cardinality joins and zero
         // edge-join recomputation.
         if (i < iters) {
+          // full-outer so the probe proves SET equality too: a node present
+          // in only one checkpoint (score sets can shrink/grow while mass
+          // rebalances) surfaces as a null side and vetoes the exit —
+          // equality on the intersection alone would not be periodicity
           val same = scores
-            .join(prevCp.select($"node", $"score".as("prev_score")), Seq("node"))
-            .filter($"score" =!= $"prev_score")
+            .join(prevCp.select($"node", $"score".as("prev_score")),
+              Seq("node"), "full_outer")
+            .filter($"score".isNull || $"prev_score".isNull ||
+              $"score" =!= $"prev_score")
             .isEmpty
           if (same) {
             for (_ <- 1 to ((iters - i) % 3)) { scores = step(scores); executed += 1 }

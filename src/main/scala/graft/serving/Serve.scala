@@ -255,10 +255,48 @@ object Serve {
       }
 
     // autoregressive forecast (predict_france_with_model.py:54-113).
-    // `days` counts forecast periods at the fact's weekly grain.
+    // `days` counts forecast periods at the fact's weekly grain — except
+    // `model=lstm`, which serves the reference's own committed LSTM weights
+    // (pure-JVM forward pass, ml/Lstm.scala) over a daily owid-shaped feed.
     case "/api/predict_cases" =>
       val p = queryParams(ex)
       (p.get("country"), p.get("start_date")) match {
+        case (Some(country), Some(startDate)) if p.get("model").contains("lstm") =>
+          val days = math.min(p.getOrElse("days", "30").toInt, 104)
+          // the reference's input CSV (owid-covid-data.csv) is a missing
+          // large blob in its own repo, so the feed location is a deploy
+          // concern: point SPARK_GRAFT_OWID_CSV at any owid-shaped CSV
+          sys.props.get("graft.owid.csv").orElse(sys.env.get("SPARK_GRAFT_OWID_CSV")) match {
+            case None =>
+              respond(ex, 503, err("LSTM feed not configured: set " +
+                "SPARK_GRAFT_OWID_CSV to an owid-shaped CSV " +
+                "(the reference's owid-covid-data.csv is not committed)"))
+            case Some(csv) =>
+              val classes = graft.ml.Lstm.referenceClasses
+              val countryId = classes.indexOf(country)
+              if (countryId < 0) respond(ex, 400, err(s"unknown country: $country"))
+              else {
+                val prepared = graft.ml.Lstm.prepareOwid(
+                  graft.etl.EtlJob.readOwid(spark, csv), classes.toSet)
+                val hist = graft.ml.Lstm.countryHistory(prepared, country, startDate)
+                if (hist.length < graft.ml.Lstm.Lookback)
+                  respond(ex, 400, err(s"too little data for $country before $startDate"))
+                else {
+                  val lastKnown = prepared
+                    .filter(col("location") === country &&
+                      col("date") < org.apache.spark.sql.functions.lit(startDate))
+                    .agg(org.apache.spark.sql.functions.max("date"))
+                    .collect()(0).getDate(0).toLocalDate
+                  val preds = graft.ml.Lstm.predictCases(
+                    graft.ml.Lstm.referenceModel, hist, countryId, classes.length, days)
+                  val items = preds.zipWithIndex.map { case (v, i) =>
+                    s"""{"date":"${lastKnown.plusDays(i + 1L)}","predicted_cases":${v.toLong}}"""
+                  }
+                  respond(ex, 200,
+                    s"""{"country":${jstr(country)},"start_date":${jstr(startDate)},"days":$days,"predictions":${items.mkString("[", ",", "]")}}""")
+                }
+              }
+          }
         case (Some(country), Some(startDate)) =>
           val days = math.min(p.getOrElse("days", "30").toInt, 104)
           // honor start_date the way the reference does: the model only

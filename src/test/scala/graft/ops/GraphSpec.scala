@@ -63,6 +63,34 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"expected early exit after 4 rounds, executed ${Graph.lastExecutedRounds}")
   }
 
+  test("shifting node sets match the exact unroll (probe must not misfire)") {
+    // Node sets are NOT constant across rounds here: 5 is a pure sink
+    // (enters at round 1 — absent from checkpoint_0), and the chain
+    // 6→7→8 burns out (7 leaves at round 2, 8 at round 3), so every
+    // checkpoint pair the fixed-point probe compares differs as a SET.
+    // The probe must only exit on full-map periodicity (full-outer join,
+    // Graph.scala) — equality on the intersection alone is not enough.
+    // The oracle is the same integer recurrence unrolled in plain Scala.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 5L),
+      (6L, 7L), (7L, 8L), (8L, 5L))
+    def simulate(iters: Int): Map[Long, Long] = {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val init = Graph.Scale / deg.size
+      val teleport = init * 3 / 20
+      var scores: Map[Long, Long] = deg.keys.map(_ -> init).toMap
+      for (_ <- 1 to iters) {
+        scores = edges
+          .flatMap { case (src, dst) =>
+            scores.get(src).map(sc => dst -> (sc * 17) / (20 * deg(src)))
+          }
+          .groupBy(_._1).view
+          .mapValues(cs => teleport + cs.map(_._2).sum).toMap
+      }
+      scores
+    }
+    assert(scoresOf(edges, Graph.Iters) == simulate(Graph.Iters))
+  }
+
   test("total mass stays within (0.5, 1.0] of Scale") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
     val total = scoresOf(edges, Graph.Iters).values.sum

@@ -163,6 +163,39 @@ class ServeSpec extends AnyFunSuite with SparkSpec {
     assert(get("/api/predict_cases?country=FR&start_date=2019-01-01&days=3")._1 == 400)
   }
 
+  test("predict_cases model=lstm serves the committed reference weights") {
+    // without a configured feed: explicit 503, not a crash
+    sys.props.remove("graft.owid.csv")
+    assert(get("/api/predict_cases?country=France&start_date=2020-06-01&model=lstm")._1 == 503)
+    // synthetic owid-shaped CSV: 70 daily France rows inside the
+    // reference's 2020-2022 window (≥ 50-row lookback)
+    val csv = java.nio.file.Files.createTempFile("owid", ".csv")
+    val rows = (0 until 70).map { t =>
+      val d = java.time.LocalDate.parse("2020-03-01").plusDays(t.toLong)
+      s"France,$d,${1000 + 10 * t},${200 + t},${1000000 + 1000 * t}"
+    }
+    java.nio.file.Files.write(csv,
+      ("location,date,new_cases,new_tests,people_vaccinated\n" +
+        rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    sys.props("graft.owid.csv") = csv.toString
+    try {
+      val (code, body) = get(
+        "/api/predict_cases?country=France&start_date=2020-06-01&days=3&model=lstm")
+      assert(code == 200, body)
+      assert(body.startsWith(
+        """{"country":"France","start_date":"2020-06-01","days":3,"predictions":["""))
+      // daily grain: first forecast date = last known (2020-05-09) + 1 day
+      assert(body.contains(""""date":"2020-05-10""""), body)
+      assert(body.count(_ == '{') == 4)
+      // unknown country → 400; too-short history → 400
+      assert(get("/api/predict_cases?country=Atlantis&start_date=2020-06-01&model=lstm")._1 == 400)
+      assert(get("/api/predict_cases?country=Italy&start_date=2020-06-01&model=lstm")._1 == 400)
+    } finally {
+      sys.props.remove("graft.owid.csv")
+      java.nio.file.Files.deleteIfExists(csv)
+    }
+  }
+
   test("missing required param is a 400, unknown route a 404") {
     assert(get("/api/weekly_statistics_by_country")._1 == 400)
     assert(get("/api/does_not_exist")._1 == 404)

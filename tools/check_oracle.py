@@ -78,23 +78,27 @@ def main():
             n_fail += 1
             continue
         got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
-        # Watchdog: interrupt only while THIS query is still running. A bare
-        # Timer(timeout_s, con.interrupt) can fire in the window between
-        # con.execute() returning and timer.cancel(), interrupting an idle
-        # connection and spuriously cancelling the NEXT query — guard the
-        # interrupt behind a per-query done flag under a lock.
+        # Watchdog: run each query on its OWN cursor (shares con's catalog/
+        # views) and interrupt that cursor only. The previous done-flag
+        # guard narrowed but could not close the race — a timer firing
+        # between execute() returning and the finally block taking the lock
+        # interrupted the shared connection and poisoned the NEXT query. A
+        # stale interrupt now lands on a cursor nothing will use again.
+        cur = con.cursor()
+        # session-local settings don't propagate from con to its cursors
+        cur.execute("SET TimeZone='UTC'")
         done_lock = threading.Lock()
         done = [False]
 
-        def _interrupt():
+        def _interrupt(c=cur):
             with done_lock:
                 if not done[0]:
-                    con.interrupt()
+                    c.interrupt()
 
         timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
         try:
-            want = norm(con.execute(sql).df())
+            want = norm(cur.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -103,6 +107,7 @@ def main():
             with done_lock:
                 done[0] = True
             timer.cancel()
+            cur.close()
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
