@@ -166,9 +166,57 @@ object Serve {
     server.createContext("/region_yearly_summary", (ex: HttpExchange) =>
       handleCrud(ex, "/region_yearly_summary", crudRegion,
         regionYearlySummarySchema, Seq("who_region", "year")))
+    // machine-readable API docs (the reference wraps its CRUD app in
+    // flasgger Swagger, api/api_crud.py:8; same surface, OpenAPI 3 JSON)
+    server.createContext("/openapi.json", (ex: HttpExchange) =>
+      respond(ex, 200, openApiSpec))
+    server.createContext("/apidocs", (ex: HttpExchange) =>
+      respond(ex, 200, openApiSpec))
 
     server.start()
     server
+  }
+
+  /** OpenAPI 3 description of the CRUD tables (the reference's Swagger
+    * surface, api/api_crud.py:60-68 docstrings) plus the forecast endpoint.
+    * Static by design: the schema is the ORM models', fixed at build time.
+    */
+  private[serving] lazy val openApiSpec: String = {
+    def crudPaths(base: String, pkPath: String, props: String, pkParams: String): String =
+      s""""$base":{
+         |  "get":{"summary":"List all rows","responses":{"200":{"description":"array of rows"}}},
+         |  "post":{"summary":"Create a row","requestBody":{"content":{"application/json":{"schema":{"$$ref":"#/components/schemas/$props"}}}},
+         |    "responses":{"201":{"description":"created"},"409":{"description":"duplicate key"}}}},
+         |"$base/$pkPath":{
+         |  "get":{"summary":"Fetch by primary key",$pkParams"responses":{"200":{"description":"one row"},"404":{"description":"not found"}}},
+         |  "put":{"summary":"Update by primary key",$pkParams"responses":{"200":{"description":"updated"},"404":{"description":"not found"}}},
+         |  "delete":{"summary":"Delete by primary key",$pkParams"responses":{"200":{"description":"deleted"},"404":{"description":"not found"}}}}""".stripMargin
+    val countryParams =
+      """"parameters":[{"name":"country","in":"path","required":true,"schema":{"type":"string"}}],"""
+    val regionParams =
+      """"parameters":[{"name":"who_region","in":"path","required":true,"schema":{"type":"string"}},{"name":"year","in":"path","required":true,"schema":{"type":"integer"}}],"""
+    s"""{"openapi":"3.0.3",
+       |"info":{"title":"graft serving API","version":"1.0",
+       |  "description":"CRUD serving tables + analytics routes over the Spark warehouse"},
+       |"paths":{
+       |${crudPaths("/country_statistics", "{country}", "CountryStatistics", countryParams)},
+       |${crudPaths("/region_yearly_summary", "{who_region}/{year}", "RegionYearlySummary", regionParams)},
+       |"/api/predict_cases":{"get":{"summary":"Autoregressive case forecast",
+       |  "parameters":[
+       |    {"name":"country","in":"query","required":true,"schema":{"type":"string"}},
+       |    {"name":"start_date","in":"query","required":true,"schema":{"type":"string","format":"date"}},
+       |    {"name":"days","in":"query","schema":{"type":"integer","default":30}},
+       |    {"name":"model","in":"query","schema":{"type":"string","enum":["rf","lstm"]}}],
+       |  "responses":{"200":{"description":"forecast envelope"},"400":{"description":"bad parameters"},"503":{"description":"lstm feed not configured"}}}},
+       |"/health":{"get":{"summary":"Liveness","responses":{"200":{"description":"status"}}}}
+       |},
+       |"components":{"schemas":{
+       |"CountryStatistics":{"type":"object","required":["country"],"properties":{
+       |  "country":{"type":"string"},"total_cases":{"type":"integer"},"total_vaccinated":{"type":"integer"}}},
+       |"RegionYearlySummary":{"type":"object","required":["who_region","year"],"properties":{
+       |  "who_region":{"type":"string"},"year":{"type":"integer"},
+       |  "total_cases":{"type":"integer"},"total_deaths":{"type":"integer"}}}
+       |}}}""".stripMargin
   }
 
   /** Routes with bespoke envelopes or path parameters. */

@@ -50,4 +50,53 @@ class BudgetSpec extends AnyFunSuite with SparkSpec {
   // lineage cut or a width regression shows up as a multiple, not noise
   budget("pr01_pagerank", 30.0)
   budget("sp01_bfs_hops", 30.0)
+
+  // ---- executor-CPU tripwires ---------------------------------------------
+  // Wall ceilings alone can't catch a real 2x work regression on a noisy
+  // host (round-7 lesson: driver-bench CPU moved 3-5x on UNTOUCHED streaming
+  // queries and only git-diff forensics could dismiss it — nothing would
+  // have tripped had it been real). Task CPU is far more stable than wall,
+  // but NOT fully fault-immune: page-fault handling is in-thread sys time
+  // and lands in executorCpuTime, so a first-touch fault storm inflates the
+  // first run. Hence min-of-2: the second run executes over an already
+  // faulted-in heap, so a one-off storm can't trip the gate while a genuine
+  // plan regression (lost filter, extra pass, unbatched state) inflates
+  // BOTH runs. Ceilings are ~4x the measured warm sf0.01 medians
+  // (d10 1.9 s, pr01 3.4 s, st06 1.0 s, st10 1.3 s, st11 0.8 s).
+
+  private lazy val cpuListener = {
+    val l = new graft.util.CpuTimeListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+
+  private def cpuSeconds(name: String): Double = {
+    val df = graft.SparkEntry.queries(name)(spark, sfGate)
+    org.apache.spark.graftaccess.GraftSparkAccess.drainListenerBus(spark.sparkContext)
+    val c0 = cpuListener.totalNanos
+    df.collect()
+    spark.catalog.clearCache()
+    org.apache.spark.graftaccess.GraftSparkAccess.drainListenerBus(spark.sparkContext)
+    (cpuListener.totalNanos - c0) / 1e9
+  }
+
+  private def cpuBudget(name: String, ceilingSec: Double): Unit =
+    test(s"$name stays under ${ceilingSec}s executor CPU at sf0.01 (~4x warm median)") {
+      val c = math.min(cpuSeconds(name), cpuSeconds(name))
+      info(f"$name: $c%.2f s CPU min-of-2 (ceiling ${ceilingSec}s)")
+      assert(c < ceilingSec, f"$name burned $c%.2f s executor CPU on BOTH runs — " +
+        "a real work regression. Check .explain before raising this.")
+    }
+
+  // the streaming micro-batch machinery JITs on first use; keep it out of
+  // the first measured streaming query (same posture as Bench's warmup)
+  test("streaming warmup (unmeasured)") {
+    graft.SparkEntry.queries("st06_stream_cdc_apply")(spark, sfGate).collect()
+  }
+
+  cpuBudget("d10_containment_join", 8.0)
+  cpuBudget("pr01_pagerank", 14.0)
+  cpuBudget("st06_stream_cdc_apply", 4.0)
+  cpuBudget("st10_stream_running_totals", 5.5)
+  cpuBudget("st11_stream_dedup_ttl", 3.5)
 }

@@ -196,6 +196,20 @@ class ServeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("openapi.json documents the CRUD + forecast surface as valid JSON") {
+    val (code, body) = get("/openapi.json")
+    assert(code == 200)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(node.get("openapi").asText().startsWith("3."))
+    val paths = node.get("paths")
+    for (p <- Seq("/country_statistics", "/country_statistics/{country}",
+        "/region_yearly_summary", "/region_yearly_summary/{who_region}/{year}",
+        "/api/predict_cases", "/health"))
+      assert(paths.has(p), s"missing path $p")
+    assert(node.get("components").get("schemas").has("CountryStatistics"))
+    assert(get("/apidocs")._1 == 200)
+  }
+
   test("missing required param is a 400, unknown route a 404") {
     assert(get("/api/weekly_statistics_by_country")._1 == 400)
     assert(get("/api/does_not_exist")._1 == 404)
