@@ -50,6 +50,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // corpus relevance pass (the s01 shape), then the top-30 pool against
     // itself — Pool² work by construction, never corpus-quadratic
     "s10_mmr_rerank",
+    // 1-row total and 1-row tercile-threshold relations crossed into the
+    // bounded score histogram / the scored docs (≤63000-row histogram by
+    // arithmetic — see Tokenize.lmQualityBuckets)
+    "t19_lm_quality_buckets",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>
