@@ -579,10 +579,117 @@ object Graph {
        |ORDER BY core_deg DESC, s_suppkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // lp01 — label propagation communities (Raghavan et al. 2007)
+  // ---------------------------------------------------------------------
+
+  /** Fixed synchronous-round budget for [[labelPropagation]]. LPA on
+    * near-clique communities converges in a handful of rounds; the FIXED
+    * bound keeps the oracle chained-CTE-expressible (the kc01 argument)
+    * and both engines bit-identical even on graphs where synchronous LPA
+    * oscillates (bipartite flip, period 2): the output is DEFINED as the
+    * round-[[LpaRounds]] state, which a deterministic tie rule makes a
+    * pure function of the edge set.
+    */
+  val LpaRounds = 5
+
+  /** Synchronous label propagation over a both-ways directed edge list
+    * (the pr01/kc01 convention): every node starts as its own label; each
+    * round every node adopts the most frequent label among its neighbors,
+    * ties broken toward the SMALLEST label (the determinism rule —
+    * Raghavan's random tie-break would never cross engines). Returns
+    * (node, lbl) after [[LpaRounds]] rounds.
+    *
+    * Scale shape: the edge list is cached once, pre-partitioned by src on
+    * the loop's child session (width data-derived via
+    * [[graft.util.LoopWidth]]); each round is one join against the
+    * node-cardinality label vector (reusing the edge partitioning), one
+    * (dst, lbl) partial-agg shuffle, and one per-dst argmax collapse —
+    * the (cnt, −lbl) struct-max, so the tie rule rides the aggregate
+    * instead of a window sort. Label vectors are node-cardinality and
+    * lineage-cut per round. Communities are the fourth answer the graph
+    * quartet gives a curation pipeline: d06 membership (connectivity),
+    * pr01 authority, sp01 proximity, kc01 density — lp01 adds MESOSCALE
+    * grouping (which sources cluster together) without any density
+    * threshold to tune.
+    */
+  def labelPropagation(edgesIn: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val parent = edgesIn.sparkSession
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.util.LoopWidth.forRelation(edgesIn).toString)
+    val e = edgesIn.select("src", "dst")
+    val out = lpaLoop(ss.createDataFrame(e.rdd, e.schema), rounds)
+    parent.createDataFrame(out.rdd, out.schema)
+  }
+
+  private def lpaLoop(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = graft.util.Eager.cached(edgesIn.repartition($"src"))
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"dst")
+        .agg(max(struct($"cnt".as("c"), (-$"lbl").as("nl"))).as("m"))
+        .select($"dst".as("node"), (-$"m.nl").as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** lp01 — communities of the supplier co-supply decile graph (tc01/kc01's
+    * edge set): per supplier, its converged community label and the
+    * community's size. The mesoscale structure report — which supplier
+    * groups co-supply as blocs.
+    */
+  def lp01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = coSupplyEdges(s, dir)
+    val edges = base.select($"s1".as("src"), $"s2".as("dst"))
+      .unionByName(base.select($"s2".as("src"), $"s1".as("dst")))
+    val lbls = labelPropagation(edges)
+    val sizes = lbls.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
+    lbls.join(sizes, "lbl")
+      .select($"node".as("s_suppkey"), $"lbl".as("community"), $"community_size")
+      .orderBy($"s_suppkey")
+  }
+
+  /** The identical rounds unrolled; the per-round argmax is the
+    * ROW_NUMBER-over-aggregate form (window functions evaluate after
+    * GROUP BY), ordered (cnt DESC, lbl ASC) to encode the same tie rule.
+    */
+  val lp01Oracle: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.dst AS node, p.lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+         |    FROM dedges e JOIN l${r - 1} p ON p.node = e.src
+         |    GROUP BY e.dst, p.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coSupplySql,
+       |dedges AS MATERIALIZED (
+       |           SELECT s1 AS src, s2 AS dst FROM edges
+       |           UNION ALL
+       |           SELECT s2 AS src, s1 AS dst FROM edges),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM dedges),
+       |$rounds,
+       |sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+       |          FROM l$LpaRounds GROUP BY lbl)
+       |SELECT l.node AS s_suppkey, l.lbl AS community, s.community_size
+       |FROM l$LpaRounds l JOIN sizes s USING (lbl)
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("pr01_pagerank", pr01, Some(pr01Oracle)),
     Q("sp01_bfs_hops", sp01, Some(sp01Oracle)),
     Q("tc01_triangle_count", tc01, Some(tc01Oracle)),
     Q("kc01_kcore", kc01, Some(kc01Oracle)),
+    Q("lp01_label_propagation", lp01, Some(lp01Oracle)),
   )
 }

@@ -274,4 +274,51 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(atBudget.values.forall(_ >= Graph.CoreK),
       "every core member keeps >= k within-core partners at the fixpoint")
   }
+
+  // ---------------------------------------------------------------------
+  // labelPropagation / lp01
+  // ---------------------------------------------------------------------
+
+  private def lpaOf(edges: Seq[(Long, Long)], rounds: Int = Graph.LpaRounds,
+      parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    val both = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    Graph.labelPropagation(both.toDF("src", "dst").repartition(parts), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("LPA separates two bridged triangles into their hand-computed communities") {
+    // triangles {1,2,3} and {4,5,6} with bridge 3-4. Synchronous rounds with
+    // the min tie rule (hand-computed): r1 = (2,1,1,3,4,4),
+    // r2 = (1,1,1,4,3,3), r3 = (1,1,1,3,3,3) — converged by r4.
+    val got = lpaOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("LPA bounded-round contract: an oscillating pair reports the round-R state") {
+    // single edge 1-2 flips labels every synchronous round (the classic
+    // bipartite oscillation); with an odd budget the round-5 state is the
+    // swapped one — deterministic by definition, not converged
+    val got = lpaOf(Seq((1L, 2L)), rounds = 5)
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+    val even = lpaOf(Seq((1L, 2L)), rounds = 4)
+    assert(even == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("LPA is independent of partitioning") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L), (6L, 7L), (7L, 8L))
+    assert(lpaOf(edges, parts = 1) == lpaOf(edges, parts = 7))
+  }
+
+  test("lp01 on sf0.001: labels are member suppliers, sizes consistent") {
+    val rows = Graph.lp01(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val byCommunity = rows.groupBy(_.getLong(1))
+    byCommunity.foreach { case (lbl, members) =>
+      members.foreach(r => assert(r.getLong(2) == members.length,
+        s"community $lbl size column disagrees with the actual member count"))
+    }
+  }
 }
