@@ -421,6 +421,56 @@ object Profile {
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** k for [[gv02]]'s k-anonymity audit: the conventional "fewer than 5
+    * indistinguishable rows is re-identifiable" floor.
+    */
+  val AnonK = 5
+
+  /** gv02 — K-ANONYMITY audit (Sweeney 2002): before releasing a
+    * projection of the customer table, report whether every
+    * quasi-identifier equivalence class — (nation, market segment,
+    * account-balance band) — has at least [[AnonK]] indistinguishable
+    * members. The output is the CLASS-SIZE HISTOGRAM with a below-k flag
+    * per row: min(class_size) is the k the release actually achieves,
+    * the below_k rows quantify exactly how many customers are
+    * re-identifiable and at what class sizes. The governance sibling of
+    * gv01: gv01 scopes erasure, gv02 scopes disclosure.
+    *
+    * Scale shape: one partial-aggregated groupBy on the QI tuple (the
+    * class build), then a histogram on class size — output cardinality is
+    * the distinct-class-size count (≤ a few hundred whatever the fact
+    * size; the c05/tc01 "aggregate once, bucket tiny" recipe). The
+    * balance band is floor(x/1000) over binary64 — IEEE division and
+    * floor are correctly rounded, so both engines band identically.
+    */
+  def gv02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .groupBy(
+        $"c_nationkey".cast("long").as("nat"),
+        $"c_mktsegment".as("seg"),
+        floor($"c_acctbal" / 1000.0).cast("long").as("band"))
+      .agg(count(lit(1)).as("class_size"))
+    classes
+      .groupBy($"class_size")
+      .agg(count(lit(1)).as("n_classes"), sum($"class_size").as("n_rows"))
+      .select($"class_size", $"n_classes", $"n_rows",
+        ($"class_size" < AnonK).as("below_k"))
+      .orderBy($"class_size")
+  }
+
+  val gv02Oracle: String =
+    s"""WITH classes AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+       |    CAST(COUNT(*) AS BIGINT) AS class_size
+       |  FROM customer GROUP BY nat, seg, band)
+       |SELECT class_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       |  class_size < $AnonK AS below_k
+       |FROM classes GROUP BY class_size ORDER BY class_size""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
@@ -429,5 +479,6 @@ object Profile {
     Q("q56_zscore_outliers", q56, Some(q56Oracle)),
     Q("q57_footer_stats", q57, Some(q57Oracle)),
     Q("gv01_forget_scope", gv01, Some(gv01Oracle)),
+    Q("gv02_k_anonymity", gv02, Some(gv02Oracle)),
   )
 }

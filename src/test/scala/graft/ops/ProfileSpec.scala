@@ -99,6 +99,29 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [Or(LessThan(o_orderdate"), plan)
   }
+
+  test("gv02 k-anonymity histogram partitions the table and flags below-k classes") {
+    val rows = Profile.gv02(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    // histogram covers every customer exactly once
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.Tables.customer(spark, sfSmoke).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ==
+        r.getAs[Long]("class_size") * r.getAs[Long]("n_classes"))
+      assert(r.getAs[Boolean]("below_k") ==
+        (r.getAs[Long]("class_size") < Profile.AnonK))
+    }
+    // the direct class recompute agrees with the histogram's row accounting
+    val direct = graft.Tables.customer(spark, sfSmoke)
+      .groupBy(org.apache.spark.sql.functions.col("c_nationkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("c_acctbal") / 1000.0))
+      .count().collect().map(_.getAs[Long]("count"))
+    assert(direct.sum == total && direct.length ==
+      rows.map(_.getAs[Long]("n_classes")).sum)
+  }
 }
 
 private object Dq {
