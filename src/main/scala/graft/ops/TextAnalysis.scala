@@ -1237,6 +1237,98 @@ object TextAnalysis {
       |FROM cps ORDER BY checkpoint""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // c07 — per-source corpus datasheet
+  // ---------------------------------------------------------------------
+
+  /** c07 — CORPUS DATASHEET: the per-source summary table a dataset card
+    * ("Datasheets for Datasets", Gebru et al. 2021) reports before a
+    * training run commits to a mixture — per source: document and token
+    * volume, quality-gate pass count (c01's length + digit-ratio rule),
+    * English share (t03's language-ID), and how many docs are exact-dup
+    * COPIES across the whole corpus (corpus-wide canonical-fingerprint
+    * count ≥ 2 — the cross-source contamination signal per-source dedup
+    * would miss). The per-source selves of c01's gates, reported instead
+    * of applied — what c03's mixing weights and c05's caps are actually
+    * chosen FROM.
+    *
+    * Scale shape: one projection computes every per-doc flag from the
+    * same scan (the c01 fused-gate posture); the only non-narrow steps
+    * are the corpus-wide fingerprint count (one 128-bit-key partial-agg
+    * shuffle, d01's exchange) and the final source-keyed aggregate whose
+    * output is source-cardinality. No raw text crosses an exchange.
+    */
+  def c07(s: SparkSession, dir: String): DataFrame =
+    datasheet(Tables.documents(s, dir))
+
+  /** The [[c07]] datasheet over any (source, doc_id, text) relation —
+    * unit-testable on toy corpora.
+    */
+  def datasheet(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = size(filter(split($"text", " "), x => x =!= ""))
+    val chars = length($"text")
+    val digits = chars - length(regexp_replace($"text", "[0-9]", ""))
+    val hits = langHits($"text").toMap
+    val flagged = docs.select($"source", $"doc_id",
+      words.cast("long").as("nw"), chars.cast("long").as("nc"),
+      (words >= 20 &&
+        (digits.cast("double") / when(chars =!= 0, chars)) <= 0.2).as("q_ok"),
+      (langArgmax(hits("en"), hits("de"), hits("fr"), hits("es")) === "en")
+        .as("is_en"),
+      md5(normalize($"text")).as("fp"))
+    val dupFp = flagged.groupBy($"fp").agg(count(lit(1)).as("nfp"))
+    flagged.join(dupFp, "fp")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nw").as("n_tokens"),
+        sum($"nc").as("n_chars"),
+        count(when($"q_ok", 1)).as("n_quality_ok"),
+        count(when($"is_en", 1)).as("n_en"),
+        count(when($"nfp" >= 2, 1)).as("n_dup_docs"))
+      .orderBy($"source")
+  }
+
+  val c07Oracle: String = {
+    val en = s"${duckMarker(" the ")} + ${duckMarker(" a ")}"
+    val de = s"${duckMarker(" der ")} + ${duckMarker(" und ")}"
+    val fr = s"${duckMarker(" le ")} + ${duckMarker(" et ")}"
+    val es = s"${duckMarker(" el ")} + ${duckMarker(" y ")}"
+    s"""WITH q AS (SELECT source, doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw,
+       |    length(text) AS nc,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |      / NULLIF(length(text), 0) AS digit_ratio,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |p AS (SELECT doc_id,
+       |  ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS padded
+       |  FROM documents),
+       |hits AS (SELECT doc_id, $en AS en_hits, $de AS de_hits, $fr AS fr_hits, $es AS es_hits
+       |  FROM p),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr'
+       |       ELSE 'es' END AS lang_pred FROM hits),
+       |f AS (SELECT q.source, q.doc_id, q.nw, q.nc,
+       |    (q.nw >= 20 AND q.digit_ratio <= 0.2) AS q_ok,
+       |    (lang.lang_pred = 'en') AS is_en, q.fp
+       |  FROM q JOIN lang USING (doc_id)),
+       |d AS (SELECT fp, COUNT(*) AS nfp FROM f GROUP BY fp)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nw) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CAST(COUNT(CASE WHEN q_ok THEN 1 END) AS BIGINT) AS n_quality_ok,
+       |  CAST(COUNT(CASE WHEN is_en THEN 1 END) AS BIGINT) AS n_en,
+       |  CAST(COUNT(CASE WHEN nfp >= 2 THEN 1 END) AS BIGINT) AS n_dup_docs
+       |FROM f JOIN d USING (fp)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -1257,5 +1349,6 @@ object TextAnalysis {
     Q("t17_vocab_growth", t17, Some(t17Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
     Q("c04_curation_pipeline", c04, Some(c04Oracle)),
+    Q("c07_corpus_datasheet", c07, Some(c07Oracle)),
   )
 }

@@ -67,6 +67,22 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, "head"), (2L, "tail"), (3L, "head")))
   }
 
+  test("c07 datasheet matches hand-computed per-source counts incl. cross-source dups") {
+    val t = "the cat sat on the mat and the dog ran to the park while " +
+      "the sun set over the hills and the birds sang loud" // 25 words, en
+    val toy = Seq(
+      (1L, t, "A"),                       // quality-ok, en
+      (2L, "The" + t.drop(3), "B"),       // exact dup of 1 modulo case
+      (3L, "der hund und 99", "A"),       // too short, de
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.datasheet(toy).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("A", 2L, 29L, 1L, 1L, 1L),
+      ("B", 1L, 25L, 1L, 1L, 1L)))
+  }
+
   test("t19 gate query: every scored doc gets a bucket and terciles are ordered") {
     val rows = Tokenize.t19(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
