@@ -201,9 +201,100 @@ object EntityResolution {
        |  END AS completeness_ppm
        |FROM n, cand, trueM, found""".stripMargin
 
+  /** Sorted-neighborhood window size — Hernández & Stolfo 1995's default
+    * (w=10). On the combinatorial part-name vocabulary the nearest true
+    * matches sit at rank gap 8 (the size of the last-word sub-block), so
+    * w=10 is also the smallest window that catches any of them — the
+    * window-size-vs-recall tradeoff the paper's multi-pass design exists
+    * to soften.
+    */
+  val SnmWindow = 10
+
+  /** e04 — SORTED-NEIGHBORHOOD candidate pairs (Hernández & Stolfo 1995,
+    * the merge/purge method): the classic COMPLEMENT to e01's equality
+    * blocking. Sort the distinct entity names once, slide a window of
+    * [[SnmWindow]] over the sorted sequence, and compare only records
+    * whose global ranks are within w−1 of each other — candidate work is
+    * n·(w−1) by construction, independent of block-size skew (the failure
+    * mode equality blocking has on hot keys). Because the sort key is the
+    * whole name, SNM catches exactly the pairs head-noun blocking loses —
+    * a typo in the LAST word breaks e01's block key but barely moves the
+    * name in sort order — so the output carries `missed_by_blocking`
+    * (head-noun keys differ), the evidence for running both indexes and
+    * unioning candidates, which is how multi-pass merge/purge is deployed.
+    *
+    * Scale shape: the one fact-scale operation is the distinct-name
+    * groupBy (shared with e01/e03). The global rank is NOT a
+    * single-partition window: range-repartition by name, row_number
+    * WITHIN each range partition, then add per-partition offsets computed
+    * from the (≤ #partitions)-row count relation — one range exchange +
+    * one broadcast of a partition-count map, the standard distributed
+    * total-order index. RangePartitioner assigns ascending key ranges to
+    * ascending partition ids, so local rank + offset is the exact global
+    * rank. The window join is an equi-join on (rank + gap) with gap
+    * exploded over 1..w−1 — e03's length-window recipe, never a range
+    * cross join.
+    */
+  def e04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    snmPairs(Tables.part(s, dir).select($"p_name").distinct())
+  }
+
+  /** [[e04]]'s core over any single-column `p_name` relation of distinct
+    * names (separated so the spec can pin the distributed global rank and
+    * the window semantics on synthetic vocabularies).
+    */
+  def snmPairs(entities: DataFrame): DataFrame = {
+    val s = entities.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parts = entities
+      .repartitionByRange(8, $"p_name")
+      .withColumn("pid", spark_partition_id())
+    val local = parts.withColumn(
+      "lr", row_number().over(Window.partitionBy($"pid").orderBy($"p_name")).cast("long"))
+    // per-partition counts: ≤ 8 rows — the running-sum window over it is
+    // metadata-scale, and the join back is an explicit broadcast
+    val offsets = local.groupBy($"pid").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum($"c").over(Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"off")
+    val ranked = graft.util.Eager.cached(
+      local.join(broadcast(offsets), Seq("pid"))
+        .select($"p_name", ($"lr" + $"off").as("rnk")))
+    val a = ranked.select($"p_name".as("a_name"), $"rnk")
+    val b = ranked.select($"p_name".as("b_name"), $"rnk".as("rnk_b"))
+    a.select($"a_name", $"rnk",
+        explode(array((1 until SnmWindow).map($"rnk" + lit(_)): _*)).as("nb"))
+      .join(b, $"nb" === $"rnk_b")
+      .withColumn("dist", levenshtein($"a_name", $"b_name"))
+      .filter($"dist".between(1, MaxEditDistance))
+      .select($"a_name", $"b_name",
+        ($"rnk_b" - $"rnk").as("rank_gap"), $"dist",
+        (blockKey($"a_name") =!= blockKey($"b_name")).as("missed_by_blocking"))
+      .orderBy($"a_name", $"b_name")
+  }
+
+  val e04Oracle: String =
+    s"""WITH e AS (SELECT DISTINCT p_name FROM part),
+       |r AS (SELECT p_name,
+       |    CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS rnk
+       |  FROM e)
+       |SELECT a.p_name AS a_name, b.p_name AS b_name,
+       |  b.rnk - a.rnk AS rank_gap,
+       |  levenshtein(a.p_name, b.p_name) AS dist,
+       |  regexp_extract(a.p_name, '[^ ]+$$')
+       |    <> regexp_extract(b.p_name, '[^ ]+$$') AS missed_by_blocking
+       |FROM r a JOIN r b
+       |  ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + ${SnmWindow - 1}
+       |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND $MaxEditDistance
+       |ORDER BY a_name, b_name""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("e01_fuzzy_entity_pairs", e01, Some(e01Oracle)),
     Q("e02_entity_clusters", e02, Some(e02Oracle)),
     Q("e03_blocking_quality", e03, Some(e03Oracle)),
+    Q("e04_sorted_neighborhood", e04, Some(e04Oracle)),
   )
 }

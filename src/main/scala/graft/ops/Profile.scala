@@ -471,6 +471,142 @@ object Profile {
        |  class_size < $AnonK AS below_k
        |FROM classes GROUP BY class_size ORDER BY class_size""".stripMargin
 
+  /** l for [[gv03]]'s l-diversity audit: a class whose members span fewer
+    * than 3 distinct sensitive values lets an attacker who can place a
+    * person in the class guess the sensitive attribute with ≥ 1/2 odds.
+    */
+  val DiversityL = 3
+
+  /** gv03 — L-DIVERSITY audit (Machanavajjhala et al. 2007, "l-Diversity:
+    * privacy beyond k-anonymity"): k-anonymity (gv02) only bounds CLASS
+    * SIZE — a class of 50 customers all in the same market segment still
+    * discloses the segment of every member. gv03 audits the complement:
+    * for each quasi-identifier class — here (nation, account-balance
+    * band), deliberately COARSER than gv02's triple because the sensitive
+    * attribute must not sit inside its own QI — count the DISTINCT
+    * sensitive values (market segment) the class spans, and report the
+    * histogram of that l with a below-l flag. min(l) is the diversity the
+    * release actually achieves; below-l rows are the members whose
+    * sensitive attribute is effectively disclosed by class membership.
+    * Completes the governance trio: gv01 scopes erasure, gv02 scopes
+    * re-identification, gv03 scopes attribute disclosure.
+    *
+    * Scale shape: identical to gv02 — one partial-aggregated groupBy on
+    * the QI tuple (count + count_distinct over a 5-value domain), then a
+    * histogram keyed on (l), whose cardinality is ≤ |segment domain| = 5
+    * whatever the fact size. Nothing row-cardinality survives the first
+    * exchange.
+    */
+  def gv03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .groupBy(
+        $"c_nationkey".cast("long").as("nat"),
+        floor($"c_acctbal" / 1000.0).cast("long").as("band"))
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct($"c_mktsegment").as("l"))
+    classes
+      .groupBy($"l")
+      .agg(count(lit(1)).as("n_classes"), sum($"class_size").as("n_rows"))
+      .select($"l", $"n_classes", $"n_rows",
+        ($"l" < DiversityL).as("below_l"))
+      .orderBy($"l")
+  }
+
+  val gv03Oracle: String =
+    s"""WITH classes AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+       |    CAST(COUNT(*) AS BIGINT) AS class_size,
+       |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+       |  FROM customer GROUP BY nat, band)
+       |SELECT l,
+       |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       |  l < $DiversityL AS below_l
+       |FROM classes GROUP BY l ORDER BY l""".stripMargin
+
+  /** t (in ppm) for [[gv04]]: classes whose sensitive distribution sits
+    * further than 0.2 total-variation from the corpus-wide one leak
+    * attribute skew (the t Li et al. use in their running examples).
+    */
+  val ClosenessTppm = 200000L
+
+  /** gv04 — T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007):
+    * l-diversity (gv03) counts distinct sensitive values but is blind to
+    * SKEW — a class that is 98% AUTOMOBILE / 2% everything-else passes
+    * l=5 yet still tells an attacker the segment with near certainty.
+    * t-closeness bounds, per quasi-identifier class, the distance between
+    * the class's sensitive-value distribution and the GLOBAL one; for a
+    * categorical attribute under uniform ground distance the earth-mover
+    * distance reduces to total variation, ½·Σᵢ|pᵢ−qᵢ|. Output: one row
+    * per (nation, balance-band) class with its class size, its scaled
+    * distance, and the above-t flag — max(tvd) over rows is the t the
+    * release achieves. Closes the disclosure-audit ladder: gv02 bounds
+    * WHO you might be, gv03 bounds WHAT values your class spans, gv04
+    * bounds how much the class SHIFTS belief about the value.
+    *
+    * INTEGER-EXACT: with class counts cᵢ (size n) and global counts gᵢ
+    * (size N), tvd = Σ|cᵢ·N − n·gᵢ| / (2·n·N) — the numerator is exact
+    * BIGINT in both engines, published in ppm via floor division.
+    *
+    * Scale shape: one partial-aggregated groupBy at (QI, sensitive) grain,
+    * one at QI grain, one 5-row global relation broadcast onto the class
+    * list (classes × |domain| rows, still metadata-sized) so absent
+    * (class, value) cells contribute their exact n·gᵢ mass without any
+    * fact-scale outer join.
+    */
+  def gv04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qi = Seq(
+      $"c_nationkey".cast("long").as("nat"),
+      floor($"c_acctbal" / 1000.0).cast("long").as("band"))
+    val cust = Tables.customer(s, dir)
+    val cells = cust
+      .groupBy(qi :+ $"c_mktsegment".as("seg"): _*)
+      .agg(count(lit(1)).as("c"))
+    val classes = cust.groupBy(qi: _*).agg(count(lit(1)).as("n"))
+    val global = cust.groupBy($"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("g"))
+    val bigN = global.agg(sum($"g").as("bign"))
+    classes
+      .crossJoin(broadcast(global))
+      .crossJoin(broadcast(bigN))
+      .join(cells, Seq("nat", "band", "seg"), "left")
+      .withColumn("c0", coalesce($"c", lit(0L)))
+      .groupBy($"nat", $"band", $"n", $"bign")
+      .agg(sum(abs($"c0" * $"bign" - $"n" * $"g")).as("num"))
+      .select($"nat", $"band", $"n".as("class_size"),
+        expr("(num * 1000000) div (2 * n * bign)").as("tvd_ppm"))
+      .withColumn("above_t", $"tvd_ppm" > ClosenessTppm)
+      .orderBy($"nat", $"band")
+  }
+
+  val gv04Oracle: String =
+    s"""WITH cust AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+       |    c_mktsegment AS seg
+       |  FROM customer),
+       |cells AS (SELECT nat, band, seg, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM cust GROUP BY nat, band, seg),
+       |classes AS (SELECT nat, band, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM cust GROUP BY nat, band),
+       |global AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS g
+       |  FROM cust GROUP BY seg),
+       |bign AS (SELECT CAST(SUM(g) AS BIGINT) AS bigN FROM global)
+       |SELECT nat, band, n AS class_size,
+       |  CAST((SUM(abs(COALESCE(c, 0) * bigN - n * g)) * 1000000)
+       |    // (2 * n * bigN) AS BIGINT) AS tvd_ppm,
+       |  CAST((SUM(abs(COALESCE(c, 0) * bigN - n * g)) * 1000000)
+       |    // (2 * n * bigN) AS BIGINT) > $ClosenessTppm AS above_t
+       |FROM classes
+       |CROSS JOIN global CROSS JOIN bign
+       |LEFT JOIN cells USING (nat, band, seg)
+       |GROUP BY nat, band, n, bigN
+       |ORDER BY nat, band""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
@@ -480,5 +616,7 @@ object Profile {
     Q("q57_footer_stats", q57, Some(q57Oracle)),
     Q("gv01_forget_scope", gv01, Some(gv01Oracle)),
     Q("gv02_k_anonymity", gv02, Some(gv02Oracle)),
+    Q("gv03_l_diversity", gv03, Some(gv03Oracle)),
+    Q("gv04_t_closeness", gv04, Some(gv04Oracle)),
   )
 }

@@ -190,8 +190,99 @@ object TimeSeries {
       |FROM br
       |ORDER BY region, day""".stripMargin
 
+  /** ts03 — CUSUM CHANGEPOINT detection (Page 1954; the offline single
+    * level-shift estimator, Pettitt-style argmax form): per series — the
+    * monthly order count of each order priority — locate the month where
+    * the cumulative deviation from the series mean peaks. With
+    * d_i = x_i − mean, the cusum c_t = Σ_{i≤t} d_i rises while the level
+    * is above the long-run mean and falls while below, so argmax_t |c_t|
+    * is the maximum-likelihood single-shift location; the output row per
+    * series carries that month, the peak magnitude, and the mean level on
+    * each side. The LEVEL-SHIFT monitor (did the pipeline's mix change on
+    * a date?) that q56's pointwise z-score outliers cannot express — a
+    * regime change never puts any single point 3σ out.
+    *
+    * INTEGER-EXACT across engines: means are ratios, so everything is
+    * scaled by n (c_t·n = n·cumsum_t − t·S over BIGINT counts — exact in
+    * both engines; argmax over exact integers ⇒ identical changepoint),
+    * and the side means are published in milli-units via BIGINT floor
+    * division. Ties break to the earliest month (rank orders by
+    * |c|·n DESC, t ASC — both deterministic integers).
+    *
+    * Scale shape: the fact collapses to (series, month) grain in one
+    * partial-aggregated groupBy — everything after runs at series×months
+    * cardinality (metadata-sized, the ts01 spine argument). The windows
+    * partition by series; no global sort, no self-join: cumulative sum +
+    * per-series totals + one rank pick the argmax in a single pass over
+    * the tiny grain.
+    */
+  def ts03(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, dir)
+      .groupBy(
+        col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("x"))
+    val series = Window.partitionBy(col("priority"))
+    val ordered = series.orderBy(col("month"))
+    val cum = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = monthly
+      .withColumn("n", count(lit(1)).over(series))
+      .withColumn("total", sum(col("x")).over(series))
+      .withColumn("t", row_number().over(ordered).cast("long"))
+      .withColumn("cum", sum(col("x")).over(cum))
+      // c_t scaled by n: n·cum_t − t·S (exact BIGINT); c_n = 0 by identity,
+      // so the t = n row never wins over any true deviation
+      .withColumn("cn", col("n") * col("cum") - col("t") * col("total"))
+      .filter(col("t") < col("n"))
+      .withColumn("absc", abs(col("cn")))
+    val pick = scored
+      .withColumn("rk", row_number().over(
+        series.orderBy(col("absc").desc, col("t"))))
+      .filter(col("rk") === 1)
+    pick.select(
+        col("priority"),
+        col("n").as("n_months"),
+        col("t").as("cp_idx"),
+        date_format(col("month"), "yyyy-MM-dd").as("cp_month"),
+        col("absc").as("max_abs_cusum_xn"),
+        expr("(cum * 1000) div t").as("mean_before_milli"),
+        expr("((total - cum) * 1000) div (n - t)").as("mean_after_milli"))
+      .orderBy(col("priority"))
+  }
+
+  val ts03Oracle: String =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority AS priority,
+      |    date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY priority, month),
+      |scored AS (
+      |  SELECT priority, month, x,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER w AS BIGINT) AS total,
+      |    CAST(row_number() OVER (PARTITION BY priority ORDER BY month) AS BIGINT) AS t,
+      |    CAST(SUM(x) OVER (PARTITION BY priority ORDER BY month
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM monthly
+      |  WINDOW w AS (PARTITION BY priority)),
+      |dev AS (
+      |  SELECT *, abs(n * cum - t * total) AS absc
+      |  FROM scored WHERE t < n),
+      |pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY priority
+      |    ORDER BY absc DESC, t) AS rk
+      |  FROM dev)
+      |SELECT priority, n AS n_months, t AS cp_idx,
+      |  strftime(month, '%Y-%m-%d') AS cp_month,
+      |  absc AS max_abs_cusum_xn,
+      |  (cum * 1000) // t AS mean_before_milli,
+      |  ((total - cum) * 1000) // (n - t) AS mean_after_milli
+      |FROM pick WHERE rk = 1 ORDER BY priority""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("ts01_gap_fill", ts01, Some(ts01Oracle)),
     Q("ts02_linear_interp", ts02, Some(ts02Oracle)),
+    Q("ts03_cusum_changepoint", ts03, Some(ts03Oracle)),
   )
 }

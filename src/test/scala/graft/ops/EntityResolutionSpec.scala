@@ -82,4 +82,62 @@ class EntityResolutionSpec extends AnyFunSuite with SparkSpec {
       .filter($"p_name".isin(memberOf.keySet.toSeq: _*)).count()
     assert(clusters.map(_.getAs[Long]("total_support")).sum == support)
   }
+
+  test("e04 distributed global rank + window == plain sorted-sequence SNM") {
+    // synthetic vocabulary with known sort order: matches at rank gaps
+    // 1 (ab/ac), 3 (ab/ax across two names), and one far pair (ab vs zb)
+    // that NO window w=10 may catch — pins both the offsets-based global
+    // rank (8 range partitions over 12 names forces several empty/short
+    // partitions) and the window cut
+    val names = Seq(
+      "ab", "ac", "ad", "ax", "be", "bf", "ca", "cb", "dd", "de", "zb", "zc")
+    val got = EntityResolution.snmPairs(names.toDF("p_name"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    // plain-Scala oracle: sort, slide w, levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(
+          d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    val sorted = names.sorted
+    val want = (for {
+      i <- sorted.indices
+      j <- (i + 1) until math.min(i + EntityResolution.SnmWindow, sorted.length)
+      dist = lev(sorted(i), sorted(j))
+      if dist >= 1 && dist <= EntityResolution.MaxEditDistance
+    } yield (sorted(i), sorted(j), (j - i).toLong, dist)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the far pair is cut by the window even though lev("ab","zb") == 1
+    assert(!got.exists { case (a, b, _, _) => a == "ab" && b == "zb" })
+  }
+
+  test("e04 on the part table: every pair is a true match within the window") {
+    val rows = EntityResolution.e04(spark, sfSmoke).collect()
+    rows.foreach { r =>
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= EntityResolution.MaxEditDistance)
+      assert(r.getLong(2) >= 1 && r.getLong(2) < EntityResolution.SnmWindow)
+    }
+    // complement evidence: SNM (whole-name sort) and e01 (head-noun block)
+    // are different indexes — on a last-word-block vocabulary the nearest
+    // SNM matches differ in a NON-final word, which e01's key keeps
+    val gotPairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val e01Pairs = EntityResolution.e01(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // no containment either way is required, but flags must be consistent
+    rows.foreach { r =>
+      val sameHead = r.getString(0).split(" ").last == r.getString(1).split(" ").last
+      assert(r.getBoolean(4) == !sameHead, s"missed_by_blocking flag wrong for $r")
+    }
+    // and any SNM pair the head-noun index also covers must appear in e01
+    gotPairs.filter { case (a, b) => a.split(" ").last == b.split(" ").last }
+      .foreach(p => assert(e01Pairs.contains(p), s"$p in SNM+same-block but not e01"))
+  }
 }

@@ -122,6 +122,59 @@ class ProfileSpec extends AnyFunSuite with SparkSpec {
     assert(direct.sum == total && direct.length ==
       rows.map(_.getAs[Long]("n_classes")).sum)
   }
+
+  test("gv03 l-diversity histogram: l bounded by the segment domain, rows partition the table") {
+    import org.apache.spark.sql.functions._
+    val rows = Profile.gv03(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val cust = graft.Tables.customer(spark, sfSmoke)
+    val nSegs = cust.select(col("c_mktsegment")).distinct().count()
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l")
+      assert(l >= 1 && l <= nSegs)
+      assert(r.getAs[Boolean]("below_l") == (l < Profile.DiversityL))
+    }
+    // n_rows over the histogram partitions the customer table exactly
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == cust.count())
+    // direct recompute: distinct-sensitive-count per (nat, band) class
+    val direct = cust.groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0))
+      .agg(countDistinct(col("c_mktsegment")).as("l")).collect()
+      .groupBy(_.getAs[Long]("l")).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getAs[Long]("l") -> r.getAs[Long]("n_classes")).toMap
+      == direct)
+  }
+
+  test("gv04 t-closeness: tvd in [0, 1e6] ppm, zero iff class mirrors the global mix, flag consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = Profile.gv04(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("tvd_ppm")
+      assert(t >= 0 && t <= 1000000L)
+      assert(r.getAs[Boolean]("above_t") == (t > Profile.ClosenessTppm))
+    }
+    // driver-side exact recompute on the smoke table (small by design)
+    val cust = graft.Tables.customer(spark, sfSmoke)
+      .select(col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"),
+        col("c_mktsegment").as("seg"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val bigN = cust.length.toLong
+    val global = cust.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val want = cust.groupBy(t => (t._1, t._2)).map { case ((nat, band), ms) =>
+      val n = ms.length.toLong
+      val cellCount = ms.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val num = global.map { case (seg, g) =>
+        math.abs(cellCount.getOrElse(seg, 0L) * bigN - n * g)
+      }.sum
+      (nat, band) -> (num * 1000000L) / (2L * n * bigN)
+    }
+    val got = rows.map(r => (r.getAs[Long]("nat"), r.getAs[Long]("band"))
+      -> r.getAs[Long]("tvd_ppm")).toMap
+    assert(got == want)
+  }
 }
 
 private object Dq {

@@ -54,6 +54,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // bounded score histogram / the scored docs (≤63000-row histogram by
     // arithmetic — see Tokenize.lmQualityBuckets)
     "t19_lm_quality_buckets",
+    // |sensitive domain| (5)-row global-mix and 1-row total relations
+    // fanned across the already-aggregated QI-class list — classes × 5
+    // rows, metadata-sized; the fact table never touches the nested loop
+    "gv04_t_closeness",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>

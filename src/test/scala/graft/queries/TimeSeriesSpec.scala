@@ -76,4 +76,42 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("ts03 cusum changepoint matches a plain-Scala exact recompute per series") {
+    import org.apache.spark.sql.functions._
+    val got = TimeSeries.ts03(spark, sfSmoke).collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    assert(got.nonEmpty)
+    // recompute the (priority, month, count) grain independently and run
+    // the scaled-cusum argmax in exact Long arithmetic on the driver
+    val monthly = graft.Tables.orders(spark, sfSmoke)
+      .groupBy(col("o_orderpriority").as("p"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    monthly.groupBy(_._1).foreach { case (p, rows) =>
+      val series = rows.sortBy(_._2).map(t => (t._2, t._3))
+      val n = series.length.toLong
+      val total = series.map(_._2).sum
+      var cum = 0L
+      val devs = series.zipWithIndex.dropRight(1).map { case ((m, x), i) =>
+        cum += x
+        val t = i + 1L
+        (math.abs(n * cum - t * total), t, m, cum)
+      }
+      val (absc, t, m, cumAt) = devs.minBy { case (a, t, _, _) => (-a, t) }
+      val r = got(p)
+      assert(r.getAs[Long]("n_months") == n, p)
+      assert(r.getAs[Long]("cp_idx") == t, p)
+      assert(r.getAs[String]("cp_month") == m, p)
+      assert(r.getAs[Long]("max_abs_cusum_xn") == absc, p)
+      assert(r.getAs[Long]("mean_before_milli") == (cumAt * 1000L) / t, p)
+      assert(r.getAs[Long]("mean_after_milli")
+        == ((total - cumAt) * 1000L) / (n - t), p)
+    }
+    // the t = n row (cusum identically 0) must never be selected
+    got.values.foreach(r =>
+      assert(r.getAs[Long]("cp_idx") < r.getAs[Long]("n_months")))
+  }
 }
