@@ -272,7 +272,11 @@ object Bench {
     val sysMap = jmap(_.sysT)
     val total = results.map(_.wall).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
+      // cpus in the artifact: executor-thread count changes per-task
+      // framework CPU materially (a width-4 run is NOT comparable to a
+      // width-32 one — learned the hard way in round 8), so the artifact
+      // must carry its own execution width
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
     // Artifact durability (two rounds of perf evidence were lost to stdout
     // interleaving / DNF): write the full JSON to a well-known file FIRST,
     // then print a marker-prefixed copy (grep-recoverable even if the tail

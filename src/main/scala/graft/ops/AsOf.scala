@@ -102,7 +102,145 @@ object AsOf {
       |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Mirror of [[asofJoin]] in the FORWARD direction: for each left row,
+    * the right row with the SMALLEST `rightTs >= leftTs` (equal
+    * timestamps match — right rows sort after left rows at equal ts, and
+    * the forward frame starts at the current row). Duplicate (key, ts)
+    * right rows resolve to the smallest carried tuple (the ascending-sort
+    * dual of backward's greatest-wins rule).
+    *
+    * Same scale shape as backward: one union, one per-key window — the
+    * operator never builds the range-join pair universe.
+    */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+  ): DataFrame = {
+    val collisions = left.columns.toSet.intersect(rightCols.toSet) - key
+    require(collisions.isEmpty,
+      s"asofJoinForward: rename right columns that collide with left: ${collisions.mkString(", ")}")
+    val leftTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(0)) // left sorts before right at equal ts
+      .withColumns(rightCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rightTagged = {
+      val base = right
+        .select((Seq(key, rightTs) ++ rightCols).distinct.map(col): _*)
+        .withColumn("__ts", col(rightTs))
+      (if (rightCols.contains(rightTs)) base else base.drop(rightTs))
+        .withColumn("__side", lit(1))
+        .withColumns(left.columns.filterNot(_ == key)
+          .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+    }
+    val unioned = leftTagged.unionByName(rightTagged)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts") +: col("__side") +: rightCols.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", first(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 0)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Staleness bound for [[q61]] in days (pandas `merge_asof(tolerance=…)`
+    * semantics: match the latest prior row, then REJECT it if it is older
+    * than the bound — a feature pipeline must not join a quote/profile
+    * that was stale at event time).
+    */
+  val ToleranceDays = 30
+
+  /** q61 — TOLERANCE-BOUNDED as-of: q31's attribution join, but a signup
+    * more than [[ToleranceDays]] days before the purchase no longer
+    * attributes it (both match columns null out TOGETHER — a half-matched
+    * row would be worse than no match). The match itself is unchanged —
+    * tolerance filters the one matched row per the pandas contract, it
+    * does not fall back to an older-but-in-window row (there is none:
+    * backward as-of already picked the newest).
+    */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("signup_ts"), $"event_id".as("signup_id"))
+    val fresh = datediff(to_date($"ts"), to_date($"asof_signup_ts")) <= ToleranceDays
+    asofJoin(purchases, signups, key = "user_id",
+      leftTs = "ts", rightTs = "signup_ts", rightCols = Seq("signup_ts", "signup_id"))
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+        when(fresh, date_format($"asof_signup_ts", "yyyy-MM-dd HH:mm:ss"))
+          .as("signup_time"),
+        when(fresh, $"asof_signup_id").as("signup_id"),
+        when(fresh, datediff(to_date($"ts"), to_date($"asof_signup_ts")))
+          .cast("long").as("stale_days"),
+      )
+      .orderBy($"event_id")
+  }
+
+  val q61Oracle: String =
+    s"""SELECT p.event_id, p.user_id,
+       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       |  CASE WHEN date_diff('day', CAST(s.signup_ts AS DATE), CAST(p.ts AS DATE)) <= $ToleranceDays
+       |       THEN strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') END AS signup_time,
+       |  CASE WHEN date_diff('day', CAST(s.signup_ts AS DATE), CAST(p.ts AS DATE)) <= $ToleranceDays
+       |       THEN s.signup_id END AS signup_id,
+       |  CASE WHEN date_diff('day', CAST(s.signup_ts AS DATE), CAST(p.ts AS DATE)) <= $ToleranceDays
+       |       THEN CAST(date_diff('day', CAST(s.signup_ts AS DATE), CAST(p.ts AS DATE)) AS BIGINT)
+       |  END AS stale_days
+       |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+       |ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+       |                FROM events WHERE event_type = 'signup') s
+       |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+       |ORDER BY p.event_id""".stripMargin
+
+  /** q62 — FORWARD as-of: for each signup, the user's FIRST purchase at
+    * or after it (time-to-activation — the mirror business question of
+    * q31's attribution). Oracle: DuckDB native ASOF with the inequality
+    * reversed — again two independent formulations of the operator
+    * agreeing row-for-row.
+    */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val signups = events.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+    asofJoinForward(signups, purchases, key = "user_id",
+      leftTs = "ts", rightTs = "purchase_ts",
+      rightCols = Seq("purchase_ts", "purchase_value"))
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+        date_format($"asof_purchase_ts", "yyyy-MM-dd HH:mm:ss").as("first_purchase_time"),
+        $"asof_purchase_value".as("purchase_value"),
+        datediff(to_date($"asof_purchase_ts"), to_date($"ts"))
+          .cast("long").as("days_to_convert"),
+      )
+      .orderBy($"event_id")
+  }
+
+  val q62Oracle: String =
+    """SELECT sg.event_id, sg.user_id,
+      |  strftime(sg.ts, '%Y-%m-%d %H:%M:%S') AS signup_time,
+      |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase_time,
+      |  p.purchase_value,
+      |  CAST(date_diff('day', CAST(sg.ts AS DATE), CAST(p.purchase_ts AS DATE)) AS BIGINT)
+      |    AS days_to_convert
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') sg
+      |ASOF LEFT JOIN (SELECT user_id, ts AS purchase_ts, value AS purchase_value
+      |                FROM events WHERE event_type = 'purchase') p
+      |  ON sg.user_id = p.user_id AND sg.ts <= p.purchase_ts
+      |ORDER BY sg.event_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_asof_join", q31, Some(q31Oracle)),
+    Q("q61_asof_tolerance", q61, Some(q61Oracle)),
+    Q("q62_asof_forward", q62, Some(q62Oracle)),
   )
 }

@@ -247,22 +247,8 @@ object EntityResolution {
   def snmPairs(entities: DataFrame): DataFrame = {
     val s = entities.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val parts = entities
-      .repartitionByRange(8, $"p_name")
-      .withColumn("pid", spark_partition_id())
-    val local = parts.withColumn(
-      "lr", row_number().over(Window.partitionBy($"pid").orderBy($"p_name")).cast("long"))
-    // per-partition counts: ≤ 8 rows — the running-sum window over it is
-    // metadata-scale, and the join back is an explicit broadcast
-    val offsets = local.groupBy($"pid").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(
-        sum($"c").over(Window.orderBy($"pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"pid", $"off")
     val ranked = graft.util.Eager.cached(
-      local.join(broadcast(offsets), Seq("pid"))
-        .select($"p_name", ($"lr" + $"off").as("rnk")))
+      Ranks.globalRank(entities, 8, $"p_name").select($"p_name", $"rnk"))
     val a = ranked.select($"p_name".as("a_name"), $"rnk")
     val b = ranked.select($"p_name".as("b_name"), $"rnk".as("rnk_b"))
     a.select($"a_name", $"rnk",

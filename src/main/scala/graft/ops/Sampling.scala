@@ -387,6 +387,57 @@ object Sampling {
       |  CAST(SUM(CASE WHEN rk <= 40 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  /** Data-parallel worker count for [[c08]]'s curriculum shards. */
+  val NumShards = 8
+
+  /** c08 — CURRICULUM SHARDING (Bengio et al. 2009's easy-first ordering,
+    * operationalized for data-parallel training): order the corpus by an
+    * integer difficulty proxy (document length; tiebreak doc_id so the
+    * order is total), then deal documents to [[NumShards]] workers
+    * ROUND-ROBIN BY GLOBAL RANK — each worker's local stream preserves
+    * the global easy→hard order AND every difficulty stratum is split
+    * evenly across workers (no worker trains on only-short docs while
+    * another gets only-long, the skew that breaks synchronized-step
+    * curricula). Output: the per-shard manifest (doc/char volume, rank
+    * and difficulty spans) a training launcher consumes.
+    *
+    * Scale shape: the global rank is [[Ranks.globalRank]] — one range
+    * exchange plus a broadcast offset map, never a single-partition
+    * window (the e04 recipe; at 100 TB the ordering pass is the same
+    * sort a sort-merge shuffle already does). Everything after is one
+    * partial-aggregated groupBy onto NumShards rows. The round-robin
+    * invariant is auditable in the output itself: within a shard,
+    * consecutive ranks differ by exactly NumShards, so
+    * max_rank − min_rank = (n_docs − 1)·NumShards.
+    */
+  def c08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    Ranks.globalRank(docs, 32, $"n_chars", $"doc_id")
+      .withColumn("shard", (($"rnk" - 1) % NumShards).cast("long"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"rnk").as("min_rank"),
+        max($"rnk").as("max_rank"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"shard")
+  }
+
+  val c08Oracle: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
+       |  FROM documents)
+       |SELECT CAST((rnk - 1) % $NumShards AS BIGINT) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(rnk) AS min_rank, MAX(rnk) AS max_rank,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q38_hash_sample", q38, Some(q38Oracle)),
     Q("c03_source_mixing", c03, Some(c03Oracle)),
@@ -395,5 +446,6 @@ object Sampling {
     Q("ml04_leakage_audit", ml04, Some(ml04Oracle)),
     Q("q60_weighted_sample", q60, Some(q60Oracle)),
     Q("c05_domain_caps", c05, Some(c05Oracle)),
+    Q("c08_curriculum_shards", c08, Some(c08Oracle)),
   )
 }

@@ -259,8 +259,131 @@ object Tokenize {
       |       ELSE 'tail' END AS bucket
       |FROM scored, th ORDER BY doc_id""".stripMargin
 
+  /** c09 — FILTER-AGREEMENT AUDIT (Cohen 1960's kappa over two quality
+    * raters): every serious curation pipeline runs BOTH a heuristic gate
+    * (t02's length/digit rules) and a model-based gate (t19's LM
+    * surprisal terciles); this op measures whether they agree beyond
+    * chance. Rater H passes a doc iff it has ≥ 20 words and ≤ 20% digit
+    * characters (integer form 5·digits ≤ chars — no float ratio); rater
+    * M passes iff the t19 bucket is head or middle (docs too short to
+    * have bigrams fail M by definition). Output: one row with the 2×2
+    * confusion, observed/chance agreement and kappa, all in ppm over
+    * exact BIGINTs — kappa near 0 means the expensive LM gate is adding
+    * nothing over chance given the marginals; kappa near 1 means it is
+    * redundant with the cheap rules; the useful regime in between is
+    * what this row quantifies release over release.
+    *
+    * Integer-exactness: po·N = n11+n00 and pe·N² = a1·b1 + a0·b0, so
+    * kappa = (N·(n11+n00) − (a1·b1+a0·b0)) / (N² − (a1·b1+a0·b0)) is a
+    * ratio of exact BIGINTs, published in ppm with explicit sign
+    * handling (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * they agree only on non-negatives, so the sign is factored out).
+    *
+    * Scale shape: rater H is per-row scalar math on the corpus scan;
+    * rater M reuses [[lmQualityBuckets]] (its shuffles are the t19
+    * plan); the confusion matrix is ONE conditional aggregate over the
+    * doc_id-keyed left join of the two verdict relations. Nothing
+    * beyond t19's own exchanges plus one join at corpus grain.
+    */
+  def c09(s: SparkSession, dir: String): DataFrame =
+    filterAgreement(Tables.documents(s, dir))
+
+  /** The [[c09]] audit over any (doc_id, text) relation — unit-testable on
+    * toy corpora with hand-derivable verdicts.
+    */
+  def filterAgreement(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chars = length($"text")
+    val words = size(filter(split($"text", " "), x => x =!= ""))
+    val digits = chars - length(regexp_replace($"text", "[0-9]", ""))
+    val heur = docs.select(
+      $"doc_id",
+      (words >= 20 && digits * 5 <= chars).as("pass_h"))
+    val lm = lmQualityBuckets(docs)
+      .select($"doc_id", ($"bucket" =!= "tail").as("pass_m0"))
+    val joined = heur.join(lm, Seq("doc_id"), "left")
+      .select($"pass_h", coalesce($"pass_m0", lit(false)).as("pass_m"))
+    joined.agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"pass_h" && $"pass_m", 1)).as("n11"),
+        count(when($"pass_h" && !$"pass_m", 1)).as("n10"),
+        count(when(!$"pass_h" && $"pass_m", 1)).as("n01"),
+        count(when(!$"pass_h" && !$"pass_m", 1)).as("n00"))
+      .select($"*",
+        expr("((n11 + n00) * 1000000) div n_docs").as("po_ppm"),
+        expr("(((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) * 1000000) div (n_docs * n_docs)")
+          .as("pe_ppm"))
+      .select($"*",
+        expr("""CASE WHEN n_docs * n_docs = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+                     THEN NULL
+                     WHEN n_docs * (n11 + n00) >= (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+                     THEN ((n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))) * 1000000)
+                          div (n_docs * n_docs - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+                     ELSE -((((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10) - n_docs * (n11 + n00)) * 1000000)
+                          div (n_docs * n_docs - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))))
+                END""").as("kappa_ppm"))
+  }
+
+  val c09Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |      x -> x <> '') AS sy
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, sy[i] AS l, sy[i+1] AS r
+      |  FROM (SELECT doc_id, sy, unnest(range(1, len(sy))) AS i
+      |        FROM toks WHERE len(sy) >= 2)),
+      |bc AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS bc FROM bi GROUP BY l, r),
+      |pcs AS (SELECT l, CAST(SUM(bc) AS BIGINT) AS pc FROM bc GROUP BY l),
+      |bits AS (
+      |  SELECT bc.l, bc.r, CAST(length(bin(pc // bc)) - 1 AS BIGINT) AS bits
+      |  FROM bc JOIN pcs ON bc.l = pcs.l),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(bits) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT) AS millibits
+      |  FROM bi JOIN bits ON bi.l = bits.l AND bi.r = bits.r
+      |  GROUP BY doc_id),
+      |hist AS (SELECT millibits, CAST(COUNT(*) AS BIGINT) AS nd FROM scored GROUP BY millibits),
+      |cum AS (SELECT millibits, SUM(nd) OVER (ORDER BY millibits) AS cum FROM hist),
+      |tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM hist),
+      |th AS (SELECT
+      |  (SELECT MIN(millibits) FROM cum, tot WHERE cum >= (n + 2) // 3) AS t1,
+      |  (SELECT MIN(millibits) FROM cum, tot WHERE cum >= (2 * n + 2) // 3) AS t2),
+      |lm AS (
+      |  SELECT doc_id, millibits <= t2 AS pass_m FROM scored, th),
+      |verdicts AS (
+      |  SELECT
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+      |      AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 5
+      |          <= length(text) AS pass_h,
+      |    COALESCE(pass_m, false) AS pass_m
+      |  FROM documents LEFT JOIN lm USING (doc_id)),
+      |conf AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(CASE WHEN pass_h AND pass_m THEN 1 END) AS BIGINT) AS n11,
+      |    CAST(COUNT(CASE WHEN pass_h AND NOT pass_m THEN 1 END) AS BIGINT) AS n10,
+      |    CAST(COUNT(CASE WHEN NOT pass_h AND pass_m THEN 1 END) AS BIGINT) AS n01,
+      |    CAST(COUNT(CASE WHEN NOT pass_h AND NOT pass_m THEN 1 END) AS BIGINT) AS n00
+      |  FROM verdicts)
+      |SELECT n_docs, n11, n10, n01, n00,
+      |  ((n11 + n00) * 1000000) // n_docs AS po_ppm,
+      |  (((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) * 1000000)
+      |    // (n_docs * n_docs) AS pe_ppm,
+      |  CASE WHEN n_docs * n_docs = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+      |       THEN NULL
+      |       WHEN n_docs * (n11 + n00) >= (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+      |       THEN ((n_docs * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))) * 1000000)
+      |            // (n_docs * n_docs - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)))
+      |       ELSE -((((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10) - n_docs * (n11 + n00)) * 1000000)
+      |            // (n_docs * n_docs - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))))
+      |  END AS kappa_ppm
+      |FROM conf""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t18_bpe_encode", t18, Some(t18Oracle)),
     Q("t19_lm_quality_buckets", t19, Some(t19Oracle)),
+    Q("c09_filter_agreement", c09, Some(c09Oracle)),
   )
 }

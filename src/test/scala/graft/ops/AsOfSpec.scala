@@ -50,4 +50,23 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == n)
     assert(out.filter($"asof_quote_id" === 7L).count() == n)
   }
+
+  test("forward asof picks earliest at-or-after right row; equal ts matches; no later -> null") {
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")), // equal-ts right exists -> match it
+      (2L, "a", ts("2024-01-01 11:00:00")), // between rights -> next one
+      (3L, "a", ts("2024-01-01 23:00:00")), // after all rights -> null
+      (4L, "b", ts("2024-01-01 00:00:00")), // key with no rights -> null
+    ).toDF("id", "k", "lts")
+    val right = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 100L),
+      ("a", ts("2024-01-01 12:00:00"), 200L),
+      ("a", ts("2024-01-01 09:00:00"), 50L), // earlier than every probe: never chosen
+    ).toDF("k", "rts", "rid")
+    val got = AsOf.asofJoinForward(left, right, "k", "lts", "rts", Seq("rts", "rid"))
+      .select($"id", $"asof_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(1L -> Some(100L), 2L -> Some(200L), 3L -> None, 4L -> None))
+  }
 }

@@ -121,4 +121,65 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val nSources = 20L // sources are disjoint across splits iff they sum to the distinct count
     assert(srcSplits == nSources, s"source splits overlap: $srcSplits != $nSources")
   }
+
+  test("Ranks.globalRank == single-partition row_number on a skewed, tie-heavy key") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties in the first order column (the c08 shape: many docs share
+    // a length) and a skewed distribution so range partitions are uneven;
+    // id makes the order total
+    val df = spark.range(0, 997).toDF("id")
+      .withColumn("k", (col("id") * col("id")) % 13)
+    val got = Ranks.globalRank(df, 7, col("k"), col("id"))
+      .select(col("id"), col("rnk"))
+    val want = df.withColumn("rnk",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select(col("id"), col("rnk"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // ranks are exactly 1..n
+    assert(got.agg(min("rnk"), max("rnk"), countDistinct("rnk"))
+      .collect()(0).toSeq == Seq(1L, 997L, 997L))
+  }
+
+  test("c08 shards: round-robin-by-rank invariant, strata split evenly, volumes partition the corpus") {
+    val rows = Sampling.c08(spark, sfSmoke).collect()
+    assert(rows.length == Sampling.NumShards)
+    val total = graft.Tables.documents(spark, sfSmoke).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // shard sizes differ by at most one (the round-robin deal)
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    rows.foreach { r =>
+      // within a shard consecutive ranks differ by exactly NumShards
+      assert(r.getAs[Long]("max_rank") - r.getAs[Long]("min_rank")
+        == (r.getAs[Long]("n_docs") - 1) * Sampling.NumShards)
+      // shard s holds exactly the ranks ≡ s+1 (mod NumShards)
+      assert((r.getAs[Long]("min_rank") - 1) % Sampling.NumShards
+        == r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+    }
+    // every shard spans (nearly) the whole difficulty range: each stratum
+    // is dealt across shards, so per-shard min/max chars must bracket the
+    // global min/max up to the NumShards-1 docs at each extreme
+    val gl = graft.Tables.documents(spark, sfSmoke)
+      .agg(org.apache.spark.sql.functions.min("n_chars"),
+        org.apache.spark.sql.functions.max("n_chars")).collect()(0)
+    // ranks 1..NumShards land one per shard, as do ranks n−NumShards+1..n,
+    // so EVERY shard's difficulty span brackets [max(bottom-8), min(top-8)]
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val loDocs = docs.orderBy(org.apache.spark.sql.functions.asc("n_chars"),
+        org.apache.spark.sql.functions.asc("doc_id"))
+      .limit(Sampling.NumShards).agg(fmax("n_chars")).collect()(0).getLong(0)
+    val hiDocs = docs.orderBy(org.apache.spark.sql.functions.desc("n_chars"),
+        org.apache.spark.sql.functions.desc("doc_id"))
+      .limit(Sampling.NumShards).agg(fmin("n_chars")).collect()(0).getLong(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_chars") <= loDocs,
+        s"shard ${r.getAs[Long]("shard")} missed the easy stratum")
+      assert(r.getAs[Long]("max_chars") >= hiDocs,
+        s"shard ${r.getAs[Long]("shard")} missed the hard stratum")
+    }
+    assert(gl.getLong(0) <= loDocs && hiDocs <= gl.getLong(1))
+  }
 }

@@ -99,4 +99,36 @@ class TokenizeSpec extends AnyFunSuite with SparkSpec {
       (tMin, _) <- byBucket.get("tail")
     } assert(mMax < tMin)
   }
+
+  test("c09 kappa: counts partition the corpus, ppm fields recompute from the confusion") {
+    val r = Tokenize.c09(spark, sfSmoke).collect()(0)
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n == n11 + n10 + n01 + n00)
+    assert(n == graft.Tables.documents(spark, sfSmoke).count())
+    assert(r.getAs[Long]("po_ppm") == (n11 + n00) * 1000000L / n)
+    val pe2 = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+    assert(r.getAs[Long]("pe_ppm") == pe2 * 1000000L / (n * n))
+    val num = n * (n11 + n00) - pe2
+    val den = n * n - pe2
+    val wantKappa: Option[Long] =
+      if (den == 0) None
+      else if (num >= 0) Some(num * 1000000L / den)
+      else Some(-((-num) * 1000000L / den))
+    assert(Option(r.getAs[java.lang.Long]("kappa_ppm")).map(_.toLong) == wantKappa)
+  }
+
+  test("c09 degenerate corpus: unanimous raters give pe = 1, kappa NULL") {
+    import spark.implicits._
+    // every doc identical, 24 words, no digits: H passes all; all docs
+    // share one millibits value, so t2 >= it and M passes all — pe = 1
+    val text = (1 to 24).map(i => "w" + ("abc" (i % 3))).mkString(" ")
+    val docs = (1L to 5L).map(i => (i, text)).toDF("doc_id", "text")
+    val r = Tokenize.filterAgreement(docs).collect()(0)
+    assert(r.getAs[Long]("n11") == 5 && r.getAs[Long]("n00") == 0)
+    assert(r.getAs[Long]("po_ppm") == 1000000L)
+    assert(r.getAs[Long]("pe_ppm") == 1000000L)
+    assert(Option(r.getAs[java.lang.Long]("kappa_ppm")).isEmpty)
+  }
 }

@@ -54,6 +54,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // bounded score histogram / the scored docs (≤63000-row histogram by
     // arithmetic — see Tokenize.lmQualityBuckets)
     "t19_lm_quality_buckets",
+    // c09 reuses t19's scoring core, so it inherits the same bounded
+    // 1-row threshold broadcasts (plus a 1-row confusion row at the end)
+    "c09_filter_agreement",
     // |sensitive domain| (5)-row global-mix and 1-row total relations
     // fanned across the already-aggregated QI-class list — classes × 5
     // rows, metadata-sized; the fact table never touches the nested loop
