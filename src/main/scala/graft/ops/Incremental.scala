@@ -268,10 +268,46 @@ object Incremental {
       |WHERE cosine >= 0.9
       |ORDER BY a, b""".stripMargin
 
+  /** i03 — TOMBSTONE-AWARE index maintenance: i01/i02 prove the ADD path
+    * is O(delta); this is the DELETE path — the erasure request (gv01's
+    * scope query decides WHO; this is the index-side propagation). Every
+    * 13th doc is tombstoned; the stored MinHash index (per-doc signature
+    * rows) is pruned by ONE anti-join on the tombstone set — no survivor
+    * is re-signed, no bucket is rebuilt — and candidates regenerate from
+    * the pruned index. The gate hash-matches a FROM-SCRATCH rebuild on
+    * the surviving corpus, which proves the two delete-correctness
+    * properties at once: NO GHOSTS (no pair touches a deleted doc — the
+    * leak a forgotten index row causes long after the raw doc is gone)
+    * and NO COLLATERAL (every surviving pair is still found: a pair's
+    * bucket co-membership depends only on its OWN two signatures, so
+    * removing other docs from a bucket never unlinks it — the algebraic
+    * reason pruning ≡ rebuild, and the reason the oracle can be d02's
+    * full-corpus pair sweep restricted to live×live endpoints).
+    *
+    * 100 TB shape: the prune is one broadcast anti-join of the (small)
+    * tombstone set against the index scan — O(index) read, O(live)
+    * write, zero signature computation; with the index stored
+    * hash-bucketed by doc_id it is partition-local. The candidate join
+    * after pruning is d02's unchanged banding plan.
+    */
+  def i03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val storedIndex = Dedup.minhashSignatures(docs) // yesterday's artifact
+    val tombstones = docs.filter($"doc_id" % 13 === 0).select($"doc_id")
+    val pruned = storedIndex.join(broadcast(tombstones), Seq("doc_id"), "left_anti")
+    Dedup.minhashCandidates(pruned)
+      .orderBy($"a", $"b")
+  }
+
+  def i03Oracle: String =
+    Dedup.d02OracleWhere(Some("x.doc_id % 13 <> 0 AND y.doc_id % 13 <> 0"))
+
   def all: Seq[Q] = Seq(
     Q("mv01_incremental_rollup", mv01, Some(mv01Oracle)),
     Q("dq03_snapshot_diff", dq03, Some(dq03Oracle)),
     Q("i01_incremental_dedup_index", i01, Some(i01Oracle)),
     Q("i02_incremental_ann_index", i02, Some(i02Oracle)),
+    Q("i03_tombstone_index_prune", i03, Some(i03Oracle)),
   )
 }

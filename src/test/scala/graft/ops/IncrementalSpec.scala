@@ -112,4 +112,25 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(inc == full)
     assert(inc.nonEmpty, "planted delta must produce near-dup pairs")
   }
+
+  test("i03 pruned index == rebuild on survivors: no ghosts, no collateral") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val pruned = Incremental.i03(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no ghosts: no surviving pair touches a tombstoned id
+    assert(pruned.forall { case (a, b) => a % 13 != 0 && b % 13 != 0 })
+    // no collateral: from-scratch rebuild on the surviving corpus agrees
+    val rebuilt = Dedup.minhashCandidates(
+        Dedup.minhashSignatures(docs.filter(col("doc_id") % 13 =!= 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == rebuilt)
+    // the tombstones actually removed something: the full-corpus index
+    // must contain at least one pair with a deleted endpoint
+    val full = Dedup.minhashCandidates(Dedup.minhashSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.exists { case (a, b) => a % 13 == 0 || b % 13 == 0 },
+      "fixture too weak: no pair touches a tombstone")
+    assert(full.filter { case (a, b) => a % 13 != 0 && b % 13 != 0 } == pruned)
+  }
 }
