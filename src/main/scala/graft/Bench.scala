@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSession
   * queries run in sorted-name order for run-to-run comparability.
   */
 object Bench {
+  /** First-touch MB/s measured by the pre-touch pass (artifact metadata). */
+  private var pretouchMbps: Double = -1.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,8 +71,14 @@ object Bench {
           System.err.println(s"[bench] pre-touch OOM at $touched MB; continuing partial")
       }
       hold.clear()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // recorded into the artifact below: the box's first-touch fault rate
+      // at run start is the cheapest storm detector (clean windows measure
+      // ~1.4 GB/s, storm windows ~50 MB/s — bimodal, nothing in between),
+      // so every artifact self-reports which regime produced it
+      pretouchMbps = if (sec > 0) touched / sec else -1.0
       System.err.println(
-        f"[bench] pre-touched $touched MB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        f"[bench] pre-touched $touched MB in $sec%.1f s")
     }
     // warmup: touch every table's file index once so the first measured
     // query isn't charged for it
@@ -276,7 +285,7 @@ object Bench {
       // framework CPU materially (a width-4 run is NOT comparable to a
       // width-32 one — learned the hard way in round 8), so the artifact
       // must carry its own execution width
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"pretouch_mbps":$pretouchMbps%.1f,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
     // Artifact durability (two rounds of perf evidence were lost to stdout
     // interleaving / DNF): write the full JSON to a well-known file FIRST,
     // then print a marker-prefixed copy (grep-recoverable even if the tail
