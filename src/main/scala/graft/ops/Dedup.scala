@@ -669,10 +669,11 @@ object Dedup {
     * Σ df² of a full index self-join — and never n². On top of the
     * prefix, the PPJoin+ POSITIONAL filter ([[containmentCandidates]])
     * bounds each candidate's best-case overlap from its first match's
-    * positions, the LENGTH filter drops sz_b·5 < sz_a·4 pairs before the
-    * pair shuffle, and the SUFFIX bound (exact prefix-match count m +
-    * remaining-suffix overlap cap) prunes the rest — all three drop only
-    * provably-failing pairs before verification.
+    * positions and the LENGTH filter drops sz_b·5 < sz_a·4 pairs before
+    * the pair shuffle — both drop only provably-failing pairs before
+    * verification. (A third, exact-m suffix bound was tried in round 7
+    * and removed in round 8: measured 1.8% pruning for +40% CPU — see
+    * [[containmentCandidates]].)
     * The verify stage is
     * one exact set intersection per candidate, compared as
     * 5·|A∩B| ≥ 4·|A| in integers. The oracle is the EXACT all-pairs
@@ -735,29 +736,24 @@ object Dedup {
       .groupBy(col("a"), col("b"))
       .agg(
         max(col("sz_a")).as("sza"),
-        max(col("sz_b")).as("szb"),
-        // m = |A_prefix ∩ B| EXACTLY (prefix and index each hold a shingle
-        // once), and the last prefix match's B-position bounds where any
-        // common suffix token can live: common tokens share their relative
-        // order, so a common token after A's prefix sits after j_last in B.
-        count(lit(1)).as("m"),
-        max(col("j")).as("j_last"),
         // lexicographic min = the first match (common tokens share their
-        // relative order, so min i and min j coincide)
-        min(struct(col("i"), col("j"))).as("f"))
+        // relative order, so min i and min j coincide); sz_b rides in the
+        // struct so the aggregate stays at TWO buffers — a round-8 paired
+        // A/B (interleaved clean-window runs, ab_A/B_1..4) measured the
+        // wider five-buffer form (extra m/j_last/szb columns feeding an
+        // exact-m suffix bound) at +40% query CPU while the suffix bound
+        // pruned only 1.8% of candidate pairs (D10 stage counts at sf0.1:
+        // 20.26M → 19.89M after an 86.7M-row aggregation). A lossless
+        // filter that cheap to fail must earn its bookkeeping; this one
+        // did not, so it was removed. The LENGTH filter above stays: one
+        // comparison per join row drops 18.5% of them (106.4M → 86.7M)
+        // BEFORE the pair exchange.
+        min(struct(col("i"), col("j"), col("sz_b"))).as("f"))
       // PPJoin+ positional bound from the first match: overlap ≤
       // 1 + min(|A|−i, |B|−j)
       .filter(
-        (lit(1) + least(col("sza") - col("f.i"), col("szb") - col("f.j"))) * 5
+        (lit(1) + least(col("sza") - col("f.i"), col("f.sz_b") - col("f.j"))) * 5
           >= col("sza") * 4)
-      // SUFFIX bound from the whole prefix: overlap = m + |common in A's
-      // suffix| ≤ m + min(|A|−k, |B|−j_last), with k = prefix length =
-      // sz − ⌈0.8·sz⌉ + 1, i.e. |A|−k = ⌈0.8·sza⌉ − 1. Upper bound ⇒
-      // pruning only provably-failing pairs; the exact all-pairs oracle
-      // hash-checks that nothing was lost.
-      .filter(
-        (col("m") + least(expr("(4 * sza + 4) DIV 5") - 1,
-          col("szb") - col("j_last"))) * 5 >= col("sza") * 4)
       .select(col("a"), col("b"))
   }
 
