@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through VERBATIM (default LoggedOutput prefixes
+// every line with "[info] ", which broke the driver's bench-JSON line parse
+// for eight straight rounds — BENCH_r0*.json parsed:null): the driver needs
+// Bench's bare one-line JSON exactly as printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

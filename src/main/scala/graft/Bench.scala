@@ -11,6 +11,27 @@ object Bench {
   /** First-touch MB/s measured by the pre-touch pass (artifact metadata). */
   private var pretouchMbps: Double = -1.0
 
+  /** Current first-touch fault rate, measured OUTSIDE the Java heap: with
+    * Xms==Xmx the heap's pages stay committed after the initial pre-touch,
+    * so re-touching heap arrays would measure memset speed, not the
+    * kernel's fault rate. A direct buffer is a fresh mmap every time — its
+    * first touch hits the kernel in whatever regime the box is currently
+    * in (clean windows ~1.4 GB/s, storm windows ~50 MB/s; bimodal). The
+    * buffer is freed eagerly via its cleaner (sun.nio.ch is add-opens'd).
+    */
+  private def probeFaultMbps(mb: Int = 256): Double = {
+    val bb = java.nio.ByteBuffer.allocateDirect(mb << 20)
+    val t0 = System.nanoTime()
+    var off = 0
+    while (off < bb.capacity()) { bb.put(off, 1.toByte); off += 4096 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    try {
+      val cleaner = bb.getClass.getMethod("cleaner").invoke(bb)
+      cleaner.getClass.getMethod("clean").invoke(cleaner)
+    } catch { case _: Throwable => () } // GC will reclaim it eventually
+    if (sec > 0) mb / sec else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -205,9 +226,40 @@ object Bench {
     val cpus_ = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val usrs = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val syss = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // which rep produced each appended sample (later reps can skip queries
+    // on budget exhaustion, so vector position ≠ rep number)
+    val repOf = scala.collection.mutable.Map.empty[String, Vector[Int]]
+    // Storm gating (round-8 verdict): the harness must refuse to be fooled
+    // by the box's anonymous-memory fault storms. Before each rep, probe
+    // the CURRENT fault rate; below the floor, wait (bounded) for a clean
+    // window rather than publishing storm-dominated numbers as medians.
+    // Each rep is stamped storm:true/false — probe-rate OR sys-fraction —
+    // so a partially-clean run still yields per-query valid medians (clean
+    // reps preferred below).
+    val stormFloorMbps = sys.env.get("SPARK_GRAFT_STORM_FLOOR_MBPS")
+      .flatMap(_.toIntOption).getOrElse(300)
+    val stormWaitSec = sys.env.get("SPARK_GRAFT_STORM_WAIT_SEC")
+      .flatMap(_.toIntOption).getOrElse(120)
+    val repProbe = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val repStorm = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val repUsrTot = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val repSysTot = scala.collection.mutable.ArrayBuffer.empty[Double]
     var rep = 1
     var outOfBudget = false
     while (rep <= reps && !outOfBudget) {
+      var probe = probeFaultMbps()
+      val waitStart = System.nanoTime()
+      while (probe >= 0 && probe < stormFloorMbps &&
+        (System.nanoTime() - waitStart) / 1e9 < stormWaitSec &&
+        elapsedSec < hardCapSec * 0.5) {
+        System.err.println(f"[bench] fault-rate probe $probe%.0f MB/s < " +
+          f"$stormFloorMbps floor before rep $rep; waiting for a clean window")
+        Thread.sleep(15000)
+        probe = probeFaultMbps()
+      }
+      repProbe += probe
+      repUsrTot += 0.0
+      repSysTot += 0.0
       names.foreach { case (name, fn) =>
         if (elapsedSec > hardCapSec) {
           if (!outOfBudget) {
@@ -221,6 +273,7 @@ object Bench {
             cpus_(name) = cpus_.getOrElse(name, Vector.empty) :+ -1.0
             usrs(name) = usrs.getOrElse(name, Vector.empty) :+ -1.0
             syss(name) = syss.getOrElse(name, Vector.empty) :+ -1.0
+            repOf(name) = repOf.getOrElse(name, Vector.empty) :+ rep
           }
         } else if (rep == 1 || elapsedSec < budgetSec) {
           val c0 = cpuNow()
@@ -239,10 +292,13 @@ object Bench {
           val (u1, s1) = if (ok) procUserSys() else (-1.0, -1.0)
           times(name) = times.getOrElse(name, Vector.empty) :+ t
           cpus_(name) = cpus_.getOrElse(name, Vector.empty) :+ c
-          usrs(name) = usrs.getOrElse(name, Vector.empty) :+
-            (if (ok && u0 >= 0 && u1 >= 0) u1 - u0 else -1.0)
-          syss(name) = syss.getOrElse(name, Vector.empty) :+
-            (if (ok && s0 >= 0 && s1 >= 0) s1 - s0 else -1.0)
+          val du = if (ok && u0 >= 0 && u1 >= 0) u1 - u0 else -1.0
+          val ds = if (ok && s0 >= 0 && s1 >= 0) s1 - s0 else -1.0
+          usrs(name) = usrs.getOrElse(name, Vector.empty) :+ du
+          syss(name) = syss.getOrElse(name, Vector.empty) :+ ds
+          repOf(name) = repOf.getOrElse(name, Vector.empty) :+ rep
+          if (du >= 0) repUsrTot(rep - 1) += du
+          if (ds >= 0) repSysTot(rep - 1) += ds
           // outside the timed window: this query's Eager.cached relations
           // must not ride into (or slow down) the next query's heap
           spark.catalog.clearCache()
@@ -255,19 +311,37 @@ object Bench {
       }
       rep += 1
     }
+    // A rep's storm stamp: fault-rate probe below the floor going in, OR
+    // whole-process sys time ≥ 15% of usr across the rep's queries (the
+    // storm signature — sys ≥ usr was the round-8 driver bench's tell).
+    repProbe.indices.foreach { i =>
+      repStorm += ((repProbe(i) >= 0 && repProbe(i) < stormFloorMbps) ||
+        (repUsrTot(i) > 0 && repSysTot(i) >= 0.15 * repUsrTot(i)))
+    }
     // LOWER median: with an even rep count the plain upper-median reports
     // the WORSE of the two middle reps, so a single environmental stall
     // (host disk dip) masquerades as the query's time. Odd rep counts are
     // unaffected; reps=2 degrades to min — the standard noisy-box posture.
+    // Storm-stamped reps are excluded whenever a query has at least one
+    // clean valid sample, so a partially-clean run still yields per-query
+    // valid medians (the all-storm fallback keeps the artifact total
+    // comparable and is visible via rep_storm).
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    def cleanFirst(name: String, m: scala.collection.Map[String, Vector[Double]]): Vector[Double] = {
+      val vs = m.getOrElse(name, Vector.empty)
+      val rs = repOf.getOrElse(name, Vector.empty)
+      val valid = vs.zip(rs).filter(_._1 >= 0)
+      val clean = valid.filter { case (_, r) => !repStorm(r - 1) }
+      (if (clean.nonEmpty) clean else valid).map(_._1)
+    }
     def medOf(m: scala.collection.Map[String, Vector[Double]], name: String): Double = {
-      val ok = m.getOrElse(name, Vector.empty).filter(_ >= 0)
+      val ok = cleanFirst(name, m)
       if (ok.isEmpty) -1.0 else median(ok)
     }
     case class R(name: String, wall: Double, spread: Double,
         cpu: Double, usr: Double, sysT: Double)
     val results = names.map { case (name, _) =>
-      val ok = times(name).filter(_ >= 0)
+      val ok = cleanFirst(name, times)
       if (ok.isEmpty) R(name, -1.0, -1.0, -1.0, -1.0, -1.0)
       else R(name, median(ok), ok.max - ok.min,
         medOf(cpus_, name), medOf(usrs, name), medOf(syss, name))
@@ -280,12 +354,16 @@ object Bench {
     val usrMap = jmap(_.usr)
     val sysMap = jmap(_.sysT)
     val total = results.map(_.wall).filter(_ >= 0).sum
+    // cpus in the artifact: executor-thread count changes per-task
+    // framework CPU materially (a width-4 run is NOT comparable to a
+    // width-32 one — learned the hard way in round 8), so the artifact
+    // must carry its own execution width. Quoted fallback for non-numeric
+    // values ('*' for local[*]) keeps the artifact valid JSON.
+    val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
+    val repProbeJson = repProbe.map(p => f"$p%.1f").mkString("[", ",", "]")
+    val repStormJson = repStorm.mkString("[", ",", "]")
     val json =
-      // cpus in the artifact: executor-thread count changes per-task
-      // framework CPU materially (a width-4 run is NOT comparable to a
-      // width-32 one — learned the hard way in round 8), so the artifact
-      // must carry its own execution width
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"pretouch_mbps":$pretouchMbps%.1f,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpusJson,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_storm":$repStormJson,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
     // Artifact durability (two rounds of perf evidence were lost to stdout
     // interleaving / DNF): write the full JSON to a well-known file FIRST,
     // then print a marker-prefixed copy (grep-recoverable even if the tail

@@ -162,6 +162,32 @@ object WhoStarQueries {
       .orderBy("country_short_code", "date", "country",
         "confirmed_cases", "deaths", "vaccinations")
 
+  /** wst11 — Grafana panel 6 (W3 global yearly lag): incremental CFR from
+    * year-over-year deltas of the global rollup (reference:
+    * app/grafana/Dashboard.json panel 6 SQL). The lag window is a single
+    * partition over ≤ 5 year rows — never the raw fact.
+    */
+  def wst11(s: SparkSession, dir: String): DataFrame = {
+    val covid = EtlJob.prepareCovid(
+      EtlJob.readWhoCovid(s, s"$dataDir/WHO-COVID-19-global-data.csv"))
+    DerivedTables.panelGlobalYearlyCfr(DerivedTables.covidRegionYearlySummary(covid))
+      .withColumn("time", date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("time")
+  }
+
+  /** wst12 — Grafana panels 3/4 (W4 per-region yearly lag): year-over-year
+    * new-cases delta per WHO region (reference: app/grafana/Dashboard.json
+    * panels 3/4 SQL), partitioned lag over the region-yearly rollup.
+    */
+  def wst12(s: SparkSession, dir: String): DataFrame = {
+    val covid = EtlJob.prepareCovid(
+      EtlJob.readWhoCovid(s, s"$dataDir/WHO-COVID-19-global-data.csv"))
+    DerivedTables.panelRegionYearlyDelta(
+      DerivedTables.covidRegionYearlySummary(covid), "cases")
+      .withColumn("time", date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("time", "WHO_region")
+  }
+
   // ---- DuckDB oracle ------------------------------------------------------
 
   private val whoCsv: String =
@@ -375,6 +401,37 @@ object WhoStarQueries {
        |ORDER BY ws.country_short_code, date, country, confirmed_cases,
        |  deaths, vaccinations""".stripMargin
 
+  val wst11Oracle: String =
+    s"""WITH yearly AS (
+       |  SELECT CAST(CAST(EXTRACT(YEAR FROM Date_reported) AS INT) || '-01-01'
+       |              AS TIMESTAMP) AS Year_ts,
+       |    CAST(SUM(COALESCE(New_deaths, 0)) AS BIGINT) AS cumulative_deaths,
+       |    CAST(SUM(COALESCE(New_cases, 0)) AS BIGINT) AS cumulative_cases
+       |  FROM $whoCsv GROUP BY 1
+       |), lagged AS (
+       |  SELECT Year_ts, cumulative_deaths, cumulative_cases,
+       |    lag(cumulative_deaths) OVER (ORDER BY Year_ts) AS previous_deaths,
+       |    lag(cumulative_cases) OVER (ORDER BY Year_ts) AS previous_cases
+       |  FROM yearly)
+       |SELECT strftime(Year_ts, '%Y-%m-%d %H:%M:%S') AS time,
+       |  (CAST(cumulative_deaths - COALESCE(previous_deaths, 0) AS DOUBLE)
+       |    / NULLIF(cumulative_cases - COALESCE(previous_cases, 0), 0)) * 100
+       |    AS case_fatality_ratio_pct
+       |FROM lagged ORDER BY time""".stripMargin
+
+  val wst12Oracle: String =
+    s"""WITH ry AS (
+       |  SELECT COALESCE(WHO_region, 'UNKNOWN') AS WHO_region,
+       |    CAST(CAST(EXTRACT(YEAR FROM Date_reported) AS INT) || '-01-01'
+       |         AS TIMESTAMP) AS Year_ts,
+       |    CAST(SUM(COALESCE(New_cases, 0)) AS BIGINT) AS total_new_cases
+       |  FROM $whoCsv GROUP BY 1, 2)
+       |SELECT strftime(Year_ts, '%Y-%m-%d %H:%M:%S') AS time, WHO_region,
+       |  CAST(total_new_cases - COALESCE(
+       |    lag(total_new_cases) OVER (PARTITION BY WHO_region ORDER BY Year_ts),
+       |    0) AS BIGINT) AS cases_yearly
+       |FROM ry ORDER BY time, WHO_region""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("wst01_who_region_dim", wst01, Some(wst01Oracle)),
     Q("wst02_country_dim", wst02, Some(wst02Oracle)),
@@ -386,5 +443,7 @@ object WhoStarQueries {
     Q("wst08_region_yearly_summary", wst08, Some(wst08Oracle)),
     Q("wst09_global_total_cumulative_cases", wst09, Some(wst09Oracle)),
     Q("wst10_global_statistics", wst10, Some(wst10Oracle)),
+    Q("wst11_panel_global_yearly_cfr", wst11, Some(wst11Oracle)),
+    Q("wst12_panel_region_yearly_delta", wst12, Some(wst12Oracle)),
   )
 }

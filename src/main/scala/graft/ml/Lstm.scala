@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *  - A PyTorch zip checkpoint stores one raw little-endian float32 buffer
   *    per tensor (`data/0..9`) plus a pickled key→storage map (`data.pkl`).
   *    The state-dict key order and storage ids were verified against the
-  *    committed file; the loader re-checks both (key strings must appear in
-  *    canonical nn.LSTM order, buffer lengths must match the declared
-  *    architecture) and refuses anything else.
+  *    committed file; the loader re-checks all three bindings (key strings
+  *    in canonical nn.LSTM order, each key's pickled region carrying its
+  *    own storage id — so same-shape storages permuted are refused — and
+  *    buffer lengths matching the declared architecture).
   *  - The sklearn LabelEncoder (`label_encoder.pkl`) stores `classes_` as a
   *    pickled list of strings between an EMPTY_LIST/MARK and APPENDS opcode
   *    pair; [[loadClasses]] is a 20-line reader of exactly that framing.
@@ -39,8 +40,20 @@ import org.apache.spark.sql.functions._
   */
 object Lstm {
 
-  val ModelPath = "/root/reference/modele_lstm_owid.pth"
-  val EncoderPath = "/root/reference/label_encoder.pkl"
+  /** Checkpoint/encoder locations are deploy knobs (`graft.lstm.model` /
+    * `SPARK_GRAFT_LSTM_PTH`, `graft.lstm.encoder` /
+    * `SPARK_GRAFT_LSTM_ENCODER`) so the engine can serve `model=lstm`
+    * without the reference checkout mounted; the reference paths stay the
+    * defaults for the parity specs.
+    */
+  def ModelPath: String =
+    sys.props.get("graft.lstm.model")
+      .orElse(sys.env.get("SPARK_GRAFT_LSTM_PTH"))
+      .getOrElse("/root/reference/modele_lstm_owid.pth")
+  def EncoderPath: String =
+    sys.props.get("graft.lstm.encoder")
+      .orElse(sys.env.get("SPARK_GRAFT_LSTM_ENCODER"))
+      .getOrElse("/root/reference/label_encoder.pkl")
 
   /** Reference window length (predict_france_with_model.py:21). */
   val Lookback = 50
@@ -154,6 +167,21 @@ object Lstm {
         require(i >= 0, s"$path: state-dict key $k missing"); i
       }
       require(pos == pos.sorted, s"$path: state-dict keys out of canonical order")
+      // key→storage binding, not just key order: each dict value is a
+      // _rebuild_tensor_v2 whose persistent id carries the storage key as a
+      // protocol-2 BINUNICODE string ('X' + 4-byte LE length + digits),
+      // pickled between this dict key and the next. Same-shape storages
+      // permuted (weight_ih_l1 vs weight_hh_l1 are both 512x128; the four
+      // l1 biases are all length 512) would otherwise load silently
+      // transposed.
+      StateDictKeys.indices.foreach { i =>
+        val regionEnd = if (i + 1 < pos.length) pos(i + 1) else pkl.length
+        val idStr = i.toString
+        val storageId = "X" + idStr.length.toChar + "\u0000\u0000\u0000" + idStr
+        val at = pkl.indexOf(storageId, pos(i))
+        require(at >= 0 && at < regionEnd,
+          s"$path: storage $i not bound to key ${StateDictKeys(i)}")
+      }
       def floats(i: Int): Array[Float] = {
         val fb = ByteBuffer.wrap(bytes(s"data/$i"))
           .order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
@@ -228,28 +256,35 @@ object Lstm {
   }
 
   /** The reference's autoregressive loop (predict_france_with_model.py:
-    * 87-101): window = last [[Lookback]] scaled rows hstacked with the
+    * 67-101): the MinMax scaler is fit on the country's FULL series —
+    * including rows at/after start_date (predict_france_with_model.py:68-69
+    * scales before any slicing, so later rows can move a column's min/max);
+    * the window is the [[Lookback]] scaled rows ending just before
+    * `startIdx` (the first row at/after start_date), hstacked with the
     * country one-hot; each step feeds the prediction back as the next
     * new_cases with zeros for the other two features; inverse-transform
-    * column 0 at the end.
+    * column 0 with the full-series scaler at the end.
     *
-    * `history` is the country's (new_cases, new_tests, people_vaccinated)
-    * matrix in date order, already filtered the reference's way; the window
-    * is its last [[Lookback]] rows. Requires `history.length ≥ Lookback`.
+    * `history` is the country's complete (new_cases, new_tests,
+    * people_vaccinated) matrix in date order, already filtered the
+    * reference's way. Requires `Lookback ≤ startIdx ≤ history.length`
+    * (the reference 400s otherwise, predict_france_with_model.py:78-80).
     */
   def predictCases(
       net: Network,
       history: Array[Array[Double]],
+      startIdx: Int,
       countryId: Int,
       numCountries: Int,
       days: Int): Array[Double] = {
-    require(history.length >= Lookback, s"need ≥ $Lookback rows, got ${history.length}")
+    require(startIdx >= Lookback && startIdx <= history.length,
+      s"need $Lookback ≤ startIdx ≤ ${history.length}, got $startIdx")
     require(net.inputSize == NumFeatures + numCountries,
       s"model input ${net.inputSize} != $NumFeatures + $numCountries")
     val (scaled, min0, range0) = minMaxScale(history)
     val onehot = Array.tabulate(numCountries)(i => if (i == countryId) 1.0 else 0.0)
     val window = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    window ++= scaled.takeRight(Lookback).map(_ ++ onehot)
+    window ++= scaled.slice(startIdx - Lookback, startIdx).map(_ ++ onehot)
     val preds = new Array[Double](days)
     var d = 0
     while (d < days) {
@@ -277,18 +312,29 @@ object Lstm {
       .na.fill(0, Seq("new_tests", "people_vaccinated"))
       .filter(col("location").isin(known.toSeq: _*))
 
-  /** Bounded per-country history: rows strictly before `startDate`, date
-    * order, as the (new_cases, new_tests, people_vaccinated) matrix the
-    * rollout consumes. One country's 2020-2022 daily tail ≤ ~1100 rows.
+  /** Bounded per-country series: the country's COMPLETE filtered history in
+    * date order (the reference fits its scaler and indexes start_date over
+    * the full series, predict_france_with_model.py:63-83), as ISO date
+    * strings plus the (new_cases, new_tests, people_vaccinated) matrix the
+    * rollout consumes. One collect — the serving path derives start index
+    * and last-known date from it with no second Spark job. One country's
+    * 2020-2022 daily series ≤ ~1100 rows.
     */
-  def countryHistory(prepared: DataFrame, country: String, startDate: String): Array[Array[Double]] =
-    prepared
-      .filter(col("location") === country && col("date") < startDate)
-      .orderBy("date")
+  def countryHistory(prepared: DataFrame, country: String): (Array[String], Array[Array[Double]]) = {
+    // date order restored driver-side (ISO strings sort chronologically):
+    // a distributed orderBy before a bounded collect would cost a range-
+    // sampling job + a shuffle job for ≤ ~1100 rows — sortBy here keeps
+    // the serving path at exactly one Spark job per request
+    val rows = prepared
+      .filter(col("location") === country)
       .select(
+        date_format(col("date"), "yyyy-MM-dd"),
         col("new_cases").cast("double"),
         col("new_tests").cast("double"),
         col("people_vaccinated").cast("double"))
       .collect()
-      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_.getString(0))
+    (rows.map(_.getString(0)),
+      rows.map(r => Array(r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+  }
 }

@@ -572,6 +572,97 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // c10 — leakage-safe train/val/test splits (split by near-dup cluster)
+  // ---------------------------------------------------------------------
+
+  /** 80/10/10 split thresholds on the md5-prefix space (the
+    * [[Sampling.hashSampleFilter]] rule): first 8 hex chars < 0.8·2³² →
+    * train, < 0.9·2³² → val, else test.
+    */
+  private val TrainThr = f"${(0.80 * 0xFFFFFFFFL).toLong}%08x"
+  private val ValThr = f"${(0.90 * 0xFFFFFFFFL).toLong}%08x"
+
+  /** c10 — LEAKAGE-SAFE corpus splits: every document is assigned to
+    * train/val/test by a deterministic hash of its NEAR-DUP CLUSTER
+    * representative (the d06 component label; singletons hash their own
+    * id), so near-duplicate documents can never straddle a split boundary
+    * — the eval-contamination failure mode a naive per-doc hash split has
+    * (Lee 2022, "Deduplicating Training Data Makes Language Models
+    * Better", §6: near-dups of eval data inflate scores). Output is the
+    * per-split audit: doc count, cluster count, and how many docs a naive
+    * per-doc split would have placed differently (each such doc is a
+    * potential cross-split leak).
+    *
+    * 100 TB posture: the cluster labels are candidate-graph-sized (orders
+    * of magnitude smaller than the corpus), so the corpus-scale work is
+    * ONE left join corpus⋈labels — broadcast when the label relation fits,
+    * hash-partitioned on doc_id otherwise — plus a per-split partial agg.
+    * The split of a doc depends only on its cluster representative: adding
+    * new documents later can merge clusters (changing some labels) but
+    * never moves an untouched cluster, so incremental re-splits are
+    * cluster-local.
+    */
+  def c10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sigs = graft.util.Eager.cached(minhashSignatures(docs))
+    val edges = minhashCandidates(sigs)
+      .filter($"est_jaccard" >= 0.5)
+      .select("a", "b")
+    val comps = connectedComponents(edges)
+    def splitOf(k: Column): Column = {
+      val h = substring(md5(k.cast("string")), 1, 8)
+      when(h < TrainThr, "train").when(h < ValThr, "val").otherwise("test")
+    }
+    docs.select($"doc_id")
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_key", coalesce($"comp", $"doc_id"))
+      .withColumn("split", splitOf($"cluster_key"))
+      .withColumn("naive_split", splitOf($"doc_id"))
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_key").as("n_clusters"),
+        sum(when($"naive_split" =!= $"split", 1L).otherwise(0L))
+          .as("n_leak_prevented"),
+      )
+      .orderBy($"split")
+  }
+
+  val c10Oracle: String = {
+    val est = (0 until NumPerms)
+      .map(p => s"(CASE WHEN x.s$p = y.s$p THEN 1 ELSE 0 END)").mkString(" + ")
+    def splitSql(k: String) =
+      s"""CASE WHEN substring(md5(CAST($k AS VARCHAR)), 1, 8) < '$TrainThr'
+         |       THEN 'train'
+         |       WHEN substring(md5(CAST($k AS VARCHAR)), 1, 8) < '$ValThr'
+         |       THEN 'val' ELSE 'test' END""".stripMargin
+    s"""${sigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ($bandCond)
+       |  WHERE CAST(($est) AS DOUBLE) / $NumPerms >= 0.5),
+       |nodes AS (SELECT a AS id FROM cand UNION SELECT b FROM cand),
+       |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |reach AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id),
+       |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_key
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |sp AS (SELECT doc_id, cluster_key,
+       |    ${splitSql("cluster_key")} AS split,
+       |    ${splitSql("doc_id")} AS naive_split
+       |  FROM assigned)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT cluster_key) AS n_clusters,
+       |  CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_leak_prevented
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // d09 — chunk-level (paragraph/line) dedup, CCNet/RefinedWeb-style
   // ---------------------------------------------------------------------
 
@@ -965,6 +1056,7 @@ object Dedup {
     Q("d10_containment_join", d10, Some(d10Oracle)),
     Q("d11_dedup_threshold_sweep", d11, Some(d11Oracle)),
     Q("c02_neardup_consolidation", c02, Some(c02Oracle)),
+    Q("c10_leakage_safe_splits", c10, Some(c10Oracle)),
     Q("c06_contamination_blast_radius", c06, Some(c06Oracle)),
   )
 }

@@ -318,7 +318,10 @@ object Serve {
             case None =>
               respond(ex, 503, err("LSTM feed not configured: set " +
                 "SPARK_GRAFT_OWID_CSV to an owid-shaped CSV " +
-                "(the reference's owid-covid-data.csv is not committed)"))
+                "(the reference's owid-covid-data.csv is not committed); " +
+                "SPARK_GRAFT_LSTM_PTH / SPARK_GRAFT_LSTM_ENCODER point at " +
+                "the checkpoint + label encoder if the reference checkout " +
+                "is not mounted"))
             case Some(csv) =>
               val classes = graft.ml.Lstm.referenceClasses
               val countryId = classes.indexOf(country)
@@ -326,17 +329,33 @@ object Serve {
               else {
                 val prepared = graft.ml.Lstm.prepareOwid(
                   graft.etl.EtlJob.readOwid(spark, csv), classes.toSet)
-                val hist = graft.ml.Lstm.countryHistory(prepared, country, startDate)
-                if (hist.length < graft.ml.Lstm.Lookback)
-                  respond(ex, 400, err(s"too little data for $country before $startDate"))
+                // ONE Spark action per request: dates + features in a single
+                // bounded collect; start index and last-known date are
+                // derived from it driver-side
+                val (dates, hist) = graft.ml.Lstm.countryHistory(prepared, country)
+                // the reference's guards, in its order
+                // (predict_france_with_model.py:64-80): too-short series,
+                // then no row at/after start_date OR fewer than Lookback
+                // rows before it
+                // normalize to ISO before the string compare (the reference
+                // pd.to_datetime's the param); unparsable → 400
+                val isoStart =
+                  try java.time.LocalDate.parse(startDate).toString
+                  catch { case _: java.time.format.DateTimeParseException => null }
+                val startIdx =
+                  if (isoStart == null) -1 else dates.indexWhere(_ >= isoStart)
+                if (isoStart == null)
+                  respond(ex, 400, err(s"unparsable start_date: $startDate"))
+                else if (hist.length < graft.ml.Lstm.Lookback)
+                  respond(ex, 400, err(s"too little data for $country"))
+                else if (startIdx < 0 || startIdx < graft.ml.Lstm.Lookback)
+                  respond(ex, 400,
+                    err(s"invalid or insufficient start_date for $country"))
                 else {
-                  val lastKnown = prepared
-                    .filter(col("location") === country &&
-                      col("date") < org.apache.spark.sql.functions.lit(startDate))
-                    .agg(org.apache.spark.sql.functions.max("date"))
-                    .collect()(0).getDate(0).toLocalDate
+                  val lastKnown = java.time.LocalDate.parse(dates(startIdx - 1))
                   val preds = graft.ml.Lstm.predictCases(
-                    graft.ml.Lstm.referenceModel, hist, countryId, classes.length, days)
+                    graft.ml.Lstm.referenceModel, hist, startIdx, countryId,
+                    classes.length, days)
                   val items = preds.zipWithIndex.map { case (v, i) =>
                     s"""{"date":"${lastKnown.plusDays(i + 1L)}","predicted_cases":${v.toLong}}"""
                   }

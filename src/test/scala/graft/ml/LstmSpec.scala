@@ -75,6 +75,29 @@ class LstmSpec extends AnyFunSuite with SparkSpec {
     assert(y1 == y2 && !y1.isNaN && !y1.isInfinite)
   }
 
+  test("GOLDEN: forward pass + rollout pinned on the committed weights") {
+    // Frozen values from this verified loader+cell-math on the committed
+    // checkpoint (no torch in this environment — see Lstm.scala:28-33 for
+    // the float32-roundoff contract). Any loader permutation or cell-math
+    // regression now fails with a VALUE diff, not just a shape check.
+    val classes = Lstm.referenceClasses
+    val net = Lstm.referenceModel
+    val window = Array.tabulate(Lstm.Lookback)(t =>
+      Array.tabulate(net.inputSize)(j =>
+        if (j < 3) ((t + j) % 7).toFloat / 7f else if (j == 3 + 68) 1f else 0f))
+    assert(math.abs(net.forward(window) - 0.2793654f) < 1e-4,
+      s"forward drifted: ${net.forward(window)}")
+    val history = Array.tabulate(60)(t => Array(
+      1000.0 + 500.0 * math.sin(t / 5.0) + 10 * t, 200.0 + t, 1e6 + 1000.0 * t))
+    val got = Lstm.predictCases(net, history, 60, classes.indexOf("France"),
+      classes.length, 5)
+    val want = Seq(1266.961240150283, 1203.412980853683, 1053.3500091459634,
+      991.3235615233684, 907.1805387348315)
+    got.toSeq.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < math.abs(w) * 1e-4, s"rollout drifted: $g vs $w")
+    }
+  }
+
   test("minMaxScale: sklearn semantics incl. zero-range columns") {
     val (scaled, min0, range0) = Lstm.minMaxScale(Array(
       Array(10.0, 5.0, 1.0), Array(20.0, 5.0, 3.0), Array(15.0, 5.0, 2.0)))
@@ -91,8 +114,8 @@ class LstmSpec extends AnyFunSuite with SparkSpec {
     val history = Array.tabulate(60)(t => Array(
       1000.0 + 500.0 * math.sin(t / 5.0) + 10 * t, 200.0 + t, 1e6 + 1000.0 * t))
     val days = 5
-    val p1 = Lstm.predictCases(net, history, classes.indexOf("France"), classes.length, days)
-    val p2 = Lstm.predictCases(net, history, classes.indexOf("France"), classes.length, days)
+    val p1 = Lstm.predictCases(net, history, 60, classes.indexOf("France"), classes.length, days)
+    val p2 = Lstm.predictCases(net, history, 60, classes.indexOf("France"), classes.length, days)
     assert(p1.length == days)
     assert(p1.toSeq == p2.toSeq)
     assert(p1.forall(v => !v.isNaN && !v.isInfinite))
@@ -103,8 +126,38 @@ class LstmSpec extends AnyFunSuite with SparkSpec {
     val range = max0 - min0
     assert(p1.forall(v => v > min0 - 3 * range && v < max0 + 3 * range), p1.toSeq)
     // a different country id changes the one-hot and thus the forecast
-    val pOther = Lstm.predictCases(net, history, classes.indexOf("Italy"), classes.length, days)
+    val pOther = Lstm.predictCases(net, history, 60, classes.indexOf("Italy"), classes.length, days)
     assert(pOther.toSeq != p1.toSeq)
+  }
+
+  test("scaler fits on the FULL series: post-start rows that move min/max change predictions") {
+    // the reference fit_transforms BEFORE slicing at start_idx
+    // (predict_france_with_model.py:67-83), so a mid-series start_date must
+    // see a scaler whose min/max includes the later rows
+    val classes = Lstm.referenceClasses
+    val net = Lstm.referenceModel
+    val base = Array.tabulate(60)(t => Array(
+      1000.0 + 500.0 * math.sin(t / 5.0) + 10 * t, 200.0 + t, 1e6 + 1000.0 * t))
+    // same first 55 rows; the 5 post-start rows spike new_cases far above
+    // the pre-start max, moving column 0's fitted range
+    val spiked = base.clone()
+    (55 until 60).foreach(t => spiked(t) = Array(50000.0, 200.0 + t, 1e6 + 1000.0 * t))
+    val startIdx = 55
+    val fr = classes.indexOf("France")
+    val pBase = Lstm.predictCases(net, base, startIdx, fr, classes.length, 3)
+    val pSpiked = Lstm.predictCases(net, spiked, startIdx, fr, classes.length, 3)
+    // identical pre-start window; only the post-start rows differ — under a
+    // pre-start-only fit these would be equal
+    assert(pBase.toSeq != pSpiked.toSeq)
+    // and the spiked fit must match fitting the full spiked series directly
+    val (_, min0, range0) = Lstm.minMaxScale(spiked)
+    assert(min0 == spiked.map(_(0)).min)
+    assert(range0 == spiked.map(_(0)).max - spiked.map(_(0)).min)
+    // out-of-range start indices are refused (the serving layer 400s first)
+    assertThrows[IllegalArgumentException](
+      Lstm.predictCases(net, base, Lstm.Lookback - 1, fr, classes.length, 3))
+    assertThrows[IllegalArgumentException](
+      Lstm.predictCases(net, base, 61, fr, classes.length, 3))
   }
 
   test("prepareOwid + countryHistory apply the reference filters") {
@@ -115,12 +168,15 @@ class LstmSpec extends AnyFunSuite with SparkSpec {
       ("France", "2020-03-03", Some(0.0), Some(10.0), Some(0.0)), // non-positive: drop
       ("France", "2019-12-31", Some(50.0), Some(10.0), Some(0.0)), // pre-2020: drop
       ("France", "2020-03-04", Some(200.0), None, None), // null feats → 0
-      ("France", "2020-03-05", Some(300.0), Some(1.0), Some(2.0)), // ≥ start: excluded
+      ("France", "2020-03-05", Some(300.0), Some(1.0), Some(2.0)),
       ("Atlantis", "2020-03-01", Some(9.0), Some(1.0), Some(1.0)), // unknown location
     ).toDF("location", "date", "new_cases", "new_tests", "people_vaccinated")
     val prepared = Lstm.prepareOwid(owid, Set("France", "Italy"))
-    val hist = Lstm.countryHistory(prepared, "France", "2020-03-05")
+    // the FULL filtered series comes back (rows at/after any start_date
+    // included — the scaler needs them), with aligned ISO dates
+    val (dates, hist) = Lstm.countryHistory(prepared, "France")
+    assert(dates.toSeq == Seq("2020-03-01", "2020-03-04", "2020-03-05"))
     assert(hist.toSeq.map(_.toSeq) == Seq(
-      Seq(100.0, 10.0, 0.0), Seq(200.0, 0.0, 0.0)))
+      Seq(100.0, 10.0, 0.0), Seq(200.0, 0.0, 0.0), Seq(300.0, 1.0, 2.0)))
   }
 }

@@ -133,6 +133,29 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(log.length == clusters.size)
   }
 
+  test("c10 leakage-safe splits cover every doc once and split whole clusters") {
+    val splits = Dedup.c10(spark, sfSmoke).collect()
+    assert(splits.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
+    val docsN = graft.Tables.documents(spark, sfSmoke).count()
+    assert(splits.map(_.getAs[Long]("n_docs")).sum == docsN)
+    // cluster bookkeeping: clustered docs collapse to their component,
+    // everything else is its own singleton cluster
+    val d06Rows = Dedup.d06(spark, sfSmoke).collect()
+    val expectedClusters =
+      docsN - d06Rows.length + d06Rows.map(_.getAs[Long]("cluster_id")).distinct.length
+    assert(splits.map(_.getAs[Long]("n_clusters")).sum == expectedClusters)
+    // split is a pure function of the cluster representative, so members of
+    // one cluster can never straddle a boundary — what CAN differ is the
+    // naive per-doc assignment, and the audit column counts exactly those
+    splits.foreach(r => assert(r.getAs[Long]("n_leak_prevented") >= 0))
+    // ~80/10/10 by hash: train strictly largest on any non-tiny corpus
+    val byName = splits.map(r =>
+      r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(byName("train") > byName.getOrElse("val", 0L))
+    assert(byName("train") > byName.getOrElse("test", 0L))
+  }
+
   test("d09 chunk dedup drops the planted repeated chunk and keeps unique text intact") {
     // plant one shared 4-word chunk ("alpha beta gamma delta") at a chunk
     // boundary in two otherwise-distinct docs; pad doc B so the repeated

@@ -167,32 +167,61 @@ class ServeSpec extends AnyFunSuite with SparkSpec {
     // without a configured feed: explicit 503, not a crash
     sys.props.remove("graft.owid.csv")
     assert(get("/api/predict_cases?country=France&start_date=2020-06-01&model=lstm")._1 == 503)
-    // synthetic owid-shaped CSV: 70 daily France rows inside the
-    // reference's 2020-2022 window (≥ 50-row lookback)
-    val csv = java.nio.file.Files.createTempFile("owid", ".csv")
-    val rows = (0 until 70).map { t =>
-      val d = java.time.LocalDate.parse("2020-03-01").plusDays(t.toLong)
-      s"France,$d,${1000 + 10 * t},${200 + t},${1000000 + 1000 * t}"
-    }
-    java.nio.file.Files.write(csv,
-      ("location,date,new_cases,new_tests,people_vaccinated\n" +
-        rows.mkString("\n") + "\n").getBytes("UTF-8"))
-    sys.props("graft.owid.csv") = csv.toString
+    // committed owid-shaped fixture: 70 daily France rows
+    // (2020-03-01…2020-05-09) inside the reference's 2020-2022 window
+    // (≥ 50-row lookback) — see src/test/resources/owid_fixture.csv
+    val csv = new java.io.File("src/test/resources/owid_fixture.csv")
+    assert(csv.isFile, s"missing fixture: ${csv.getAbsolutePath}")
+    sys.props("graft.owid.csv") = csv.getAbsolutePath
     try {
+      // mid-series start_date: rows at/after it exist (and, being the
+      // series max, move the full-series scaler — the reference fit)
       val (code, body) = get(
-        "/api/predict_cases?country=France&start_date=2020-06-01&days=3&model=lstm")
+        "/api/predict_cases?country=France&start_date=2020-05-01&days=3&model=lstm")
       assert(code == 200, body)
       assert(body.startsWith(
-        """{"country":"France","start_date":"2020-06-01","days":3,"predictions":["""))
-      // daily grain: first forecast date = last known (2020-05-09) + 1 day
-      assert(body.contains(""""date":"2020-05-10""""), body)
+        """{"country":"France","start_date":"2020-05-01","days":3,"predictions":["""))
+      // daily grain: first forecast date = last row BEFORE start_date
+      // (2020-04-30) + 1 day — the reference's last_known_date convention
+      assert(body.contains(""""date":"2020-05-01""""), body)
       assert(body.count(_ == '{') == 4)
+      // GOLDEN end-to-end pin on the committed weights + fixture (values
+      // frozen from the verified loader/cell math; a regression anywhere in
+      // CSV prep → filter → scaler → rollout → inverse transform surfaces
+      // as a value diff here)
+      assert(body.contains(""""predicted_cases":1441"""), body)
+      assert(body.contains(""""predicted_cases":1155"""), body)
+      assert(body.contains(""""predicted_cases":1129"""), body)
+      // ONE Spark action per request: dates ride the history collect (no
+      // second max(date) job), and the bounded series sorts driver-side
+      // (no distributed-sort sampling/shuffle jobs)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(get(
+          "/api/predict_cases?country=France&start_date=2020-05-01&days=3&model=lstm")._1 == 200)
+        org.apache.spark.graftaccess.GraftSparkAccess
+          .drainListenerBus(spark.sparkContext)
+        assert(jobs.get() == 1,
+          s"LSTM serving ran ${jobs.get()} Spark jobs; expected one action")
+      } finally spark.sparkContext.removeSparkListener(listener)
       // unknown country → 400; too-short history → 400
-      assert(get("/api/predict_cases?country=Atlantis&start_date=2020-06-01&model=lstm")._1 == 400)
-      assert(get("/api/predict_cases?country=Italy&start_date=2020-06-01&model=lstm")._1 == 400)
+      assert(get("/api/predict_cases?country=Atlantis&start_date=2020-05-01&model=lstm")._1 == 400)
+      assert(get("/api/predict_cases?country=Italy&start_date=2020-05-01&model=lstm")._1 == 400)
+      // the reference's date guards (predict_france_with_model.py:78-80):
+      // no row at/after start_date → 400; start index inside the lookback
+      // → 400; unparsable date → 400
+      assert(get("/api/predict_cases?country=France&start_date=2020-06-01&model=lstm")._1 == 400)
+      assert(get("/api/predict_cases?country=France&start_date=2020-03-10&model=lstm")._1 == 400)
+      assert(get("/api/predict_cases?country=France&start_date=junk&model=lstm")._1 == 400)
     } finally {
       sys.props.remove("graft.owid.csv")
-      java.nio.file.Files.deleteIfExists(csv)
     }
   }
 
