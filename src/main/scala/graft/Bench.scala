@@ -241,9 +241,17 @@ object Bench {
     val stormWaitSec = sys.env.get("SPARK_GRAFT_STORM_WAIT_SEC")
       .flatMap(_.toIntOption).getOrElse(120)
     val repProbe = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val repMinProbe = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repStorm = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val repUsrTot = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repSysTot = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // mid-rep probes: the first clean-gated run (r9) showed the storm can
+    // arrive BETWEEN rep-start probes (all three probes 1.5-3.4 GB/s, yet
+    // d10's worst rep was 25x its best with sys 5x usr) — so the fault
+    // rate is re-sampled every few queries and the rep keeps its MINIMUM,
+    // the honest "worst window this rep ran through"
+    val midProbeEvery = 15
+    var sinceProbe = 0
     var rep = 1
     var outOfBudget = false
     while (rep <= reps && !outOfBudget) {
@@ -258,8 +266,10 @@ object Bench {
         probe = probeFaultMbps()
       }
       repProbe += probe
+      repMinProbe += probe
       repUsrTot += 0.0
       repSysTot += 0.0
+      sinceProbe = 0
       names.foreach { case (name, fn) =>
         if (elapsedSec > hardCapSec) {
           if (!outOfBudget) {
@@ -299,6 +309,12 @@ object Bench {
           repOf(name) = repOf.getOrElse(name, Vector.empty) :+ rep
           if (du >= 0) repUsrTot(rep - 1) += du
           if (ds >= 0) repSysTot(rep - 1) += ds
+          sinceProbe += 1
+          if (sinceProbe >= midProbeEvery) {
+            sinceProbe = 0
+            val p = probeFaultMbps(128)
+            if (p >= 0 && p < repMinProbe(rep - 1)) repMinProbe(rep - 1) = p
+          }
           // outside the timed window: this query's Eager.cached relations
           // must not ride into (or slow down) the next query's heap
           spark.catalog.clearCache()
@@ -311,12 +327,16 @@ object Bench {
       }
       rep += 1
     }
-    // A rep's storm stamp: fault-rate probe below the floor going in, OR
-    // whole-process sys time ≥ 15% of usr across the rep's queries (the
-    // storm signature — sys ≥ usr was the round-8 driver bench's tell).
+    // A rep's storm stamp: the MINIMUM fault-rate probe seen during the
+    // rep below the floor, OR whole-process sys ≥ 50% of usr across the
+    // rep's queries. The 0.5 cut separates the regimes observed on this
+    // box: tmpfs-shuffle width-32 baseline sys runs ~0.2-0.4 of usr on
+    // clean queries, while storm reps show 0.8-5x (r8 driver bench 1.64,
+    // r9 first attempt d10 rep at 5.2). Raw per-rep sys/usr is in the
+    // artifact so the cut can be re-judged post-hoc.
     repProbe.indices.foreach { i =>
-      repStorm += ((repProbe(i) >= 0 && repProbe(i) < stormFloorMbps) ||
-        (repUsrTot(i) > 0 && repSysTot(i) >= 0.15 * repUsrTot(i)))
+      repStorm += ((repMinProbe(i) >= 0 && repMinProbe(i) < stormFloorMbps) ||
+        (repUsrTot(i) > 0 && repSysTot(i) >= 0.5 * repUsrTot(i)))
     }
     // LOWER median: with an even rep count the plain upper-median reports
     // the WORSE of the two middle reps, so a single environmental stall
@@ -361,9 +381,13 @@ object Bench {
     // values ('*' for local[*]) keeps the artifact valid JSON.
     val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
     val repProbeJson = repProbe.map(p => f"$p%.1f").mkString("[", ",", "]")
+    val repMinProbeJson = repMinProbe.map(p => f"$p%.1f").mkString("[", ",", "]")
     val repStormJson = repStorm.mkString("[", ",", "]")
+    val repSysUsrJson = repProbe.indices.map(i =>
+      if (repUsrTot(i) > 0) f"${repSysTot(i) / repUsrTot(i)}%.2f" else "-1")
+      .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpusJson,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_storm":$repStormJson,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpusJson,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_min_probe_mbps":$repMinProbeJson,"rep_sys_usr":$repSysUsrJson,"rep_storm":$repStormJson,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
     // Artifact durability (two rounds of perf evidence were lost to stdout
     // interleaving / DNF): write the full JSON to a well-known file FIRST,
     // then print a marker-prefixed copy (grep-recoverable even if the tail
