@@ -31,15 +31,23 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32g default: the bench/verify mains run ~115 queries in one JVM and
-  // the sandbox has 128 GiB; the old 8g default GC-thrashed under cache
-  // pressure (round-3 bench DNF).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // Xms == Xmx: G1 never uncommits, so heap pages fault in ONCE. This box
-  // class has pathological anonymous-memory first-touch (measured round 7:
-  // 650 MB/s single-thread collapsing to 53 MB/s under 8-way concurrent
-  // faulting, and pages returned to the kernel refault just as slowly) —
-  // letting the heap shrink and re-expand re-pays that cost inside timed
-  // queries. Committed-but-untouched memory costs nothing (no PreTouch).
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+// Xms == Xmx everywhere: G1 never uncommits, so heap pages fault in ONCE.
+// This box class has pathological anonymous-memory first-touch (measured
+// round 7: 650 MB/s single-thread collapsing to 53 MB/s under 8-way
+// concurrent faulting) — letting the heap shrink and re-expand re-pays
+// that cost inside timed queries.
+//
+// Heap SIZE is scoped per task (round-9 finding): committing+pre-touching
+// a 32 GiB heap is itself what flips this box into its reclaim storm —
+// back-to-back full benches measured first-touch at 66-74 MB/s with a 32g
+// heap and 940 MB/s with a 12g one in the same hour, and the 12g run was
+// the round's first all-reps-clean artifact (BENCH_LOCAL_r09). The
+// run-scope mains (Bench/Verify, cache cleared per query) get 12g; the
+// test suite keeps 32g (many concurrent suites share the JVM).
+def heapOpts(defaultGb: String): Seq[String] = {
+  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", defaultGb)
+  Seq(s"-Xmx$m", s"-Xms$m")
+}
+run / javaOptions ++= heapOpts("12g")
+Test / javaOptions ++= heapOpts("32g")

@@ -380,6 +380,10 @@ object Bench {
     // must carry its own execution width. Quoted fallback for non-numeric
     // values ('*' for local[*]) keeps the artifact valid JSON.
     val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
+    // heap posture in the artifact: CPU/wall comparisons are only valid at
+    // equal width AND equal heap (a 32g pre-touched heap flips this box
+    // into its reclaim storm; 12g does not — the round-9 finding)
+    val heapGb = Runtime.getRuntime.maxMemory().toDouble / (1L << 30)
     val repProbeJson = repProbe.map(p => f"$p%.1f").mkString("[", ",", "]")
     val repMinProbeJson = repMinProbe.map(p => f"$p%.1f").mkString("[", ",", "]")
     val repStormJson = repStorm.mkString("[", ",", "]")
@@ -387,7 +391,7 @@ object Bench {
       if (repUsrTot(i) > 0) f"${repSysTot(i) / repUsrTot(i)}%.2f" else "-1")
       .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpusJson,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_min_probe_mbps":$repMinProbeJson,"rep_sys_usr":$repSysUsrJson,"rep_storm":$repStormJson,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpusJson,"heap_gb":$heapGb%.1f,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_min_probe_mbps":$repMinProbeJson,"rep_sys_usr":$repSysUsrJson,"rep_storm":$repStormJson,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
     // Artifact durability (two rounds of perf evidence were lost to stdout
     // interleaving / DNF): write the full JSON to a well-known file FIRST,
     // then print a marker-prefixed copy (grep-recoverable even if the tail
