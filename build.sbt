@@ -16,6 +16,14 @@ run / fork := true
 // for eight straight rounds — BENCH_r0*.json parsed:null): the driver needs
 // Bench's bare one-line JSON exactly as printed.
 run / outputStrategy := Some(StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." footer must not print AFTER
+// the JSON line (round-9 finding: the footer trailed the bare JSON, so the
+// driver's "last stdout line" parse still yielded parsed:null). With
+// showSuccess off, the JSON/GRAFT_BENCH_SUMMARY lines are the final stdout.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another setting —
+// exclude it from the unused-key lint so load stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -45,9 +53,40 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // the round's first all-reps-clean artifact (BENCH_LOCAL_r09). The
 // run-scope mains (Bench/Verify, cache cleared per query) get 12g; the
 // test suite keeps 32g (many concurrent suites share the JVM).
-def heapOpts(defaultGb: String): Seq[String] = {
-  val m = sys.env.getOrElse("SPARK_DRIVER_MEM", defaultGb)
+// Run-scope heap is CLAMPED (round-9 verdict #1): the driver environment
+// supplies SPARK_DRIVER_MEM=89g-class values, which re-created the very
+// reclaim storm the 12g default was chosen to avoid (BENCH_r09: heap_gb 89,
+// pretouch 64.8 MB/s, rep_storm all true). An env request above the ceiling
+// is ignored unless SPARK_GRAFT_ALLOW_BIG_HEAP=1 explicitly opts in; the
+// resulting heap_gb is stamped into every bench artifact, so a clamp is
+// machine-visible. The test scope keeps the env override un-clamped: many
+// concurrent suites share one JVM and a too-small heap there just OOMs.
+def parseGb(v: String): Double = {
+  val t = v.trim.toLowerCase
+  val digits = t.takeWhile(c => c.isDigit || c == '.')
+  val n =
+    try digits.toDouble
+    catch { case _: NumberFormatException => return Double.MaxValue }
+  t.drop(digits.length) match {
+    case "g" | "gb" | "" => n
+    case "m" | "mb"      => n / 1024.0
+    case "k" | "kb"      => n / (1024.0 * 1024.0)
+    case _               => Double.MaxValue // unparseable => treat as too big
+  }
+}
+val runHeapCapGb = 16.0
+def heapOpts(defaultGb: String, capGb: Option[Double]): Seq[String] = {
+  val allowBig = sys.env.get("SPARK_GRAFT_ALLOW_BIG_HEAP").contains("1")
+  val m = sys.env.get("SPARK_DRIVER_MEM") match {
+    case Some(r) if allowBig || capGb.forall(parseGb(r) <= _) => r
+    case Some(r) =>
+      println(s"[build] SPARK_DRIVER_MEM=$r exceeds run-scope cap " +
+        s"${capGb.get.toInt}g; clamping to $defaultGb " +
+        "(set SPARK_GRAFT_ALLOW_BIG_HEAP=1 to override)")
+      defaultGb
+    case None => defaultGb
+  }
   Seq(s"-Xmx$m", s"-Xms$m")
 }
-run / javaOptions ++= heapOpts("12g")
-Test / javaOptions ++= heapOpts("32g")
+run / javaOptions ++= heapOpts("12g", Some(runHeapCapGb))
+Test / javaOptions ++= heapOpts("32g", None)

@@ -34,9 +34,14 @@ import graft.queries.{DerivedTables, Q, ServingQueries}
 object WhoStarQueries {
 
   /** The reference's committed source CSVs (read-only). The specs use the
-    * same path (SparkSpec.referenceDataDir).
+    * same path (SparkSpec.referenceDataDir). Deploy-configurable like the
+    * LSTM checkpoint paths (round-9 verdict #7): `-Dgraft.who.data=…` or
+    * `SPARK_GRAFT_WHO_DATA=…` points the wst gates at a copied data dir
+    * when no /root/reference mount exists.
     */
-  val dataDir: String = "/root/reference/app/data/data_covid"
+  val dataDir: String = sys.props.get("graft.who.data")
+    .orElse(sys.env.get("SPARK_GRAFT_WHO_DATA"))
+    .getOrElse("/root/reference/app/data/data_covid")
 
   /** One ETL pass per session, not per query: the eight-query wst family
     * re-derives the same 2.9 MB star, so the build is memoized per

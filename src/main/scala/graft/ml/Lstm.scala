@@ -267,8 +267,15 @@ object Lstm {
     *
     * `history` is the country's complete (new_cases, new_tests,
     * people_vaccinated) matrix in date order, already filtered the
-    * reference's way. Requires `Lookback ≤ startIdx ≤ history.length`
-    * (the reference 400s otherwise, predict_france_with_model.py:78-80).
+    * reference's way. Requires `Lookback ≤ startIdx ≤ history.length`.
+    * NOTE `startIdx == history.length` (forecast from the end of the
+    * series) is a DELIBERATE extension beyond the reference's reachable
+    * states: the reference demands an existing row at/after start_date
+    * (predict_france_with_model.py:78-80), so its start_idx always indexes
+    * a real row — and the serving layer here enforces that same guard
+    * before calling (Serve.scala predict_cases: 400 when no row ≥
+    * start_date). Direct library callers may forecast from the end, which
+    * the golden rollout pins (LstmSpec) exercise on a synthetic series.
     */
   def predictCases(
       net: Network,

@@ -29,6 +29,7 @@ trait SparkSpec {
     s
   }
 
-  val referenceDataDir = "/root/reference/app/data/data_covid"
+  // follows the same env/prop override as the runtime (WhoStarQueries.dataDir)
+  val referenceDataDir = graft.etl.WhoStarQueries.dataDir
   val sfSmoke = "/root/testdata/sf0.001"
 }

@@ -158,6 +158,11 @@ class LstmSpec extends AnyFunSuite with SparkSpec {
       Lstm.predictCases(net, base, Lstm.Lookback - 1, fr, classes.length, 3))
     assertThrows[IllegalArgumentException](
       Lstm.predictCases(net, base, 61, fr, classes.length, 3))
+    // startIdx == length (forecast from the end) is a documented extension
+    // beyond the reference's reachable states (round-9 advice resolution:
+    // the serving layer enforces the reference's row-at/after-start guard;
+    // direct callers may roll out from the series end — the golden tests do)
+    assert(Lstm.predictCases(net, base, base.length, fr, classes.length, 3).length == 3)
   }
 
   test("prepareOwid + countryHistory apply the reference filters") {

@@ -99,4 +99,13 @@ class BudgetSpec extends AnyFunSuite with SparkSpec {
   cpuBudget("st06_stream_cdc_apply", 4.0)
   cpuBudget("st10_stream_running_totals", 5.5)
   cpuBudget("st11_stream_dedup_ttl", 3.5)
+  // round-10 additions: the five heaviest clean-window queries from
+  // BENCH_LOCAL_r09 now have measured warm sf0.01 medians too (3-rep
+  // clean probe, heap 12g: st04 0.71 s, s04 1.65 s, c06 2.27 s,
+  // sp01 2.38 s, tc01 1.26 s) — ceilings ~4x those medians
+  cpuBudget("st04_stream_interval_join", 3.0)
+  cpuBudget("s04_knn_ivf", 7.0)
+  cpuBudget("c06_contamination_blast_radius", 9.0)
+  cpuBudget("sp01_bfs_hops", 10.0)
+  cpuBudget("tc01_triangle_count", 5.0)
 }

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Scale-slope report over per-SF bench artifacts (round-10 verdict #8).
+
+Reads the three BENCH_LOCAL_r10_slope_sf*.json artifacts (same query set,
+same width/heap posture, clean-gated) and computes each query's measured
+scaling exponent between adjacent scale factors:
+
+    slope = log(t_hi / t_lo) / log(sf_hi / sf_lo)
+
+A slope of 1.0 is perfectly linear in SF; < 1 means fixed per-query
+overhead still dominates at these sizes (expected for iterative/streaming
+ops at local scale); sustained > 1.2 on the top decade (sf0.01 -> sf0.1,
+where overhead matters least) flags super-linear work growth worth a plan
+audit. Emits a markdown table for SURVEY.md plus a JSON summary.
+
+Usage: python3 tools/slope_report.py slope_sf0.001.json slope_sf0.01.json slope_sf0.1.json
+"""
+import json
+import math
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    sf = float(d["sf"].rstrip("/").split("sf")[-1])
+    return sf, d
+
+
+def main(paths):
+    runs = sorted((load(p) for p in paths), key=lambda t: t[0])
+    sfs = [sf for sf, _ in runs]
+    queries = sorted(runs[-1][1]["queries"])
+    rows = []
+    for q in queries:
+        walls = [d["queries"].get(q, -1.0) for _, d in runs]
+        cpus = [d.get("cpu", {}).get(q, -1.0) for _, d in runs]
+        if any(w <= 0 for w in walls):
+            rows.append((q, walls, cpus, None, None))
+            continue
+        # top-decade slope (least overhead-polluted) + full-range slope
+        top = math.log(walls[-1] / walls[-2]) / math.log(sfs[-1] / sfs[-2])
+        full = math.log(walls[-1] / walls[0]) / math.log(sfs[-1] / sfs[0])
+        rows.append((q, walls, cpus, top, full))
+
+    print(f"| query | " + " | ".join(f"wall sf{sf} (s)" for sf in sfs) +
+          " | slope sf0.01→0.1 | slope full | verdict |")
+    print("|---|" + "---|" * (len(sfs) + 3))
+    flagged = []
+    for q, walls, cpus, top, full in rows:
+        if top is None:
+            print(f"| {q} | " + " | ".join("-" for _ in walls) + " | n/a | n/a | FAILED rep |")
+            continue
+        verdict = "super-linear — AUDIT" if top > 1.2 else (
+            "~linear" if top > 0.6 else "overhead-dominated")
+        if top > 1.2:
+            flagged.append(q)
+        print(f"| {q} | " + " | ".join(f"{w:.2f}" for w in walls) +
+              f" | {top:.2f} | {full:.2f} | {verdict} |")
+    summary = {
+        "sfs": sfs,
+        "slopes": {q: {"top_decade": top, "full_range": full,
+                       "walls": walls}
+                   for q, walls, cpus, top, full in rows if top is not None},
+        "flagged_superlinear": flagged,
+    }
+    with open("BENCH_LOCAL_r10_slopes.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\nflagged super-linear (top decade > 1.2): {flagged or 'none'}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
