@@ -61,6 +61,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // fanned across the already-aggregated QI-class list — classes × 5
     // rows, metadata-sized; the fact table never touches the nested loop
     "gv04_t_closeness",
+    // 1-row corpus-stats relation (n_docs + avgdl) crossed into the
+    // query-term⋈postings relation — the t08 IDF shape; the corpus only
+    // flows through hash joins
+    "ir01_bm25_topk", "ir03_rrf_fusion",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>
