@@ -446,11 +446,103 @@ object Multimodal {
        |WHERE bit_count(xor(a.sig, b.sig)) <= $PHashRadius
        |GROUP BY 1, 2 ORDER BY media_a, media_b""".stripMargin
 
+  /** m06 — CROSS-MODAL ALIGNMENT AUDIT (the CLIP-score filtering shape,
+    * LAION-style): a paired image-text corpus is only as good as its
+    * pairing, so production pipelines score every (caption, image) pair
+    * with a cross-modal similarity and drop pairs whose true partner does
+    * not beat a mismatched control. Here the paired corpus comes from the
+    * deterministic planted near-duplicates [[Similarity.plantNearDups]]
+    * already gated by d05/d07 (caption k ↔ its planted variant
+    * k + PlantOffset ≈ the aligned pair at cos ≈ 0.99); each caption is
+    * also scored against the NEXT caption's image (cyclic shift) — the
+    * standard shuffled-negative control — and the audit reports whether
+    * the true image wins. A real CLIP encoder slots in exactly where
+    * plantNearDups provides vectors; everything downstream (the pairing
+    * joins, the margin audit) is the production plan.
+    *
+    * Scale shape: captions are |corpus|/10; the decoy assignment is ONE
+    * lead() window over the caption ids (global ordering of an already
+    * 10×-reduced relation — at true scale this becomes a per-shard cyclic
+    * shift, same semantics); scoring is three hash joins on pair keys +
+    * the codegen'd cosine. Nothing quadratic anywhere.
+    *
+    * Oracle: the d05-form exact SQL (ordered sums mirror the expression's
+    * sequential fold) over the same planted relation, with the same
+    * lead-with-wraparound decoy assignment.
+    */
+  def m06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val aug = graft.util.Eager.cached(
+      Similarity.plantNearDups(Tables.embeddings(s, dir)))
+    val capIds = aug
+      .filter($"vec_id" < Similarity.PlantOffset && $"vec_id" % 10 === 0)
+      .select($"vec_id".as("cap_id"))
+    val ord = org.apache.spark.sql.expressions.Window.orderBy($"cap_id")
+    val whole = org.apache.spark.sql.expressions.Window
+      .orderBy($"cap_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pairs = capIds
+      .withColumn("decoy_cap",
+        coalesce(lead($"cap_id", 1).over(ord), min($"cap_id").over(whole)))
+    pairs
+      .join(aug.select($"vec_id".as("cap_id"), $"embedding".as("ec")), Seq("cap_id"))
+      .join(aug.select(($"vec_id" - Similarity.PlantOffset).as("cap_id"),
+        $"embedding".as("et")).filter($"cap_id" >= 0), Seq("cap_id"))
+      .join(aug.select(($"vec_id" - Similarity.PlantOffset).as("decoy_cap"),
+        $"embedding".as("ed")).filter($"decoy_cap" >= 0), Seq("decoy_cap"))
+      .select($"cap_id",
+        Similarity.cosine($"ec", $"et").as("true_cos"),
+        Similarity.cosine($"ec", $"ed").as("decoy_cos"))
+      .withColumn("aligned", $"true_cos" > $"decoy_cos")
+      .orderBy($"cap_id")
+  }
+
+  val m06Oracle: String =
+    """WITH base AS (SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+      |              FROM embeddings),
+      |v AS (SELECT vec_id, e, i FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 100000 AS vec_id,
+      |             CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE e END AS e, i
+      |      FROM base WHERE vec_id % 10 = 0),
+      |caps AS (SELECT DISTINCT vec_id AS cap_id FROM v
+      |         WHERE vec_id < 100000 AND vec_id % 10 = 0),
+      |p AS (SELECT cap_id,
+      |        COALESCE(LEAD(cap_id) OVER (ORDER BY cap_id),
+      |                 MIN(cap_id) OVER ()) AS decoy_cap
+      |      FROM caps),
+      |norms AS (SELECT vec_id, SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE) ORDER BY i) AS n2
+      |          FROM v GROUP BY vec_id),
+      |td AS (SELECT p.cap_id,
+      |         SUM(CAST(x.e AS DOUBLE) * CAST(y.e AS DOUBLE) ORDER BY x.i) AS dot
+      |       FROM p JOIN v x ON x.vec_id = p.cap_id
+      |              JOIN v y ON y.vec_id = p.cap_id + 100000 AND y.i = x.i
+      |       GROUP BY 1),
+      |dd AS (SELECT p.cap_id,
+      |         SUM(CAST(x.e AS DOUBLE) * CAST(y.e AS DOUBLE) ORDER BY x.i) AS dot
+      |       FROM p JOIN v x ON x.vec_id = p.cap_id
+      |              JOIN v y ON y.vec_id = p.decoy_cap + 100000 AND y.i = x.i
+      |       GROUP BY 1),
+      |cos AS (SELECT p.cap_id,
+      |          td.dot / (sqrt(nc.n2) * sqrt(nt.n2)) AS true_cos,
+      |          dd.dot / (sqrt(nc.n2) * sqrt(nd.n2)) AS decoy_cos
+      |        FROM p
+      |          JOIN td ON td.cap_id = p.cap_id
+      |          JOIN dd ON dd.cap_id = p.cap_id
+      |          JOIN norms nc ON nc.vec_id = p.cap_id
+      |          JOIN norms nt ON nt.vec_id = p.cap_id + 100000
+      |          JOIN norms nd ON nd.vec_id = p.decoy_cap + 100000)
+      |SELECT cap_id, true_cos, decoy_cos, true_cos > decoy_cos AS aligned
+      |FROM cos ORDER BY cap_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_multimodal_meta", m01, Some(m01Oracle)),
     Q("m02_multimodal_pipeline", m02, Some(m02Oracle)),
     Q("m03_decode_meta_parity", m03, Some(m03Oracle)),
     Q("m04_frame_dedup", m04, Some(m04Oracle)),
     Q("m05_frame_neardup_phash", m05, Some(m05Oracle)),
+    Q("m06_crossmodal_alignment", m06, Some(m06Oracle)),
   )
 }

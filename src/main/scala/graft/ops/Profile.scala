@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -607,6 +607,79 @@ object Profile {
        |GROUP BY nat, band, n, bigN
        |ORDER BY nat, band""".stripMargin
 
+  /** 2^60 — the uniform-bits range for gv05's inverse-CDF sampling. */
+  private val Pow60 = 1152921504606846976L
+
+  /** 3·2^60 − 1, the top of gv05's scaled-CDF range. */
+  private val ThreeP60m1 = 3L * Pow60 - 1L
+
+  /** gv05 — DIFFERENTIALLY PRIVATE COUNT RELEASE (geometric mechanism):
+    * per-source document counts released with two-sided geometric noise —
+    * the discrete mechanism Ghosh/Roughgarden/Sundararajan 2009 prove
+    * universally optimal for count queries (sensitivity 1). Completes the
+    * governance ladder: gv01 scopes erasure, gv02–gv04 audit a release's
+    * re-identification risk, gv05 PRODUCES a release with a formal
+    * ε-guarantee.
+    *
+    * ε = ln 2 exactly, chosen so the noise distribution
+    * P(k) = (1/3)·2^{−|k|} has DYADIC tail probabilities and inverse-CDF
+    * sampling needs NO ln/exp (banned repo-wide, SURVEY.md §5.1): with a
+    * 60-bit uniform U (the repo-standard recomputable md5 hash — the
+    * mechanism is deterministic per (seed, key), i.e. the standard "seeded
+    * DP release" posture that also hardens against averaging attacks by
+    * repeated queries), let V = 3U ∈ [0, 3·2^60):
+    *   - V < 2^60 (the lower third): noise = bitlen(V) − 61 ∈ [−60, −1]
+    *     — the CDF at k ≤ −1 is 2^{61−|k|}/(3·2^60), so the bucket index
+    *     is just V's bit length (bin(0) = "0" caps the truncated tail at
+    *     −60, probability 2^−60);
+    *   - else: noise = 61 − bitlen(3·2^60 − 1 − V) ∈ [0, 60], the mirror
+    *     image from the top of the range.
+    * Both engines compute bitlen as length(bin(x)) on BIGINT — exact
+    * integer arithmetic end to end. Released value clamps at 0
+    * (post-processing preserves DP).
+    *
+    * Scale shape: one partial-agg groupBy at release grain + a per-row
+    * scalar noise pipeline; nothing else. At 100 TB the released relation
+    * is |sources|-sized whatever the corpus.
+    */
+  def gv05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val u = conv(substring(md5(concat(lit("gv05:"), $"source")), 1, 15), 16, 10)
+      .cast("long")
+    counts
+      .withColumn("noise", geometricNoise(u))
+      .select($"source", $"n_docs", $"noise",
+        greatest($"n_docs" + $"noise", lit(0L)).as("released"))
+      .orderBy($"source")
+  }
+
+  /** Inverse-CDF of the ε = ln 2 two-sided geometric distribution over a
+    * 60-bit uniform `u` — see [[gv05]]'s derivation. Exposed so the spec
+    * can validate the sampler's distribution on a large synthetic uniform
+    * stream, not just the |sources| released rows.
+    */
+  private[ops] def geometricNoise(u: Column): Column = {
+    val v = u * 3L
+    when(v < Pow60, (length(bin(v)) - 61).cast("long"))
+      .otherwise((lit(61) - length(bin(lit(ThreeP60m1) - v))).cast("long"))
+  }
+
+  val gv05Oracle: String =
+    s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |           FROM documents GROUP BY source),
+       |n AS (SELECT source, n_docs,
+       |  3 * ('0x' || substring(md5('gv05:' || source), 1, 15))::BIGINT AS v
+       |  FROM c),
+       |d AS (SELECT source, n_docs,
+       |  CASE WHEN v < $Pow60 THEN CAST(length(bin(v)) - 61 AS BIGINT)
+       |       ELSE CAST(61 - length(bin($ThreeP60m1 - v)) AS BIGINT) END AS noise
+       |  FROM n)
+       |SELECT source, n_docs, noise,
+       |  GREATEST(n_docs + noise, 0) AS released
+       |FROM d ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
@@ -618,5 +691,6 @@ object Profile {
     Q("gv02_k_anonymity", gv02, Some(gv02Oracle)),
     Q("gv03_l_diversity", gv03, Some(gv03Oracle)),
     Q("gv04_t_closeness", gv04, Some(gv04Oracle)),
+    Q("gv05_dp_release", gv05, Some(gv05Oracle)),
   )
 }

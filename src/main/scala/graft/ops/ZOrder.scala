@@ -294,10 +294,91 @@ object ZOrder {
        |FROM tz JOIN ta USING (qb) ORDER BY qb""".stripMargin
   }
 
+  /** Compaction target size for z05, in (synthetic) bytes — sized so the
+    * plan has multiple bins at every test SF (a real planner targets
+    * ~1 GiB; only the constant changes).
+    */
+  val CompactTarget = 65536L
+
+  /** Synthetic row width for z05's manifest (bytes per lineitem row). */
+  val RowWidth = 128L
+
+  /** Ingest-shard fan-out for z05's manifest: each month lands
+    * `IngestShards` writer files (the multi-writer ingest pattern that
+    * produces the small-files problem at every SF).
+    */
+  val IngestShards = 64L
+
+  /** z05 — COMPACTION PLAN (the `OPTIMIZE` small-files planner,
+    * Delta/Iceberg compaction shape): a partitioned table accretes one
+    * small file per ingest batch; the planner walks the file manifest in
+    * layout order and packs consecutive files into target-sized rewrite
+    * bins — consecutive, not best-fit, because compaction must PRESERVE
+    * the layout's clustering (a best-fit packer would interleave
+    * unrelated key ranges and undo z01's work). Bin assignment is pure
+    * integer arithmetic on the running total: a file belongs to the bin
+    * its first byte lands in (`(cum − bytes) div target`), so the plan is
+    * a single window pass — no iteration, no driver loop.
+    *
+    * The manifest here is derived (one partial-agg groupBy): one "file"
+    * per l_shipdate month with bytes = rows × RowWidth — the per-month
+    * ingest pattern that actually produces the small-files problem.
+    * Output: one row per rewrite bin with its file count, byte total, and
+    * fill ratio vs target (ppm) — exactly what an OPTIMIZE scheduler
+    * consumes to pick which bins are worth rewriting.
+    *
+    * Scale shape: manifests are metadata-sized whatever the table (a
+    * 100 TB table is ~10⁵ files of 1 GiB — the window over the manifest
+    * is bounded by file count, never by rows); the only corpus-scale work
+    * is the month-grain partial agg.
+    */
+  def z05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val manifest = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("month", $"l_shipdate").cast("date").as("file_month"),
+        ($"l_suppkey" % IngestShards).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select($"file_month", $"shard", ($"n_rows" * RowWidth).as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"file_month", $"shard")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    manifest
+      .withColumn("cum", sum($"bytes").over(w))
+      .withColumn("bin", expr(s"(cum - bytes) div $CompactTarget"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bytes"),
+        date_format(min($"file_month"), "yyyy-MM-dd").as("from_month"),
+        date_format(max($"file_month"), "yyyy-MM-dd").as("to_month"))
+      .select($"bin", $"n_files", $"bytes", $"from_month", $"to_month",
+        expr(s"(bytes * 1000000) div $CompactTarget").as("fill_ppm"))
+      .orderBy($"bin")
+  }
+
+  val z05Oracle: String =
+    s"""WITH manifest AS (
+       |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS file_month,
+       |    CAST(l_suppkey % $IngestShards AS BIGINT) AS shard,
+       |    CAST(COUNT(*) AS BIGINT) * $RowWidth AS bytes
+       |  FROM lineitem GROUP BY 1, 2),
+       |runs AS (
+       |  SELECT file_month, bytes,
+       |    CAST(SUM(bytes) OVER (ORDER BY file_month, shard) AS BIGINT) AS cum
+       |  FROM manifest),
+       |binned AS (
+       |  SELECT file_month, bytes, (cum - bytes) // $CompactTarget AS bin
+       |  FROM runs)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+       |  strftime(MIN(file_month), '%Y-%m-%d') AS from_month,
+       |  strftime(MAX(file_month), '%Y-%m-%d') AS to_month,
+       |  (CAST(SUM(bytes) AS BIGINT) * 1000000) // $CompactTarget AS fill_ppm
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("z01_zorder_buckets", z01, Some(z01Oracle)),
     Q("z02_dpp_pruned_scan", z02, Some(z02Oracle)),
     Q("z03_bloom_pruned_join", z03, Some(z03Oracle)),
     Q("z04_layout_skipping", z04, Some(z04Oracle)),
+    Q("z05_compaction_plan", z05, Some(z05Oracle)),
   )
 }

@@ -260,4 +260,20 @@ class SimilarityMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out == want)
     assert(out.nonEmpty, "smoke corpus should contain perceptual near-dups")
   }
+
+  test("m06 alignment: one row per planted caption; true pair beats the shuffled decoy") {
+    val rows = Multimodal.m06(spark, sfSmoke).collect()
+    val nPlanted = graft.Tables.embeddings(spark, sfSmoke)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0).count()
+    assert(rows.length == nPlanted, s"${rows.length} rows vs $nPlanted planted captions")
+    rows.foreach { r =>
+      val (cap, t, d, aligned) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      assert(t >= 0.9, s"cap $cap: true pair cosine $t below the planted near-dup floor")
+      assert(d < 0.9, s"cap $cap: decoy cosine $d implausibly high")
+      assert(aligned == (t > d))
+    }
+    // planted corpus is aligned by construction — the audit must say so
+    assert(rows.forall(_.getBoolean(3)), "planted pairs misclassified as misaligned")
+  }
 }

@@ -50,4 +50,27 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     // layout is a re-ordering only: content unchanged
     assert(spark.read.parquet(dir).count() == li.count())
   }
+
+  test("z05 compaction plan: bins consecutive, bytes conserved, order preserved") {
+    val rows = ZOrder.z05(spark, sfSmoke).collect()
+    assert(rows.length >= 2, "expected multiple rewrite bins at smoke SF")
+    // bins are dense from 0 (consecutive packing — no gaps, no reorder)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq)
+    // conservation: Σ bin bytes == rows × width (every row filed exactly once)
+    val manifestBytes = graft.Tables.lineitem(spark, sfSmoke).count() * ZOrder.RowWidth
+    assert(rows.map(_.getLong(2)).sum == manifestBytes)
+    // month ranges are ordered across bins (a boundary month can be
+    // shared: several shard-files of one month may straddle two bins);
+    // ISO strings order lexicographically = chronologically
+    val spans = rows.sortBy(_.getLong(0)).map(r => (r.getString(3), r.getString(4)))
+    spans.foreach { case (a, b) => assert(a <= b) }
+    spans.sliding(2).foreach {
+      case Array((_, prevTo), (nextFrom, _)) => assert(prevTo <= nextFrom)
+      case _ =>
+    }
+    // every bin's first file starts inside it: fill can overshoot the
+    // target by at most one file, so a bin is never more than one file
+    // over-full AND never empty
+    rows.foreach(r => assert(r.getLong(1) >= 1))
+  }
 }

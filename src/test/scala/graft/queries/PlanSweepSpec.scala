@@ -65,6 +65,16 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // query-term⋈postings relation — the t08 IDF shape; the corpus only
     // flows through hash joins
     "ir01_bm25_topk", "ir03_rrf_fusion",
+    // 1-row feature-totals relation crossed into the ≤1024-row hashed
+    // bucket histogram (mx01) / 1-row corpus-total and waterfill-m
+    // relations crossed into the |languages|-row allocation table (mx02)
+    // — the corpus itself only ever flows through hash joins and
+    // partial aggs
+    "mx01_dsir_importance", "mx02_unimax_allocation",
+    // 1-row class-totals relation crossed into the vocabulary-sized NB
+    // model; the (doc, word) stream only flows through word-keyed hash
+    // joins and partial aggs
+    "c11_quality_classifier",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>
