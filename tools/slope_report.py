@@ -13,7 +13,11 @@ ops at local scale); sustained > 1.2 on the top decade (sf0.01 -> sf0.1,
 where overhead matters least) flags super-linear work growth worth a plan
 audit. Emits a markdown table for SURVEY.md plus a JSON summary.
 
-Usage: python3 tools/slope_report.py slope_sf0.001.json slope_sf0.01.json slope_sf0.1.json
+Usage: python3 tools/slope_report.py slope_sf0.001.json slope_sf0.01.json slope_sf0.1.json [--out SUMMARY.json]
+
+--out defaults to BENCH_LOCAL_r10_slopes.json (the heavies' summary);
+pass it explicitly when sloping a different query set so the default
+artifact is not clobbered.
 """
 import json
 import math
@@ -28,6 +32,11 @@ def load(path):
 
 
 def main(paths):
+    out = "BENCH_LOCAL_r10_slopes.json"
+    if "--out" in paths:
+        i = paths.index("--out")
+        out = paths[i + 1]
+        paths = paths[:i] + paths[i + 2:]
     runs = sorted((load(p) for p in paths), key=lambda t: t[0])
     sfs = [sf for sf, _ in runs]
     queries = sorted(runs[-1][1]["queries"])
@@ -64,7 +73,7 @@ def main(paths):
                    for q, walls, cpus, top, full in rows if top is not None},
         "flagged_superlinear": flagged,
     }
-    with open("BENCH_LOCAL_r10_slopes.json", "w") as f:
+    with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"\nflagged super-linear (top decade > 1.2): {flagged or 'none'}",
           file=sys.stderr)
