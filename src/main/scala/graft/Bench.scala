@@ -411,14 +411,22 @@ object Bench {
     // second capture channel.
     println(json)
     println(s"GRAFT_BENCH_JSON $json")
-    // Compact secondary marker as the ABSOLUTE LAST line (< 500 bytes):
-    // the full marker is ~8-12 KB and the driver's tail window keeps only
-    // ~2 KB, which lost the line's head three rounds running (parsed:null).
-    // Totals + pointer to the full artifact survive any 2 KB tail.
+    // Compact secondary marker (< 500 bytes): the full line is ~8-12 KB and
+    // the driver's tail window keeps only ~2 KB, which lost the line's head
+    // three rounds running (parsed:null). Totals + pointer to the full
+    // artifact survive any 2 KB tail.
     val failed = results.count(_.wall < 0)
     val summary =
       f"""GRAFT_BENCH_SUMMARY {"n":${results.size},"failed":$failed,"total_s":$total%.1f,"sf":"$sfDir","reps":$reps,"file":"$outFile"}"""
     println(summary)
+    // ABSOLUTE LAST stdout line: a BARE compact JSON. With sbt's success
+    // footer suppressed (build.sbt showSuccess := false) this is what a
+    // parse-the-last-line driver reads — the prefixed marker lines above
+    // would fail a bare json.loads, and the full JSON line would overflow
+    // a bounded tail window. Carries the headline metric + run stamps;
+    // per-query timings live in $outFile and the full line above.
+    println(
+      f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n":${results.size},"failed":$failed,"heap_gb":$heapGb%.1f,"rep_storm":$repStormJson,"file":"$outFile"}""")
     Console.out.flush()
     System.err.println(s"GRAFT_BENCH_JSON $json")
     System.err.println(summary)
