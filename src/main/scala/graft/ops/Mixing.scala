@@ -157,20 +157,48 @@ object Mixing {
         size(filter(split(TextAnalysis.normalize($"text"), " "), x => x =!= ""))
           .cast("long").as("n"))
       .groupBy($"lang").agg(sum($"n").as("n_tokens"))
-    val tot = perLang.agg(sum($"n_tokens").as("total"), count(lit(1)).as("k"))
-    val byCap = Window.orderBy($"cap", $"lang")
-    val ordered = perLang
-      .select($"lang", $"n_tokens", ($"n_tokens" * MaxEpochs).as("cap"))
+      .select(lit(0L).as("inst"), $"lang".as("key"), $"n_tokens")
+    unimaxAlloc(perLang, MaxEpochs, budgetNum = 3L, budgetDen = 4L)
+      .select($"key".as("lang"), $"n_tokens", $"cap", $"alloc", $"saturated",
+        $"epochs_ppm")
+      .orderBy($"lang")
+  }
+
+  /** The closed-form integer waterfill behind [[mx02]], generalized to
+    * many independent instances at once: input (inst, key, n_tokens),
+    * output one allocation row per (inst, key). Every window partitions
+    * by `inst` and every aggregate groups by it, so a million independent
+    * allocation problems (e.g. per-tenant budgets) run in one plan with
+    * no global ordering anywhere. Budget per instance =
+    * `(budgetNum · Σ n_tokens) div budgetDen`; cap per key =
+    * `maxEpochs · n_tokens`. MixingSpec property-checks this closed form
+    * against an independent sequential waterfill on randomized instances.
+    */
+  private[ops] def unimaxAlloc(
+      perKey: DataFrame, maxEpochs: Long,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    val s = perKey.sparkSession
+    import s.implicits._
+    val tot = perKey.groupBy($"inst")
+      .agg(sum($"n_tokens").as("total"), count(lit(1)).as("k"))
+    val byCap = Window.partitionBy($"inst").orderBy($"cap", $"key")
+    val ordered = perKey
+      .select($"inst", $"key", $"n_tokens", ($"n_tokens" * maxEpochs).as("cap"))
       .withColumn("i", row_number().over(byCap).cast("long"))
       .withColumn("p", sum($"cap").over(
         byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(tot))
-      .withColumn("budget", expr("(3 * total) div 4"))
+      // broadcast: instance-grain relations are metadata-sized. For a
+      // literal single-instance input (mx02) Catalyst constant-folds the
+      // join key away, leaving a bounded 1-row-side nested loop (the
+      // whitelisted t08 shape); real multi-instance inputs keep the key
+      // and get a broadcast hash join.
+      .join(broadcast(tot), Seq("inst"))
+      .withColumn("budget", expr(s"($budgetNum * total) div $budgetDen"))
       .withColumn("sat", $"cap" * ($"k" - $"i" + 1L) <= ($"budget" - ($"p" - $"cap")))
-    val mRel = ordered.agg(
+    val mRel = ordered.groupBy($"inst").agg(
       sum(when($"sat", 1L).otherwise(0L)).as("m"),
       max(when($"sat", $"p").otherwise(0L)).as("pm"))
-    ordered.crossJoin(broadcast(mRel))
+    ordered.join(broadcast(mRel), Seq("inst"))
       .withColumn("level",
         when($"m" < $"k", expr("(budget - pm) div (k - m)")).otherwise(lit(0L)))
       .withColumn("rem",
@@ -178,9 +206,9 @@ object Mixing {
       .withColumn("alloc",
         when($"sat", $"cap")
           .otherwise($"level" + when($"i" - $"m" <= $"rem", 1L).otherwise(0L)))
-      .select($"lang", $"n_tokens", $"cap", $"alloc", $"sat".as("saturated"),
+      .select($"inst", $"key", $"n_tokens", $"cap", $"alloc",
+        $"sat".as("saturated"),
         expr("(alloc * 1000000) div n_tokens").as("epochs_ppm"))
-      .orderBy($"lang")
   }
 
   /** UniMax epoch cap for mx02 (one full epoch per language). */

@@ -71,6 +71,49 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
         "saturated set is not a prefix of the cap-sorted order")
   }
 
+  test("unimaxAlloc closed form equals a sequential waterfill on 100 random instances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val instances = (0L until 100L).map { inst =>
+      val k = 1 + rnd.nextInt(8)
+      inst -> (0 until k).map(j => (s"k$j", 1L + rnd.nextInt(1000)))
+    }
+    val df = instances.flatMap { case (inst, keys) =>
+      keys.map { case (key, n) => (inst, key, n) }
+    }.toDF("inst", "key", "n_tokens")
+    val maxEpochs = 2L
+    val got = Mixing.unimaxAlloc(df, maxEpochs, budgetNum = 3L, budgetDen = 4L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    // independent reference: the textbook sequential waterfill
+    instances.foreach { case (inst, keys) =>
+      val caps = keys.map { case (key, n) => (n * maxEpochs, key) }.sorted
+      val budget = 3L * keys.map(_._2).sum / 4L
+      val k = caps.length
+      var rem = budget
+      var idx = 0
+      val alloc = scala.collection.mutable.Map[String, Long]()
+      // saturate smallest caps while they fit under the even split
+      while (idx < k && caps(idx)._1 * (k - idx) <= rem) {
+        alloc(caps(idx)._2) = caps(idx)._1
+        rem -= caps(idx)._1
+        idx += 1
+      }
+      val unsat = k - idx
+      if (unsat > 0) {
+        val level = rem / unsat
+        val extra = rem % unsat
+        caps.drop(idx).zipWithIndex.foreach { case ((_, key), j) =>
+          alloc(key) = level + (if (j < extra) 1L else 0L)
+        }
+      }
+      keys.foreach { case (key, _) =>
+        assert(got((inst, key)) == alloc(key),
+          s"inst $inst key $key: closed-form ${got((inst, key))} != sequential ${alloc(key)}")
+      }
+    }
+  }
+
   test("mx02: at this budget both branches are exercised") {
     val rows = Mixing.mx02(spark, dir).collect()
     assert(rows.exists(_.getBoolean(4)), "no language saturated — budget too small a test")
