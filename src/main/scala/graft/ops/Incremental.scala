@@ -303,11 +303,66 @@ object Incremental {
   def i03Oracle: String =
     Dedup.d02OracleWhere(Some("x.doc_id % 13 <> 0 AND y.doc_id % 13 <> 0"))
 
+  /** i04 — INCREMENTAL POSTINGS (lexical-index) MAINTENANCE: the ir-family
+    * retrieval ops consume a term-keyed postings relation; at production
+    * scale that index is a STORED artifact maintained nightly, not rebuilt
+    * from the corpus. One maintenance round: prune tombstoned documents
+    * from the stored postings with ONE anti-join (O(index), never
+    * O(corpus)), tokenize ONLY the delta batch into new postings rows,
+    * union, and refresh the term statistics (df / total tf) with a
+    * term-grain partial agg over the index. Corpus text outside the delta
+    * is never rescanned.
+    *
+    * Batch split mirrors i01/i03's conventions: the stored index covers
+    * doc_id % 10 ≠ 9 (yesterday's corpus), tonight's delta is
+    * doc_id % 10 = 9, tombstones are doc_id % 13 = 0 applied to the
+    * stored index (a delta arrival supersedes a same-id tombstone).
+    *
+    * Gate: top-20 terms of the MAINTAINED index by (df, term). The oracle
+    * rebuilds the index FROM SCRATCH over the live document set, so the
+    * hash match proves maintenance ≡ rebuild — no ghost postings survive
+    * a tombstone, no delta posting is missed.
+    */
+  def i04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    def postings(d: DataFrame): DataFrame = d
+      .select($"doc_id", explode(filter(
+        split(TextAnalysis.normalize($"text"), " "), x => x =!= "")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val stored = postings(docs.filter($"doc_id" % 10 =!= 9)) // yesterday's artifact
+    val tombstones = docs.filter($"doc_id" % 13 === 0).select($"doc_id")
+    val delta = postings(docs.filter($"doc_id" % 10 === 9))
+    stored.join(broadcast(tombstones), Seq("doc_id"), "left_anti")
+      .unionByName(delta)
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), sum($"tf").as("total_tf"))
+      .orderBy($"df".desc, $"term")
+      .limit(20)
+  }
+
+  val i04Oracle: String =
+    """WITH live AS (
+      |  SELECT * FROM documents
+      |  WHERE (doc_id % 10 = 9) OR (doc_id % 13 <> 0)),
+      |p AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |      x -> x <> '')) AS term
+      |  FROM live),
+      |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM p GROUP BY 1, 2)
+      |SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS total_tf
+      |FROM tf GROUP BY term
+      |ORDER BY df DESC, term LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("mv01_incremental_rollup", mv01, Some(mv01Oracle)),
     Q("dq03_snapshot_diff", dq03, Some(dq03Oracle)),
     Q("i01_incremental_dedup_index", i01, Some(i01Oracle)),
     Q("i02_incremental_ann_index", i02, Some(i02Oracle)),
     Q("i03_tombstone_index_prune", i03, Some(i03Oracle)),
+    Q("i04_incremental_postings", i04, Some(i04Oracle)),
   )
 }

@@ -1329,6 +1329,76 @@ object TextAnalysis {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** t20 — HTML BOILERPLATE EXTRACTION (the trafilatura/jusText stage —
+    * the FIRST transformation every web-crawl corpus goes through before
+    * any quality/dedup op sees text): strip script/style payloads whole,
+    * drop chrome elements (nav/header/footer/aside), un-tag what remains,
+    * collapse whitespace. The input corpus is synthesized
+    * DETERMINISTICALLY in-plan (each doc's text wrapped in a fixed page
+    * skeleton with title/nav/script/footer boilerplate — the same
+    * stub-the-input posture as the multimodal fake decoder, documented
+    * there): real crawl HTML slots in by replacing the synthesis
+    * expression with the raw column. Because the payload is known, the
+    * gate PROVES extraction exactness: `roundtrip_ok` pins the extracted
+    * text equal to the whitespace-normalized original, and
+    * `boilerplate_chars` accounts for every byte the extractor dropped.
+    *
+    * Both engines run the same regex dialect subset ((?s) flag,
+    * non-greedy `.*?`, `[^>]*` — Java regex and DuckDB's RE2 agree on
+    * all three). Per-row scalar pipeline: one projection chain, no
+    * shuffle at all beyond the final presentation sort — the 100 TB
+    * plan is the scan itself.
+    */
+  def t20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+      lit("</title><style>p{margin:0}</style></head><body>"),
+      lit("<nav>home | corpus | about</nav><p>"), $"text",
+      lit("</p><script>var t=1;</script><footer>&copy; graft corp</footer>"),
+      lit("</body></html>"))
+    val noHead = regexp_replace(html, "(?s)<head>.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?s)<script>.*?</script>", " ")
+    val noChrome = regexp_replace(noScript,
+      "(?s)<(nav|header|footer|aside)>.*?</(nav|header|footer|aside)>", " ")
+    val unTagged = regexp_replace(noChrome, "<[^>]*>", " ")
+    val extracted = trim(regexp_replace(unTagged, "\\s+", " "))
+    Tables.documents(s, dir)
+      .select($"doc_id", length(html).as("html_chars"),
+        length(extracted).as("extracted_chars"),
+        (length(html) - length(extracted)).as("boilerplate_chars"),
+        (extracted === trim(regexp_replace($"text", "\\s+", " ")))
+          .as("roundtrip_ok"))
+      .orderBy($"doc_id")
+  }
+
+  val t20Oracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    '<html><head><title>Doc ' || doc_id ||
+      |    '</title><style>p{margin:0}</style></head><body>' ||
+      |    '<nav>home | corpus | about</nav><p>' || text ||
+      |    '</p><script>var t=1;</script><footer>&copy; graft corp</footer>' ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, text, html,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(html, '(?s)<head>.*?</head>', ' ', 'g'),
+      |            '(?s)<script>.*?</script>', ' ', 'g'),
+      |          '(?s)<(nav|header|footer|aside)>.*?</(nav|header|footer|aside)>', ' ', 'g'),
+      |        '<[^>]*>', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS extracted
+      |  FROM h)
+      |SELECT doc_id, length(html) AS html_chars,
+      |  length(extracted) AS extracted_chars,
+      |  length(html) - length(extracted) AS boilerplate_chars,
+      |  extracted = trim(regexp_replace(text, '\s+', ' ', 'g')) AS roundtrip_ok
+      |FROM x ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Oracle)),
     Q("t02_text_quality", t02, Some(t02Oracle)),
@@ -1347,6 +1417,7 @@ object TextAnalysis {
     Q("t15_rag_chunking", t15, Some(t15Oracle)),
     Q("t16_bpe_merges", t16, Some(t16Oracle)),
     Q("t17_vocab_growth", t17, Some(t17Oracle)),
+    Q("t20_html_extract", t20, Some(t20Oracle)),
     Q("c01_corpus_filter", c01, Some(c01Oracle)),
     Q("c04_curation_pipeline", c04, Some(c04Oracle)),
     Q("c07_corpus_datasheet", c07, Some(c07Oracle)),

@@ -133,4 +133,29 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
       "fixture too weak: no pair touches a tombstone")
     assert(full.filter { case (a, b) => a % 13 != 0 && b % 13 != 0 } == pruned)
   }
+
+  test("i04 postings maintenance equals a from-scratch rebuild over the live set") {
+    import org.apache.spark.sql.functions._
+    val maintained = Incremental.i04(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(maintained.nonEmpty && maintained.length <= 20)
+    // scratch rebuild: tokenize the live docs directly (delta supersedes a
+    // same-id tombstone — live = delta batch ∪ untombstoned base)
+    val live = graft.Tables.documents(spark, sfSmoke)
+      .filter(col("doc_id") % 10 === 9 || col("doc_id") % 13 =!= 0)
+    val scratch = live
+      .select(col("doc_id"), explode(filter(
+        split(TextAnalysis.normalize(col("text")), " "), x => x =!= "")).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("term")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(maintained == scratch)
+    // the maintenance actually did something at both ends: some base doc
+    // was tombstoned and some delta doc exists
+    assert(graft.Tables.documents(spark, sfSmoke)
+      .filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 13 === 0).count() > 0)
+    assert(graft.Tables.documents(spark, sfSmoke)
+      .filter(col("doc_id") % 10 === 9).count() > 0)
+  }
 }

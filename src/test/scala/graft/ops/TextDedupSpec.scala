@@ -449,4 +449,19 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     // Heaps-curve invariant: both series are non-decreasing
     assert(out.sliding(2).forall { case Seq(p, n) => p._2 <= n._2 && p._3 <= n._3 })
   }
+
+  test("t20 html extraction: exact round-trip on every doc; boilerplate fully accounted") {
+    val rows = TextAnalysis.t20(spark, sfSmoke).collect()
+    val nDocs = graft.Tables.documents(spark, sfSmoke).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (html, ext, boiler, ok) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))
+      assert(ok, s"doc ${r.getLong(0)}: extraction did not round-trip")
+      assert(boiler == html - ext)
+      // the fixed page skeleton is ~190 chars + the doc-id digits; every
+      // dropped byte must be boilerplate, never payload
+      assert(boiler >= 180 && boiler <= 220, s"boilerplate $boiler outside skeleton range")
+    }
+  }
 }
