@@ -250,6 +250,78 @@ object Mixing {
        |  (alloc * 1000000) // n_tokens AS epochs_ppm
        |FROM o4 ORDER BY lang""".stripMargin
 
+  /** mx03 — TEMPERATURE-SAMPLED MIXTURE SHARES (τ = 0.5): the classic
+    * multilingual sampling rule (mBERT/XLM-R; the pre-UniMax standard):
+    * sample language i proportionally to n_i^τ, flattening the head and
+    * boosting the tail. Integer-exact under the determinism contract:
+    *   - n^0.5 is floor(sqrt(n)) — EXACT for n ≤ 4·10^15 because sqrt is
+    *     IEEE correctly rounded and k² is exactly representable, so the
+    *     rounded sqrt never crosses an integer boundary;
+    *   - shares are `10^6·s_i div S` with S = Σ s_i (integer — order-free,
+    *     unlike a float Σ whose partial-agg order would differ between
+    *     engines), and the `10^6 − Σ base` remainder points go to the
+    *     LARGEST-REMAINDER languages (Hamilton rounding; remainders
+    *     `(10^6·s_i) mod S` are integers, so the rank is exact) — the
+    *     published shares sum to exactly 10^6.
+    * Output carries the raw proportional share next to the tempered one
+    * so the boost/flatten effect is the gated fact.
+    *
+    * Scale shape: one corpus scan + language-grain partial agg (shared
+    * with mx02); everything after runs on the k-row language relation
+    * (two bounded windows + a 1-row total broadcast, whitelisted).
+    */
+  def mx03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = Tables.documents(s, dir)
+      .select($"lang",
+        size(filter(split(TextAnalysis.normalize($"text"), " "), x => x =!= ""))
+          .cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("n_tokens"))
+      .withColumn("sq", floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+    val tot = perLang.agg(
+      sum($"n_tokens").as("total"), sum($"sq").as("stot"))
+    val based = perLang.crossJoin(broadcast(tot))
+      .withColumn("raw_share_ppm", expr("(1000000 * n_tokens) div total"))
+      .withColumn("base", expr("(1000000 * sq) div stot"))
+      .withColumn("rmd", expr("(1000000 * sq) % stot"))
+    val short = based.agg((lit(1000000L) - sum($"base")).as("short"))
+    based.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"rmd".desc, $"lang")).cast("long"))
+      .select($"lang", $"n_tokens", $"sq", $"raw_share_ppm",
+        ($"base" + when($"rk" <= $"short", 1L).otherwise(0L))
+          .as("temp_share_ppm"))
+      .withColumn("boosted", $"temp_share_ppm" > $"raw_share_ppm")
+      .orderBy($"lang")
+  }
+
+  val mx03Oracle: String =
+    """WITH per AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |      x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |sq AS (SELECT lang, n_tokens,
+      |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sq
+      |       FROM per),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+      |               CAST(SUM(sq) AS BIGINT) AS stot FROM sq),
+      |based AS (
+      |  SELECT lang, n_tokens, sq,
+      |    (1000000 * n_tokens) // total AS raw_share_ppm,
+      |    (1000000 * sq) // stot AS base,
+      |    (1000000 * sq) % stot AS rmd
+      |  FROM sq CROSS JOIN tot),
+      |short AS (SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS short FROM based),
+      |ranked AS (
+      |  SELECT based.*, short.short,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rmd DESC, lang) AS BIGINT) AS rk
+      |  FROM based CROSS JOIN short)
+      |SELECT lang, n_tokens, sq, raw_share_ppm,
+      |  base + (CASE WHEN rk <= short THEN 1 ELSE 0 END) AS temp_share_ppm,
+      |  base + (CASE WHEN rk <= short THEN 1 ELSE 0 END) > raw_share_ppm AS boosted
+      |FROM ranked ORDER BY lang""".stripMargin
+
   /** The "curated" source set for c11: the classifier's positive class
     * (the CCNet/LLaMA recipe trains on wiki-reference vs crawl; any
     * deterministic source split exercises the same plan).
@@ -341,6 +413,7 @@ object Mixing {
   val all: Seq[Q] = Seq(
     Q("mx01_dsir_importance", mx01, Some(mx01Oracle)),
     Q("mx02_unimax_allocation", mx02, Some(mx02Oracle)),
+    Q("mx03_temperature_mixture", mx03, Some(mx03Oracle)),
     Q("c11_quality_classifier", c11, Some(c11Oracle)),
   )
 }

@@ -811,6 +811,67 @@ object Streams {
       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** st12 — STREAMING POSTINGS-LEDGER MAINTENANCE: the continuous-ingest
+    * complement to the batch index maintenance (Incremental.i04): as
+    * document files arrive, one streaming aggregation maintains the
+    * (term, doc) tf ledger — the stored artifact the ir-family retrieval
+    * ops probe — and term-grain statistics (df / total tf) are refreshed
+    * FROM the converged ledger, never from corpus text (the periodic
+    * stats-refresh step a production indexer runs; i04's docstring
+    * explains why stats are index-grain work). The ledger agg state is
+    * postings-cardinality — the index itself — which is exactly what any
+    * indexer must hold somewhere; at scale the Complete-mode memory sink
+    * becomes a keyed external sink, same topology.
+    *
+    * Gate: the same top-20 term-stats form as i04 over the full corpus —
+    * the oracle is the batch rebuild, so the hash match proves the
+    * streaming ledger converged to the batch index exactly.
+    */
+  def st12(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s, shufflePartitions = 8) // vocabulary-sized state
+    import ss.implicits._
+    val docsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    val src = ss.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val ledger = src
+      .select($"doc_id", explode(filter(
+        split(graft.ops.TextAnalysis.normalize($"text"), " "),
+        x => x =!= "")).as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val sink = s"st12_postings_${sinkCounter.incrementAndGet()}"
+    locally {
+      val q = ledger.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(sink)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    ss.table(sink)
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), sum($"tf").as("total_tf"))
+      .orderBy($"df".desc, $"term")
+      .limit(20)
+  }
+
+  val st12Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |      x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM p GROUP BY 1, 2)
+      |SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS total_tf
+      |FROM tf GROUP BY term
+      |ORDER BY df DESC, term LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("st01_stream_weekly_rollup", st01, Some(st01Oracle)),
     Q("st02_session_windows", st02, Some(st02Oracle)),
@@ -823,5 +884,6 @@ object Streams {
     Q("st09_stream_outer_join", st09, Some(st09Oracle)),
     Q("st10_stream_running_totals", st10, Some(st10Oracle)),
     Q("st11_stream_dedup_ttl", st11, Some(st11Oracle)),
+    Q("st12_stream_postings", st12, Some(st12Oracle)),
   )
 }

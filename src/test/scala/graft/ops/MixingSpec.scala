@@ -120,6 +120,28 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(!_.getBoolean(4)), "every language saturated — budget too large a test")
   }
 
+  test("mx03: tempered shares sum to exactly 1e6 and flatten toward uniform") {
+    val rows = Mixing.mx03(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val temp = rows.map(_.getLong(4))
+    assert(temp.sum == 1000000L, s"shares sum ${temp.sum} != 1e6")
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(4) > r.getLong(3)))
+      // isqrt is exact: sq^2 <= n < (sq+1)^2
+      val (n, sq) = (r.getLong(1), r.getLong(2))
+      assert(sq * sq <= n && n < (sq + 1) * (sq + 1), s"isqrt wrong for $n: $sq")
+    }
+    // temperature flattens: the head language's tempered share is below its
+    // raw share, the smallest language's is above
+    val byN = rows.sortBy(_.getLong(1))
+    assert(byN.last.getLong(4) < byN.last.getLong(3), "head not flattened")
+    assert(byN.head.getLong(4) > byN.head.getLong(3), "tail not boosted")
+    // tempered distribution is closer to uniform than the raw one
+    val k = rows.length
+    def dev(xs: Array[Long]) = xs.map(x => math.abs(x - 1000000L / k)).sum
+    assert(dev(temp) < dev(rows.map(_.getLong(3))), "temperature did not flatten")
+  }
+
   test("c11: covers every doc; verdict consistent; classifier beats chance in-sample") {
     val rows = Mixing.c11(spark, dir).collect()
     val nDocs = graft.Tables.documents(spark, dir).count()

@@ -71,6 +71,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // — the corpus itself only ever flows through hash joins and
     // partial aggs
     "mx01_dsir_importance", "mx02_unimax_allocation",
+    // 1-row totals/shortfall relations crossed into the |languages|-row
+    // share table (the mx02 shape)
+    "mx03_temperature_mixture",
     // 1-row class-totals relation crossed into the vocabulary-sized NB
     // model; the (doc, word) stream only flows through word-keyed hash
     // joins and partial aggs
