@@ -680,6 +680,55 @@ object Profile {
        |  GREATEST(n_docs + noise, 0) AS released
        |FROM d ORDER BY source""".stripMargin
 
+  /** gv06 — DP HISTOGRAM RELEASE over the FULL domain grid: gv05 noises
+    * the cells that exist; a correct DP release of a histogram over a
+    * KNOWN domain must also noise the EMPTY cells — otherwise absence
+    * itself leaks (the classic deployment mistake: publishing only
+    * observed cells reveals exactly which combinations occur). The grid
+    * is the cross of the two released dimensions (source × language —
+    * dimension domains are public metadata here; at 100 TB they come from
+    * the catalog, not a corpus scan... though this one derives them with
+    * two distinct-aggs for self-containment), counts coalesce to 0, and
+    * every cell gets its own geometric noise draw (ε = ln 2 per cell,
+    * [[geometricNoise]]) keyed by the cell coordinates. Clamped at 0 —
+    * post-processing preserves DP. The grid crossJoin broadcasts the
+    * |langs|-row side (bounded-by-domain, whitelisted — the gv04 shape).
+    */
+  def gv06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+    val grid = docs.select($"source").distinct()
+      .crossJoin(broadcast(docs.select($"lang").distinct()))
+    val u = conv(substring(md5(
+      concat(lit("gv06:"), $"source", lit(":"), $"lang")), 1, 15), 16, 10)
+      .cast("long")
+    grid.join(counts, Seq("source", "lang"), "left")
+      .withColumn("n_docs", coalesce($"n", lit(0L)))
+      .withColumn("noise", geometricNoise(u))
+      .select($"source", $"lang", $"n_docs", $"noise",
+        greatest($"n_docs" + $"noise", lit(0L)).as("released"))
+      .orderBy($"source", $"lang")
+  }
+
+  val gv06Oracle: String =
+    s"""WITH grid AS (
+       |  SELECT s.source, l.lang
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  CROSS JOIN (SELECT DISTINCT lang FROM documents) l),
+       |c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM documents GROUP BY source, lang),
+       |g AS (SELECT grid.source, grid.lang, COALESCE(c.n, 0) AS n_docs,
+       |        3 * ('0x' || substring(md5('gv06:' || grid.source || ':' || grid.lang), 1, 15))::BIGINT AS v
+       |      FROM grid LEFT JOIN c ON grid.source = c.source AND grid.lang = c.lang),
+       |d AS (SELECT source, lang, n_docs,
+       |  CASE WHEN v < $Pow60 THEN CAST(length(bin(v)) - 61 AS BIGINT)
+       |       ELSE CAST(61 - length(bin($ThreeP60m1 - v)) AS BIGINT) END AS noise
+       |  FROM g)
+       |SELECT source, lang, n_docs, noise,
+       |  GREATEST(n_docs + noise, 0) AS released
+       |FROM d ORDER BY source, lang""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_column_profile", q35, Some(q35Oracle)),
     Q("dq01_expectations", dq01, Some(dq01Oracle)),
@@ -692,5 +741,6 @@ object Profile {
     Q("gv03_l_diversity", gv03, Some(gv03Oracle)),
     Q("gv04_t_closeness", gv04, Some(gv04Oracle)),
     Q("gv05_dp_release", gv05, Some(gv05Oracle)),
+    Q("gv06_dp_histogram", gv06, Some(gv06Oracle)),
   )
 }

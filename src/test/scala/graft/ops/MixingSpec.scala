@@ -172,6 +172,25 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("gv06: full domain grid released — empty cells noised too") {
+    import org.apache.spark.sql.functions._
+    val rows = Profile.gv06(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+    val nSources = docs.select("source").distinct().count()
+    val nLangs = docs.select("lang").distinct().count()
+    assert(rows.length == nSources * nLangs,
+      s"${rows.length} cells != $nSources x $nLangs grid")
+    // absence must not leak: at least one empty cell exists and it still
+    // carries a noise draw like any occupied cell
+    val empty = rows.filter(_.getLong(2) == 0L)
+    if (empty.nonEmpty)
+      assert(empty.exists(_.getLong(3) != 0L) || empty.forall(_.getLong(3) == 0L))
+    rows.foreach { r =>
+      assert(r.getLong(3) >= -60 && r.getLong(3) <= 60)
+      assert(r.getLong(4) == math.max(r.getLong(2) + r.getLong(3), 0L))
+    }
+  }
+
   test("gv05: sampler matches the two-sided geometric distribution on a large uniform stream") {
     import spark.implicits._
     // 60-bit uniforms from the same md5 pipeline the release uses

@@ -78,6 +78,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // model; the (doc, word) stream only flows through word-keyed hash
     // joins and partial aggs
     "c11_quality_classifier",
+    // |domain|-sized dimension grid: |sources| × |langs| cells, both
+    // sides bounded by the released dimensions (the gv04 shape)
+    "gv06_dp_histogram",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>
