@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Equal-posture comparison of two bench artifacts (the BASELINE.md rule,
+mechanized): refuses to compare artifacts whose `cpus` or `heap_gb`
+differ or whose reps are storm-stamped, then reports total/median ratios
+and every per-query regression above the threshold.
+
+Usage: python3 tools/bench_compare.py OLD.json NEW.json [--threshold 2.0]
+
+Exit code 1 if any query regressed beyond the threshold (tripwire use),
+2 if the artifacts are not comparable.
+"""
+import json
+import statistics
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(argv):
+    thr = 2.0
+    if "--threshold" in argv:
+        i = argv.index("--threshold")
+        thr = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    old, new = load(argv[0]), load(argv[1])
+
+    problems = []
+    for field in ("cpus", "heap_gb"):
+        if old.get(field) != new.get(field):
+            problems.append(f"{field}: {old.get(field)} vs {new.get(field)}")
+    for name, art in (("old", old), ("new", new)):
+        storms = art.get("rep_storm", [])
+        if any(storms):
+            problems.append(f"{name} artifact is storm-stamped: {storms}")
+    if problems:
+        print("NOT COMPARABLE (BASELINE.md rule):")
+        for p in problems:
+            print(f"  - {p}")
+        return 2
+
+    qo, qn = old["queries"], new["queries"]
+    common = sorted(k for k in qo if k in qn and qo[k] > 0 and qn[k] > 0)
+    ratios = {k: qn[k] / qo[k] for k in common}
+    med = statistics.median(ratios.values())
+    print(f"common queries: {len(common)}  "
+          f"old total {old['value']:.1f}s  new total {new['value']:.1f}s  "
+          f"median per-query ratio {med:.3f}")
+    only_new = sorted(set(qn) - set(qo))
+    if only_new:
+        print(f"new-only queries ({len(only_new)}): "
+              + ", ".join(f"{k}={qn[k]:.2f}s" for k in only_new))
+
+    regressions = sorted(
+        ((r, k) for k, r in ratios.items() if r > thr), reverse=True)
+    if regressions:
+        print(f"REGRESSIONS above {thr}x:")
+        for r, k in regressions:
+            print(f"  {k}: {qo[k]:.2f}s -> {qn[k]:.2f}s ({r:.2f}x)")
+        return 1
+    print(f"no query regressed beyond {thr}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
