@@ -106,5 +106,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // windowed top-k (row_number <= k) → bounded-heap aggregate, when
     // provably semantics-preserving (see WindowTopKToHeap's guards)
     e.injectOptimizerRule(_ => org.apache.spark.sql.graft.WindowTopKToHeap)
+    // native as-of join: plans graft.AsOfJoin logical nodes as the
+    // sort-merge-style AsOfJoinExec (one shuffle per side on its key)
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }

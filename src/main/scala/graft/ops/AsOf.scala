@@ -238,9 +238,45 @@ object AsOf {
       |  ON sg.user_id = p.user_id AND sg.ts <= p.purchase_ts
       |ORDER BY sg.event_id""".stripMargin
 
+  /** q63 — q31's attribution query through the NATIVE as-of operator
+    * ([[org.apache.spark.sql.graft.AsOfJoinPlan]]: custom LogicalPlan +
+    * Strategy + SparkPlan — the §4 ladder's rung (c)) instead of the
+    * composed union+window form. Same output, same DuckDB native-ASOF
+    * oracle as q31 — three independent formulations of the operator
+    * (composed, custom physical, DuckDB) must agree row-for-row. The
+    * native plan shuffles each side once on its own key and streams a
+    * merge walk; the composed plan shuffles the UNION of both sides into
+    * one window — at 100 TB the native form moves strictly less data and
+    * never null-pads the probe side.
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    // right side fully aliased: disjoint names AND fresh attribute ids
+    // (same-source self-join), per AsOfJoinPlan.asof's contract
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user_id"), $"ts".as("signup_ts"),
+        $"event_id".as("signup_id"))
+    org.apache.spark.sql.graft.AsOfJoinPlan
+      .asof(purchases, signups,
+        leftKey = "user_id", rightKey = "s_user_id",
+        leftTs = "ts", rightTs = "signup_ts")
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+        $"value",
+        date_format($"signup_ts", "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+        $"signup_id",
+      )
+      .orderBy($"event_id")
+  }
+
   def all: Seq[Q] = Seq(
     Q("q31_asof_join", q31, Some(q31Oracle)),
     Q("q61_asof_tolerance", q61, Some(q61Oracle)),
     Q("q62_asof_forward", q62, Some(q62Oracle)),
+    Q("q63_asof_native", q63, Some(q31Oracle)),
   )
 }

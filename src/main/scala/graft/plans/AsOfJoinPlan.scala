@@ -1,0 +1,188 @@
+// Lives under org.apache.spark.sql (like WindowTopKToHeap) for the
+// private[sql] catalyst surfaces; source sits in graft/plans/.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native AS-OF JOIN as a whole custom operator — the §4 ladder's rung (c)
+  * (custom LogicalPlan + Strategy + SparkPlan), used where composition has
+  * a real cost: [[graft.ops.AsOf.asofJoin]] expresses the same semantics
+  * with union + window, which materializes BOTH sides into one sorted
+  * window partition and carries null-padded columns for every row. This
+  * operator instead plans like a sort-merge join: each side shuffles ONCE
+  * on its own key, sorts within partitions, and a single streaming merge
+  * walk emits each left row with the latest right row at-or-before its
+  * timestamp — O(1) state per key beyond the sorts, no union blow-up, no
+  * null padding, and the left side's columns never pass through a window
+  * frame.
+  *
+  * Semantics (LEFT ASOF, backward): for each left row (k, t), the right
+  * row with the same key and the greatest rightTime ≤ t; ties at equal
+  * timestamps match (DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND
+  * l.t >= r.t` — the gate's oracle). Duplicate (key, time) right rows
+  * resolve deterministically to the greatest full row in the required
+  * child ordering (the composed form's greatest-carried-tuple rule). Rows
+  * with a null key or null time never match (null-key right rows are
+  * skipped; null-key/time left rows emit with nulls).
+  *
+  * Distribution/ordering contract: both children require
+  * ClusteredDistribution on their key and ascending (key, time, …) sort —
+  * EnsureRequirements inserts the exchanges/sorts and co-partitions the
+  * sides exactly as it does for SortMergeJoin, so AQE, whole-stage-codegen
+  * inputs, and reuse all compose. At 100 TB this is one shuffle per side
+  * at join-key grain — the minimum any key-matched join pays.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan,
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  // right side additionally orders by its remaining columns so duplicate
+  // (key, time) rows resolve to a DETERMINISTIC last-wins winner
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      right.output.filterNot(a =>
+        a.semanticEquals(rightKey) || a.semanticEquals(rightTime))
+        .map(a => SortOrder(a, Ascending)),
+  )
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightWidth = right.output.size
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight: InternalRow = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+
+      // lookahead right row (NOT copied — key/time extracted before the
+      // iterator reuses the buffer; only a row promoted to candidate is
+      // copied)
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      def advanceR(): Unit =
+        rHead = if (rIter.hasNext) rIter.next() else null
+      // latest matching right row (stable copy) — validity is re-checked
+      // against each left key by re-evaluating the key on the copy
+      var cand: InternalRow = null
+
+      lIter.map { l =>
+        val lkv = lkB.eval(l)
+        val ltv = ltB.eval(l)
+        if (lkv == null || ltv == null) {
+          proj(joined(l, nullRight))
+        } else {
+          // advance the right side up to (key, time] of this left row
+          var done = false
+          while (!done && rHead != null) {
+            val rkv = rkB.eval(rHead)
+            if (rkv == null) advanceR() // null keys sort first; never match
+            else {
+              val c = keyOrd.compare(rkv, lkv)
+              if (c < 0) advanceR() // right key behind: drop
+              else if (c > 0) done = true // right key ahead: keep for later
+              else {
+                val rtv = rtB.eval(rHead)
+                if (rtv == null) advanceR() // null time sorts first; skip
+                else if (timeOrd.compare(rtv, ltv) <= 0) {
+                  cand = rHead.copy() // newest at-or-before match so far
+                  advanceR()
+                } else done = true // right time ahead of this left ts
+              }
+            }
+          }
+          val matched = cand != null && {
+            val ckv = rkB.eval(cand)
+            ckv != null && keyOrd.compare(ckv, lkv) == 0
+          }
+          proj(joined(l, if (matched) cand else nullRight))
+        }
+      }
+    }
+  }
+}
+
+object AsOfJoinPlan {
+
+  /** DataFrame-level entry: LEFT ASOF (backward) join of `left` to `right`
+    * on `key` with `leftTs >= rightTs`. Column names (and attribute ids)
+    * must be disjoint between the sides — alias the right side's columns
+    * (which also mints fresh attribute ids for self-joins).
+    */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+  ): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    val nameClash = lp.output.map(_.name).toSet.intersect(rp.output.map(_.name).toSet)
+    require(nameClash.isEmpty,
+      s"asof: alias right-side columns to avoid clashes: ${nameClash.mkString(", ")}")
+    val idClash = lp.outputSet.intersect(rp.outputSet)
+    require(idClash.isEmpty,
+      "asof: the sides share attribute ids (self-join) — alias the right side's columns")
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asof: no column '$n' in ${p.output.map(_.name)}"))
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], AsOfJoin(lp, rp,
+      attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs)))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{AsOfJoinExec, AsOfJoinPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The native as-of operator (custom LogicalPlan + Strategy + SparkPlan)
+  * must agree row-for-row with the composed union+window form on real
+  * data, handle every edge the composed form handles on crafted fixtures,
+  * and plan as one shuffle per side (never a cartesian). Value-level
+  * parity with DuckDB's native ASOF is the q63 driver gate.
+  */
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native == composed on the events table, row for row") {
+    val native = graft.ops.AsOf.q63(spark, sfSmoke).collect().toSeq
+    val composed = graft.ops.AsOf.q31(spark, sfSmoke).collect().toSeq
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("edge semantics: no-match nulls, equal-ts match, dup right rows, null keys/times") {
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")), // before any right row -> nulls
+      (2L, "a", ts("2024-01-02 10:00:00")), // equal ts -> matches
+      (3L, "a", ts("2024-01-03 10:00:00")), // two right rows at same ts -> greatest tuple
+      (4L, "b", ts("2024-01-05 10:00:00")), // key with no right rows -> nulls
+      (5L, null, ts("2024-01-05 10:00:00")), // null key -> nulls
+      (6L, "c", null), // null time -> nulls
+      (7L, "c", ts("2024-01-09 10:00:00")), // later match after null-ts row
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2024-01-02 10:00:00"), 100L),
+      ("a", ts("2024-01-03 09:00:00"), 200L),
+      ("a", ts("2024-01-03 09:00:00"), 300L), // duplicate (key, ts): 300 wins
+      (null, ts("2024-01-01 00:00:00"), 400L), // null right key: never matches
+      ("c", null, 500L), // null right time: never matches
+      ("c", ts("2024-01-08 00:00:00"), 600L),
+    ).toDF("rk", "rt", "v")
+    val out = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt")
+      .orderBy($"id")
+      .select($"id", $"v")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(
+      1L -> -1L, 2L -> 100L, 3L -> 300L, 4L -> -1L, 5L -> -1L, 6L -> -1L, 7L -> 600L))
+  }
+
+  test("left rows keep their own columns; right columns nullable in output") {
+    val left = Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(("z", ts("2023-01-01 00:00:00"), 1L)).toDF("rk", "rt", "v")
+    val df = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt")
+    assert(df.columns.toSeq == Seq("id", "k", "t", "rk", "rt", "v"))
+    assert(df.schema("v").nullable)
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 1L && row.isNullAt(5))
+  }
+
+  test("plan: AsOfJoinExec with one hash exchange per side, no cartesian") {
+    val events = graft.Tables.events(spark, sfSmoke)
+    val l = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val r = events.filter($"event_type" === "signup")
+      .select($"user_id".as("su"), $"ts".as("st"))
+    val df = AsOfJoinPlan.asof(l, r, "user_id", "su", "ts", "st")
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the "Exec" suffix — the node prints as AsOfJoin
+    assert(plan.contains("AsOfJoin"), s"native exec not planned:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"degenerate join shape:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findFirstIn(plan).isDefined &&
+      "hashpartitioning\\(su".r.findFirstIn(plan).isDefined,
+      s"expected one hash exchange per side on its key:\n$plan")
+    // per-side sorts on (key, time) inserted by EnsureRequirements
+    assert("Sort \\[user_id#\\d+L? ASC".r.findFirstIn(plan).isDefined &&
+      "Sort \\[su#\\d+L? ASC".r.findFirstIn(plan).isDefined,
+      s"expected per-side (key, time) sorts:\n$plan")
+    // the physical node really is ours: collecting from the sparkPlan
+    // (pre-adaptive) tree finds the exec instance
+    val execs = df.queryExecution.sparkPlan.collect { case e: AsOfJoinExec => e }
+    assert(execs.nonEmpty, "AsOfJoinExec missing from the physical plan tree")
+  }
+
+  test("mixed keys interleave correctly across a larger generated fixture") {
+    // brute-force reference on 300 left x 120 right rows across 6 keys
+    val rnd = new scala.util.Random(7)
+    val keys = Vector("k0", "k1", "k2", "k3", "k4", "k5")
+    val lrows = (1L to 300L).map(i =>
+      (i, keys(rnd.nextInt(6)), ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00")))
+    val rrows = (1L to 120L).map(i =>
+      (keys(rnd.nextInt(6)), ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"), i))
+    val left = lrows.toDF("id", "k", "t")
+    val right = rrows.toDF("rk", "rt", "v")
+    val got = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt")
+      .select($"id", $"v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val want = lrows.map { case (id, k, t) =>
+      val matches = rrows.filter(rr => rr._1 == k && !rr._2.after(t))
+      // greatest (rt, then remaining cols = v) wins — the exec's tiebreak
+      id -> (if (matches.isEmpty) -1L
+             else matches.maxBy(rr => (rr._2.getTime, rr._3))._3)
+    }.toMap
+    assert(got == want)
+  }
+}
