@@ -90,6 +90,47 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(execs.nonEmpty, "AsOfJoinExec missing from the physical plan tree")
   }
 
+  test("native shuffles less data than the composed union+window form") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffledBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+        case q: QueryStageExec => q +: walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val sizes = walk(df.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeLike => s.metrics("dataSize").value
+      }
+      assert(sizes.nonEmpty, "no shuffle metric found")
+      sizes.sum
+    }
+    val events = graft.Tables.events(spark, sfSmoke)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val composed = shuffledBytes(graft.ops.AsOf.asofJoin(
+      purchases,
+      events.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("signup_ts"), $"event_id".as("signup_id")),
+      key = "user_id", leftTs = "ts", rightTs = "signup_ts",
+      rightCols = Seq("signup_ts", "signup_id")))
+    val native = shuffledBytes(org.apache.spark.sql.graft.AsOfJoinPlan.asof(
+      purchases,
+      events.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user_id"), $"ts".as("signup_ts"),
+          $"event_id".as("signup_id")),
+      leftKey = "user_id", rightKey = "s_user_id",
+      leftTs = "ts", rightTs = "signup_ts"))
+    assert(native > 0 && composed > 0)
+    // the composed form unions both sides into one window partition with
+    // null-padded columns; the native form shuffles each side at its own
+    // width — strictly less bytes on the wire
+    assert(native < composed,
+      s"native shuffled $native bytes, composed $composed — expected native smaller")
+  }
+
   test("mixed keys interleave correctly across a larger generated fixture") {
     // brute-force reference on 300 left x 120 right rows across 6 keys
     val rnd = new scala.util.Random(7)
