@@ -273,10 +273,40 @@ object AsOf {
       .orderBy($"event_id")
   }
 
+  /** q64 — q62's conversion-lag query through the native operator's
+    * FORWARD direction (first right row at-or-after the probe ts; the
+    * forward walk needs no candidate copy — the lookahead row IS the
+    * match). Same DuckDB forward-ASOF oracle as q62: composed-forward,
+    * native-forward, and DuckDB must agree row-for-row.
+    */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val signups = events.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("purchase_ts"),
+        $"value".as("purchase_value"))
+    org.apache.spark.sql.graft.AsOfJoinPlan
+      .asof(signups, purchases,
+        leftKey = "user_id", rightKey = "p_user_id",
+        leftTs = "ts", rightTs = "purchase_ts", forward = true)
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+        date_format($"purchase_ts", "yyyy-MM-dd HH:mm:ss").as("first_purchase_time"),
+        $"purchase_value",
+        datediff(to_date($"purchase_ts"), to_date($"ts"))
+          .cast("long").as("days_to_convert"),
+      )
+      .orderBy($"event_id")
+  }
+
   def all: Seq[Q] = Seq(
     Q("q31_asof_join", q31, Some(q31Oracle)),
     Q("q61_asof_tolerance", q61, Some(q61Oracle)),
     Q("q62_asof_forward", q62, Some(q62Oracle)),
     Q("q63_asof_native", q63, Some(q31Oracle)),
+    Q("q64_asof_native_forward", q64, Some(q62Oracle)),
   )
 }

@@ -47,6 +47,7 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -57,8 +58,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -68,6 +69,7 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan,
 ) extends BinaryExecNode {
@@ -115,8 +117,11 @@ case class AsOfJoinExec(
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       def advanceR(): Unit =
         rHead = if (rIter.hasNext) rIter.next() else null
-      // latest matching right row (stable copy) — validity is re-checked
-      // against each left key by re-evaluating the key on the copy
+      // BACKWARD: latest matching right row (stable copy) — validity is
+      // re-checked against each left key by re-evaluating the key on it.
+      // FORWARD needs no copy: the match is the lookahead row itself (the
+      // first right row at-or-after the probe ts), emitted before the
+      // iterator advances.
       var cand: InternalRow = null
 
       lIter.map { l =>
@@ -124,6 +129,34 @@ case class AsOfJoinExec(
         val ltv = ltB.eval(l)
         if (lkv == null || ltv == null) {
           proj(joined(l, nullRight))
+        } else if (forward) {
+          // drop right rows strictly before (key, time) of this left row;
+          // left times ascend within a key, so dropped rows can never
+          // match a later probe either
+          var done = false
+          while (!done && rHead != null) {
+            val rkv = rkB.eval(rHead)
+            if (rkv == null) advanceR() // null keys sort first; never match
+            else {
+              val c = keyOrd.compare(rkv, lkv)
+              if (c < 0) advanceR() // right key behind: drop
+              else if (c > 0) done = true // right key ahead: no match
+              else {
+                val rtv = rtB.eval(rHead)
+                if (rtv == null) advanceR() // null time sorts first; skip
+                else if (timeOrd.compare(rtv, ltv) < 0) advanceR() // too early
+                else done = true // first at-or-after row — the match
+              }
+            }
+          }
+          val matched = rHead != null && {
+            val rkv = rkB.eval(rHead)
+            rkv != null && keyOrd.compare(rkv, lkv) == 0 && {
+              val rtv = rtB.eval(rHead)
+              rtv != null && timeOrd.compare(rtv, ltv) >= 0
+            }
+          }
+          proj(joined(l, if (matched) rHead else nullRight))
         } else {
           // advance the right side up to (key, time] of this left row
           var done = false
@@ -157,15 +190,17 @@ case class AsOfJoinExec(
 
 object AsOfJoinPlan {
 
-  /** DataFrame-level entry: LEFT ASOF (backward) join of `left` to `right`
-    * on `key` with `leftTs >= rightTs`. Column names (and attribute ids)
-    * must be disjoint between the sides — alias the right side's columns
-    * (which also mints fresh attribute ids for self-joins).
+  /** DataFrame-level entry: LEFT ASOF join of `left` to `right` on `key` —
+    * backward (`leftTs >= rightTs`, the default) or forward
+    * (`leftTs <= rightTs`, smallest at-or-after match). Column names (and
+    * attribute ids) must be disjoint between the sides — alias the right
+    * side's columns (which also mints fresh attribute ids for self-joins).
     */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
+      forward: Boolean = false,
   ): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -183,6 +218,7 @@ object AsOfJoinPlan {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"asof: no column '$n' in ${p.output.map(_.name)}"))
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], AsOfJoin(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs)))
+      attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs),
+      forward))
   }
 }

@@ -131,6 +131,27 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       s"native shuffled $native bytes, composed $composed — expected native smaller")
   }
 
+  test("forward direction: native == composed on events; edge fixtures correct") {
+    val native = graft.ops.AsOf.q64(spark, sfSmoke).collect().toSeq
+    val composed = graft.ops.AsOf.q62(spark, sfSmoke).collect().toSeq
+    assert(native.nonEmpty && native == composed)
+    // crafted edges: at-or-after, equal-ts match, dup rows -> smallest wins
+    val left = Seq(
+      (1L, "a", ts("2024-01-02 10:00:00")), // equal ts -> matches
+      (2L, "a", ts("2024-01-04 00:00:00")), // after all right rows -> nulls
+      (3L, "a", ts("2024-01-03 00:00:00")), // two rows at same ts -> smallest v
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2024-01-02 10:00:00"), 100L),
+      ("a", ts("2024-01-03 09:00:00"), 300L),
+      ("a", ts("2024-01-03 09:00:00"), 200L), // duplicate (key, ts): 200 wins
+    ).toDF("rk", "rt", "v")
+    val out = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt", forward = true)
+      .select($"id", $"v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> 100L, 2L -> -1L, 3L -> 200L))
+  }
+
   test("mixed keys interleave correctly across a larger generated fixture") {
     // brute-force reference on 300 left x 120 right rows across 6 keys
     val rnd = new scala.util.Random(7)
