@@ -164,6 +164,17 @@ object Bench {
         try qj.processAllAvailable()
         finally qj.stop()
       }
+      // WHO-star ETL pass (round-10 verdict #6): the wst family's memoized
+      // star build otherwise bills its one-time CSV-read + localCheckpoint
+      // cost to whichever wst query runs first alphabetically (driver r10:
+      // wst01 2.35 s cold vs 0.06 s warm). Warming it here keeps every
+      // wst number a query measurement. Guarded: a missing reference data
+      // dir must degrade to per-query failures (-1), not kill the bench.
+      try graft.etl.WhoStarQueries.warm(spark)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] WHO star warmup skipped: ${e.getMessage}")
+      }
     }
     // median of up to `reps` full passes: a single contended rep (GC, JIT,
     // CPU neighbors) can't masquerade as a plan regression; the spread map
@@ -404,33 +415,60 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // Print the bare JSON (the original driver contract) BEFORE the marker
-    // line: a bounded tail capture (the driver grabs ~2 KB of stdout) then
-    // always ends with the greppable marker even when sbt's own trailer or
-    // truncation eats earlier lines. The marker also goes to stderr as a
-    // second capture channel.
-    println(json)
-    println(s"GRAFT_BENCH_JSON $json")
-    // Compact secondary marker (< 500 bytes): the full line is ~8-12 KB and
-    // the driver's tail window keeps only ~2 KB, which lost the line's head
-    // three rounds running (parsed:null). Totals + pointer to the full
-    // artifact survive any 2 KB tail.
+    // Terminal stdout lines (see terminalLines scaladoc). Round-10 forensics:
+    // the driver's captured tail ended EXACTLY at the `GRAFT_BENCH_SUMMARY
+    // {...}` line — the bare JSON printed after it was never seen, so the
+    // capture stops at (or truncates after) the marker. The fix is to make
+    // every line the driver could possibly treat as "last" a bare-parseable
+    // JSON object: the compact contract JSON is the penultimate line, and
+    // the marker line itself is now PURE JSON carrying the literal string
+    // GRAFT_BENCH_SUMMARY as a field value (any substring-based capture
+    // stop still matches; json.loads of the whole line now succeeds).
     val failed = results.count(_.wall < 0)
-    val summary =
-      f"""GRAFT_BENCH_SUMMARY {"n":${results.size},"failed":$failed,"total_s":$total%.1f,"sf":"$sfDir","reps":$reps,"file":"$outFile"}"""
-    println(summary)
-    // ABSOLUTE LAST stdout line: a BARE compact JSON. With sbt's success
-    // footer suppressed (build.sbt showSuccess := false) this is what a
-    // parse-the-last-line driver reads — the prefixed marker lines above
-    // would fail a bare json.loads, and the full JSON line would overflow
-    // a bounded tail window. Carries the headline metric + run stamps;
-    // per-query timings live in $outFile and the full line above.
-    println(
-      f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n":${results.size},"failed":$failed,"heap_gb":$heapGb%.1f,"rep_storm":$repStormJson,"file":"$outFile"}""")
+    val compact = compactLine(total, sfDir, reps, results.size, failed,
+      heapGb, repStormJson, outFile)
+    val summary = summaryLine(total, sfDir, reps, results.size, failed, outFile)
+    terminalLines(json, compact, summary).foreach(println)
     Console.out.flush()
     System.err.println(s"GRAFT_BENCH_JSON $json")
     System.err.println(summary)
     System.err.flush()
     spark.stop()
   }
+
+  /** The terminal stdout lines, in print order — factored out so BenchTailSpec
+    * can emulate the driver's capture behaviors against the real construction:
+    *  1. the full contract JSON (metric/value/unit/queries/... — the original
+    *     driver contract; ~8-12 KB, durable copy in BENCH.json),
+    *  2. a GRAFT_BENCH_JSON-prefixed copy (grep-recoverable from any log),
+    *  3. a compact bare JSON (< 500 bytes — survives a bounded ~2 KB tail
+    *     window; the penultimate line in case the capture stops just BEFORE
+    *     the marker line),
+    *  4. ABSOLUTE LAST: the summary as pure JSON whose "marker" field holds
+    *     the literal GRAFT_BENCH_SUMMARY string — a capture that stops AT the
+    *     marker keeps this line as its last, and it bare-parses.
+    * Under every capture behavior observed or hypothesized across rounds 1-10
+    * (full capture, stop-at-marker inclusive, stop-before-marker, 2 KB tail),
+    * the last captured line is a valid standalone JSON object.
+    */
+  def terminalLines(fullJson: String, compactJson: String,
+      summaryJson: String): Seq[String] =
+    Seq(fullJson, s"GRAFT_BENCH_JSON $fullJson", compactJson, summaryJson)
+
+  /** Compact contract JSON (< 500 bytes): headline metric + run stamps;
+    * per-query timings live in the durable artifact file. */
+  def compactLine(total: Double, sfDir: String, reps: Int, n: Int,
+      failed: Int, heapGb: Double, repStormJson: String,
+      outFile: String): String =
+    f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n":$n,"failed":$failed,"heap_gb":$heapGb%.1f,"rep_storm":$repStormJson,"file":"$outFile"}"""
+
+  /** Summary marker line: PURE JSON (bare json.loads succeeds) whose
+    * "marker" field carries the literal GRAFT_BENCH_SUMMARY string so a
+    * substring-based capture stop still finds it. Carries the contract's
+    * metric/value/unit fields so a parse-the-last-line driver gets the
+    * headline even when this is the only line it keeps.
+    */
+  def summaryLine(total: Double, sfDir: String, reps: Int, n: Int,
+      failed: Int, outFile: String): String =
+    f"""{"marker":"GRAFT_BENCH_SUMMARY","metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"total_s":$total%.1f,"sf":"$sfDir","reps":$reps,"file":"$outFile"}"""
 }

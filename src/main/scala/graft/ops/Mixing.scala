@@ -49,10 +49,14 @@ object Mixing {
     * per-document sum (order-free exact aggregation; the same reason ir01
     * floors BM25 contributions). Monotone per feature in the same ratio
     * DSIR logs, so the induced per-occurrence preference order is
-    * identical. Magnitude bound: tgt_f ≤ raw_f makes every contribution
-    * ≤ (raw_total+B)/(tgt_total+B)·10^6, so the int64 headroom holds to
-    * ~10^11 target-corpus features; past that the expression migrates to
-    * DECIMAL(38,0) unchanged.
+    * identical. Magnitude bound: tgt_f ≤ raw_f makes every RESULT
+    * contribution ≤ (raw_total+B)/(tgt_total+B)·10^6 — but the NUMERATOR
+    * `(tgt_f+1)·(raw_total+B)·10^6` is the binding constraint, not the
+    * post-division value (round-10 advice: the int64 form overflowed once
+    * tgt_f·raw_total reached ~10^13). The operands therefore widen to
+    * DECIMAL(38,0) before the integral divide (HUGEINT in the oracle),
+    * giving headroom to ~10^15 features per side; the divide itself
+    * returns BIGINT, so downstream sums are unchanged.
     *
     * Scale shape: ONE corpus scan builds the (doc, bucket) feature stream
     * (cached — stats and scoring share it); the raw/target histograms are
@@ -86,8 +90,8 @@ object Mixing {
       .na.fill(0L, Seq("tgt_f"))
       .crossJoin(broadcast(totals))
       .select($"bucket",
-        expr(s"((tgt_f + 1) * (raw_total + $Buckets) * 1000000)" +
-          s" div ((raw_f + 1) * (tgt_total + $Buckets))").as("l_ppm"))
+        expr(s"(CAST(tgt_f + 1 AS DECIMAL(20,0)) * (raw_total + $Buckets) * 1000000)" +
+          s" div (CAST(raw_f + 1 AS DECIMAL(20,0)) * (tgt_total + $Buckets))").as("l_ppm"))
     feats.join(broadcast(lambda), Seq("bucket"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"), sum($"l_ppm").as("weight_ppm"))
@@ -116,8 +120,8 @@ object Mixing {
        |        FROM feats),
        |lam AS (
        |  SELECT raw.bucket,
-       |    ((COALESCE(tgt_f, 0) + 1) * (raw_total + $Buckets) * 1000000)
-       |      // ((raw_f + 1) * (tgt_total + $Buckets)) AS l_ppm
+       |    CAST((CAST(COALESCE(tgt_f, 0) + 1 AS HUGEINT) * (raw_total + $Buckets) * 1000000)
+       |      // (CAST(raw_f + 1 AS HUGEINT) * (tgt_total + $Buckets)) AS BIGINT) AS l_ppm
        |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot)
        |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
        |  CAST(SUM(l_ppm) AS BIGINT) AS weight_ppm,
@@ -208,7 +212,10 @@ object Mixing {
           .otherwise($"level" + when($"i" - $"m" <= $"rem", 1L).otherwise(0L)))
       .select($"inst", $"key", $"n_tokens", $"cap", $"alloc",
         $"sat".as("saturated"),
-        expr("(alloc * 1000000) div n_tokens").as("epochs_ppm"))
+        // DECIMAL-widened like mx01's λ: alloc·10^6 passes int64 only up
+        // to ~9·10^12 allocated tokens — a single head language at 100 TB
+        // (~25T corpus tokens) crosses that
+        expr("(CAST(alloc AS DECIMAL(20,0)) * 1000000) div n_tokens").as("epochs_ppm"))
   }
 
   /** UniMax epoch cap for mx02 (one full epoch per language). */
@@ -247,7 +254,7 @@ object Mixing {
        |    sat AS saturated
        |  FROM o3)
        |SELECT lang, n_tokens, cap, alloc, saturated,
-       |  (alloc * 1000000) // n_tokens AS epochs_ppm
+       |  CAST((CAST(alloc AS HUGEINT) * 1000000) // n_tokens AS BIGINT) AS epochs_ppm
        |FROM o4 ORDER BY lang""".stripMargin
 
   /** mx03 — TEMPERATURE-SAMPLED MIXTURE SHARES (τ = 0.5): the classic
@@ -340,8 +347,10 @@ object Mixing {
     *
     * Log-free NB under the determinism contract: the per-word class
     * likelihood ratio with add-one smoothing,
-    * `((pos_w+1)/(T_pos+V)) / ((neg_w+1)/(T_neg+V))`, is a single BIGINT
-    * expression floored to ppm BEFORE the per-document sum (mx01's
+    * `((pos_w+1)/(T_pos+V)) / ((neg_w+1)/(T_neg+V))`, is a single integer
+    * expression floored to ppm BEFORE the per-document sum — operands
+    * widened to DECIMAL(38,0) / HUGEINT like mx01's λ so the numerator
+    * product can't overflow int64 at real corpus token totals (mx01's
     * ratio-sum form — order-free exact aggregation, monotone per word in
     * the log-likelihood NB sums). Verdict: curated iff the mean
     * per-occurrence ratio clears 1.0; the output carries the true label so
@@ -370,8 +379,8 @@ object Mixing {
     val scoredWords = model
       .crossJoin(broadcast(totals))
       .select($"word",
-        expr("((pos_w + 1) * (t_neg + v) * 1000000)" +
-          " div ((neg_w + 1) * (t_pos + v))").as("r_ppm"))
+        expr("(CAST(pos_w + 1 AS DECIMAL(20,0)) * (t_neg + v) * 1000000)" +
+          " div (CAST(neg_w + 1 AS DECIMAL(20,0)) * (t_pos + v))").as("r_ppm"))
     words.join(scoredWords, Seq("word"))
       .groupBy($"doc_id", $"is_curated")
       .agg(count(lit(1)).as("n_words"), sum($"r_ppm").as("score_ppm"))
@@ -398,8 +407,8 @@ object Mixing {
        |               CAST(COUNT(*) AS BIGINT) AS v FROM model),
        |sw AS (
        |  SELECT word,
-       |    ((pos_w + 1) * (t_neg + v) * 1000000)
-       |      // ((neg_w + 1) * (t_pos + v)) AS r_ppm
+       |    CAST((CAST(pos_w + 1 AS HUGEINT) * (t_neg + v) * 1000000)
+       |      // (CAST(neg_w + 1 AS HUGEINT) * (t_pos + v)) AS BIGINT) AS r_ppm
        |  FROM model CROSS JOIN tot)
        |SELECT w.doc_id, w.is_curated,
        |  CAST(COUNT(*) AS BIGINT) AS n_words,

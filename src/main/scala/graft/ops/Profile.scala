@@ -613,21 +613,33 @@ object Profile {
   /** 3·2^60 − 1, the top of gv05's scaled-CDF range. */
   private val ThreeP60m1 = 3L * Pow60 - 1L
 
-  /** gv05 — DIFFERENTIALLY PRIVATE COUNT RELEASE (geometric mechanism):
+  /** gv05 — COUNT RELEASE in the shape of the geometric mechanism:
     * per-source document counts released with two-sided geometric noise —
     * the discrete mechanism Ghosh/Roughgarden/Sundararajan 2009 prove
     * universally optimal for count queries (sensitivity 1). Completes the
     * governance ladder: gv01 scopes erasure, gv02–gv04 audit a release's
-    * re-identification risk, gv05 PRODUCES a release with a formal
-    * ε-guarantee.
+    * re-identification risk, gv05 produces the release relation.
+    *
+    * PRIVACY CAVEAT (round-10 advice): as gated here, the "noise" is a
+    * DETERMINISTIC PUBLIC function of the released key — md5 with a
+    * hard-coded prefix, no secret seed — so anyone can recompute each
+    * cell's draw and invert the release back to exact counts. This is a
+    * deliberate, deterministic SIMULATION of the geometric mechanism:
+    * it exists so the sampler's exact integer pipeline is DuckDB-oracle-
+    * gatable (a genuinely random draw can't hash-match an oracle). A
+    * production deployment MUST fold a secret, non-released seed into the
+    * hash (e.g. `md5(secret || key)`); with that one change the draw is
+    * uniform-to-any-adversary-without-the-seed and the ε = ln 2 analysis
+    * below applies as the standard "seeded DP release" posture (which
+    * also hardens against averaging attacks by repeated queries).
+    * Everything below — distribution shape, inverse-CDF, clamping — is
+    * unchanged by the seed's secrecy.
     *
     * ε = ln 2 exactly, chosen so the noise distribution
     * P(k) = (1/3)·2^{−|k|} has DYADIC tail probabilities and inverse-CDF
     * sampling needs NO ln/exp (banned repo-wide, SURVEY.md §5.1): with a
-    * 60-bit uniform U (the repo-standard recomputable md5 hash — the
-    * mechanism is deterministic per (seed, key), i.e. the standard "seeded
-    * DP release" posture that also hardens against averaging attacks by
-    * repeated queries), let V = 3U ∈ [0, 3·2^60):
+    * 60-bit uniform U (here the recomputable md5 hash — see the caveat
+    * above), let V = 3U ∈ [0, 3·2^60):
     *   - V < 2^60 (the lower third): noise = bitlen(V) − 61 ∈ [−60, −1]
     *     — the CDF at k ≤ −1 is 2^{61−|k|}/(3·2^60), so the bucket index
     *     is just V's bit length (bin(0) = "0" caps the truncated tail at
@@ -690,7 +702,9 @@ object Profile {
     * the catalog, not a corpus scan... though this one derives them with
     * two distinct-aggs for self-containment), counts coalesce to 0, and
     * every cell gets its own geometric noise draw (ε = ln 2 per cell,
-    * [[geometricNoise]]) keyed by the cell coordinates. Clamped at 0 —
+    * [[geometricNoise]]) keyed by the cell coordinates — same
+    * deterministic-simulation caveat as [[gv05]]: a real deployment folds
+    * a secret seed into the per-cell hash. Clamped at 0 —
     * post-processing preserves DP. The grid crossJoin broadcasts the
     * |langs|-row side (bounded-by-domain, whitelisted — the gv04 shape).
     */

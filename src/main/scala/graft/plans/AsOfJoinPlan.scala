@@ -80,13 +80,19 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
-  // right side additionally orders by its remaining columns so duplicate
-  // (key, time) rows resolve to a DETERMINISTIC last-wins winner
+  // right side additionally orders by its remaining ORDERABLE columns so
+  // duplicate (key, time) rows resolve to a DETERMINISTIC last-wins winner.
+  // Unorderable types (maps) are excluded — including them fails at
+  // planning time — so determinism under exact (key, time) duplicates is
+  // only total when the duplicates differ in an orderable column (round-10
+  // advice; documented in asof()'s contract).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
       right.output.filterNot(a =>
         a.semanticEquals(rightKey) || a.semanticEquals(rightTime))
+        .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType))
         .map(a => SortOrder(a, Ascending)),
   )
 
@@ -111,18 +117,39 @@ case class AsOfJoinExec(
       val nullRight: InternalRow = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
 
-      // lookahead right row (NOT copied — key/time extracted before the
-      // iterator reuses the buffer; only a row promoted to candidate is
-      // copied)
-      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
-      def advanceR(): Unit =
-        rHead = if (rIter.hasNext) rIter.next() else null
-      // BACKWARD: latest matching right row (stable copy) — validity is
-      // re-checked against each left key by re-evaluating the key on it.
+      // Lookahead right row with its key/time evaluated ONCE at advance
+      // time (round-10 verdict #5: the old walk re-ran the interpreted
+      // rkB/rtB eval against the same lookahead row on EVERY left probe —
+      // for a right row straddling p probes that's 2p interpreted evals
+      // where one suffices). The cached values never outlive their row:
+      // they're re-derived on each advance, before the sorter can reuse
+      // the row buffer. Null-key and null-time right rows can never match
+      // any probe (nulls sort first), so they're dropped eagerly here and
+      // the per-probe loop touches only cached non-null values.
+      var rHead: InternalRow = null
+      var rHeadKey: Any = null
+      var rHeadTime: Any = null
+      def advanceR(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rkB.eval(r)
+          if (k != null) {
+            val t = rtB.eval(r)
+            if (t != null) { rHead = r; rHeadKey = k; rHeadTime = t }
+          }
+        }
+        if (rHead == null) { rHeadKey = null; rHeadTime = null }
+      }
+      advanceR()
+      // BACKWARD: latest matching right row as a stable copy, with its key
+      // re-evaluated ON THE COPY (the original buffer is reused after the
+      // next advance) — one eval per promotion, not per probe.
       // FORWARD needs no copy: the match is the lookahead row itself (the
       // first right row at-or-after the probe ts), emitted before the
       // iterator advances.
       var cand: InternalRow = null
+      var candKey: Any = null
 
       lIter.map { l =>
         val lkv = lkB.eval(l)
@@ -135,52 +162,29 @@ case class AsOfJoinExec(
           // match a later probe either
           var done = false
           while (!done && rHead != null) {
-            val rkv = rkB.eval(rHead)
-            if (rkv == null) advanceR() // null keys sort first; never match
-            else {
-              val c = keyOrd.compare(rkv, lkv)
-              if (c < 0) advanceR() // right key behind: drop
-              else if (c > 0) done = true // right key ahead: no match
-              else {
-                val rtv = rtB.eval(rHead)
-                if (rtv == null) advanceR() // null time sorts first; skip
-                else if (timeOrd.compare(rtv, ltv) < 0) advanceR() // too early
-                else done = true // first at-or-after row — the match
-              }
-            }
+            val c = keyOrd.compare(rHeadKey, lkv)
+            if (c < 0) advanceR() // right key behind: drop
+            else if (c > 0) done = true // right key ahead: no match
+            else if (timeOrd.compare(rHeadTime, ltv) < 0) advanceR() // too early
+            else done = true // first at-or-after row — the match
           }
-          val matched = rHead != null && {
-            val rkv = rkB.eval(rHead)
-            rkv != null && keyOrd.compare(rkv, lkv) == 0 && {
-              val rtv = rtB.eval(rHead)
-              rtv != null && timeOrd.compare(rtv, ltv) >= 0
-            }
-          }
+          val matched = rHead != null && keyOrd.compare(rHeadKey, lkv) == 0 &&
+            timeOrd.compare(rHeadTime, ltv) >= 0
           proj(joined(l, if (matched) rHead else nullRight))
         } else {
           // advance the right side up to (key, time] of this left row
           var done = false
           while (!done && rHead != null) {
-            val rkv = rkB.eval(rHead)
-            if (rkv == null) advanceR() // null keys sort first; never match
-            else {
-              val c = keyOrd.compare(rkv, lkv)
-              if (c < 0) advanceR() // right key behind: drop
-              else if (c > 0) done = true // right key ahead: keep for later
-              else {
-                val rtv = rtB.eval(rHead)
-                if (rtv == null) advanceR() // null time sorts first; skip
-                else if (timeOrd.compare(rtv, ltv) <= 0) {
-                  cand = rHead.copy() // newest at-or-before match so far
-                  advanceR()
-                } else done = true // right time ahead of this left ts
-              }
-            }
+            val c = keyOrd.compare(rHeadKey, lkv)
+            if (c < 0) advanceR() // right key behind: drop
+            else if (c > 0) done = true // right key ahead: keep for later
+            else if (timeOrd.compare(rHeadTime, ltv) <= 0) {
+              cand = rHead.copy() // newest at-or-before match so far
+              candKey = rkB.eval(cand)
+              advanceR()
+            } else done = true // right time ahead of this left ts
           }
-          val matched = cand != null && {
-            val ckv = rkB.eval(cand)
-            ckv != null && keyOrd.compare(ckv, lkv) == 0
-          }
+          val matched = cand != null && keyOrd.compare(candKey, lkv) == 0
           proj(joined(l, if (matched) cand else nullRight))
         }
       }
@@ -195,6 +199,14 @@ object AsOfJoinPlan {
     * (`leftTs <= rightTs`, smallest at-or-after match). Column names (and
     * attribute ids) must be disjoint between the sides — alias the right
     * side's columns (which also mints fresh attribute ids for self-joins).
+    *
+    * Determinism contract for duplicate right rows at an exact (key, time):
+    * the winner is the greatest row under ascending order of the right
+    * side's remaining ORDERABLE columns. Unorderable columns (maps) don't
+    * participate in the tiebreak — two right rows identical in every
+    * orderable column but differing in a map column resolve arbitrarily.
+    * Narrow the right side (or serialize the map to a string) if that case
+    * must be deterministic.
     */
   def asof(
       left: DataFrame, right: DataFrame,

@@ -180,15 +180,32 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     val nLangs = docs.select("lang").distinct().count()
     assert(rows.length == nSources * nLangs,
       s"${rows.length} cells != $nSources x $nLangs grid")
-    // absence must not leak: at least one empty cell exists and it still
-    // carries a noise draw like any occupied cell
+    // absence must not leak: empty cells carry a real draw from the same
+    // sampler as occupied cells. Falsifiable form (round-10 advice — the
+    // old `exists(!=0) || forall(==0)` was a tautology): recompute every
+    // cell's noise INDEPENDENTLY (own MessageDigest md5 + bitlen walk, no
+    // Spark expressions) and require an exact match, empty or not.
+    def independentNoise(source: String, lang: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"gv06:$source:$lang".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = 3L * java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val pow60 = 1L << 60
+      if (v < pow60) java.lang.Long.toBinaryString(v).length.toLong - 61L
+      else 61L - java.lang.Long.toBinaryString(3L * pow60 - 1L - v).length
+    }
     val empty = rows.filter(_.getLong(2) == 0L)
-    if (empty.nonEmpty)
-      assert(empty.exists(_.getLong(3) != 0L) || empty.forall(_.getLong(3) == 0L))
+    assert(empty.nonEmpty, "grid has no empty cell — the property is vacuous at this SF")
     rows.foreach { r =>
+      assert(r.getLong(3) == independentNoise(r.getString(0), r.getString(1)),
+        s"cell (${r.getString(0)}, ${r.getString(1)}) noise ${r.getLong(3)} " +
+          s"!= independent ${independentNoise(r.getString(0), r.getString(1))}")
       assert(r.getLong(3) >= -60 && r.getLong(3) <= 60)
       assert(r.getLong(4) == math.max(r.getLong(2) + r.getLong(3), 0L))
     }
+    // and the draws are non-degenerate across the grid
+    assert(rows.map(_.getLong(3)).distinct.length > 1,
+      "noise column is constant across the full grid")
   }
 
   test("gv05: sampler matches the two-sided geometric distribution on a large uniform stream") {

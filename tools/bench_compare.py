@@ -41,12 +41,27 @@ def main(argv):
             print(f"  - {p}")
         return 2
 
-    qo, qn = old["queries"], new["queries"]
+    # Artifacts missing the contract fields (a truncated tail capture, a
+    # summary-only line) and artifact pairs with no positive-timed common
+    # query are "nothing comparable", not a traceback (round-10 advice).
+    qo, qn = old.get("queries"), new.get("queries")
+    if not isinstance(qo, dict) or not isinstance(qn, dict):
+        print("NOT COMPARABLE: artifact missing a 'queries' map "
+              f"(old: {type(qo).__name__}, new: {type(qn).__name__})")
+        return 2
     common = sorted(k for k in qo if k in qn and qo[k] > 0 and qn[k] > 0)
+    if not common:
+        print("NOT COMPARABLE: no positive-timed queries in common "
+              f"(old has {len(qo)}, new has {len(qn)})")
+        return 2
     ratios = {k: qn[k] / qo[k] for k in common}
     med = statistics.median(ratios.values())
-    print(f"common queries: {len(common)}  "
-          f"old total {old['value']:.1f}s  new total {new['value']:.1f}s  "
+    tot_o = old.get("value")
+    tot_n = new.get("value")
+    tot = (f"old total {tot_o:.1f}s  new total {tot_n:.1f}s"
+           if isinstance(tot_o, (int, float)) and isinstance(tot_n, (int, float))
+           else "totals unavailable (missing 'value' field)")
+    print(f"common queries: {len(common)}  {tot}  "
           f"median per-query ratio {med:.3f}")
     only_new = sorted(set(qn) - set(qo))
     if only_new:
