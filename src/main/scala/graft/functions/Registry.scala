@@ -109,5 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // native as-of join: plans graft.AsOfJoin logical nodes as the
     // sort-merge-style AsOfJoinExec (one shuffle per side on its key)
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    // as-of join elimination when no right-side column is referenced —
+    // the custom node must not be an optimization barrier (see the rule's
+    // scaladoc for the left-cardinality-preservation argument)
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.EliminateUnreferencedAsOfJoin)
   }
 }

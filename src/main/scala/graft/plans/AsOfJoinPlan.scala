@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -56,6 +56,46 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: AS-OF JOIN ELIMINATION. An as-of join is EXACTLY
+  * left-cardinality-preserving — every left row emits exactly once,
+  * matched or null-padded, never duplicated, never filtered — so any
+  * parent that references NO right-side attribute can bypass the join
+  * entirely. Catalyst performs the analogous elimination for built-in
+  * left outer joins only when it can prove the right key unique (distinct
+  * keys metadata); for AsOfJoin it holds unconditionally by construction.
+  *
+  * Why this matters: a custom logical node is otherwise an OPTIMIZATION
+  * BARRIER — `asof(...).select(left cols).count()` would pay both
+  * shuffles and the merge walk for columns it never reads, while the
+  * composed union+window form collapses to a bare scan-count through
+  * ColumnPruning + EliminateSorts (measured: the composed q31's map stage
+  * under count() writes ONE record where the native q63 did the full
+  * join). At 100 TB an unused as-of join is the difference between two
+  * corpus shuffles and none. Safe with respect to the duplicate-(key,time)
+  * tiebreak: left attributes come from the left row itself, identical
+  * whichever right row wins. (Right-side COLUMN pruning into the join is
+  * deliberately NOT done — dropping an unreferenced right column can
+  * change which duplicate wins and thereby the referenced columns'
+  * values.)
+  *
+  * Registered in the operator-optimization batch
+  * ([[graft.functions.GraftExtensions]] injectOptimizerRule), so it
+  * interleaves to fixed point with ColumnPruning/CollapseProject — the
+  * rules that shrink parents down to left-only references in the first
+  * place.
+  */
+object EliminateUnreferencedAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoin) if p.references.subsetOf(j.left.outputSet) =>
+      p.withNewChildren(Seq(j.left))
+    case a: Aggregate if a.child.isInstanceOf[AsOfJoin] &&
+        a.references.subsetOf(a.child.asInstanceOf[AsOfJoin].left.outputSet) =>
+      a.withNewChildren(Seq(a.child.asInstanceOf[AsOfJoin].left))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, fwd) =>
@@ -102,11 +142,124 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Long-backed physical types: values compare correctly as sign-extended
+    * primitive longs, so the walk needs no boxing and no interpreted
+    * ordering. Covers the time-series sweet spot — BIGINT keys, TIMESTAMP/
+    * DATE times (Spark stores timestamps as micros-in-long, dates as
+    * days-in-int).
+    */
+  private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType |
+           IntegerType | DateType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
+
+  private def longGetter(dt: org.apache.spark.sql.types.DataType,
+      ord: Int): InternalRow => Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => r => r.getLong(ord)
+      case IntegerType | DateType => r => r.getInt(ord).toLong
+      case ShortType => r => r.getShort(ord).toLong
+      case ByteType => r => r.getByte(ord).toLong
+      case other => throw new IllegalStateException(s"not long-backed: $other")
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTime, left.output)
     val rkB = BindReferences.bindReference(rightKey, right.output)
     val rtB = BindReferences.bindReference(rightTime, right.output)
+    // Specialized primitive path (round-10 verdict #5 — close the local-
+    // scale wall gap to the composed window form): when key and time are
+    // long-backed on BOTH sides, the walk reads fields by ordinal and
+    // compares primitive longs — zero boxing, zero interpreted-ordering
+    // calls per probe. Anything else (string keys, decimals) takes the
+    // generic cached-eval path below.
+    val primitive =
+      leftKey.dataType == rightKey.dataType &&
+        leftTime.dataType == rightTime.dataType &&
+        longBacked(leftKey.dataType) && longBacked(leftTime.dataType) &&
+        lkB.isInstanceOf[BoundReference] && ltB.isInstanceOf[BoundReference] &&
+        rkB.isInstanceOf[BoundReference] && rtB.isInstanceOf[BoundReference]
+    if (primitive)
+      doExecutePrimitive(
+        lkB.asInstanceOf[BoundReference].ordinal,
+        ltB.asInstanceOf[BoundReference].ordinal,
+        rkB.asInstanceOf[BoundReference].ordinal,
+        rtB.asInstanceOf[BoundReference].ordinal)
+    else doExecuteGeneric(lkB, ltB, rkB, rtB)
+  }
+
+  private def doExecutePrimitive(
+      lkOrd: Int, ltOrd: Int, rkOrd: Int, rtOrd: Int): RDD[InternalRow] = {
+    val lkGet = longGetter(leftKey.dataType, lkOrd)
+    val ltGet = longGetter(leftTime.dataType, ltOrd)
+    val rkGet = longGetter(rightKey.dataType, rkOrd)
+    val rtGet = longGetter(rightTime.dataType, rtOrd)
+    val rightWidth = right.output.size
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight: InternalRow = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      // same walk as the generic path; see its comments for the contract
+      var rHead: InternalRow = null
+      var rKey = 0L
+      var rTime = 0L
+      def advanceR(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          if (!r.isNullAt(rkOrd) && !r.isNullAt(rtOrd)) {
+            rHead = r; rKey = rkGet(r); rTime = rtGet(r)
+          }
+        }
+      }
+      advanceR()
+      var cand: InternalRow = null
+      var candKey = 0L
+      lIter.map { l =>
+        if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+          proj(joined(l, nullRight))
+        } else {
+          val lk = lkGet(l)
+          val lt = ltGet(l)
+          if (forward) {
+            var done = false
+            while (!done && rHead != null) {
+              if (rKey < lk) advanceR()
+              else if (rKey > lk) done = true
+              else if (rTime < lt) advanceR()
+              else done = true
+            }
+            val matched = rHead != null && rKey == lk && rTime >= lt
+            proj(joined(l, if (matched) rHead else nullRight))
+          } else {
+            var done = false
+            while (!done && rHead != null) {
+              if (rKey < lk) advanceR()
+              else if (rKey > lk) done = true
+              else if (rTime <= lt) {
+                cand = rHead.copy(); candKey = rKey; advanceR()
+              } else done = true
+            }
+            val matched = cand != null && candKey == lk
+            proj(joined(l, if (matched) cand else nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  private def doExecuteGeneric(
+      lkB: Expression, ltB: Expression,
+      rkB: Expression, rtB: Expression): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val rightWidth = right.output.size

@@ -152,6 +152,85 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> 100L, 2L -> -1L, 3L -> 200L))
   }
 
+  test("edge semantics on long-backed keys — the specialized primitive walk") {
+    // same edges as the string-key test, but BIGINT keys + TIMESTAMP times
+    // take the no-boxing primitive path (string keys take the generic one —
+    // both paths must agree on every edge)
+    val left = Seq(
+      (1L, Option(10L), Option(ts("2024-01-01 10:00:00"))), // before any right row -> nulls
+      (2L, Option(10L), Option(ts("2024-01-02 10:00:00"))), // equal ts -> matches
+      (3L, Option(10L), Option(ts("2024-01-03 10:00:00"))), // dup right ts -> greatest tuple
+      (4L, Option(20L), Option(ts("2024-01-05 10:00:00"))), // key with no right rows -> nulls
+      (5L, None, Option(ts("2024-01-05 10:00:00"))), // null key -> nulls
+      (6L, Option(30L), None), // null time -> nulls
+      (7L, Option(30L), Option(ts("2024-01-09 10:00:00"))), // later match after null-ts row
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Option(10L), Option(ts("2024-01-02 10:00:00")), 100L),
+      (Option(10L), Option(ts("2024-01-03 09:00:00")), 200L),
+      (Option(10L), Option(ts("2024-01-03 09:00:00")), 300L), // duplicate (key, ts): 300 wins
+      (None: Option[Long], Option(ts("2024-01-01 00:00:00")), 400L), // null right key
+      (Option(30L), None: Option[Timestamp], 500L), // null right time
+      (Option(30L), Option(ts("2024-01-08 00:00:00")), 600L),
+    ).toDF("rk", "rt", "v")
+    val out = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt")
+      .orderBy($"id")
+      .select($"id", $"v")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(
+      1L -> -1L, 2L -> 100L, 3L -> 300L, 4L -> -1L, 5L -> -1L, 6L -> -1L, 7L -> 600L))
+    // forward over the same fixture: first at-or-after
+    val fwd = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt", forward = true)
+      .orderBy($"id")
+      .select($"id", $"v")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(fwd == Map(
+      1L -> 100L, 2L -> 100L, 3L -> -1L, 4L -> -1L, 5L -> -1L, 6L -> -1L, 7L -> -1L))
+  }
+
+  test("right side carrying a map column plans and runs (unorderable excluded from tiebreak)") {
+    // before the round-11 fix requiredChildOrdering demanded an ascending
+    // sort on EVERY remaining right column — a map column failed at
+    // planning time with "cannot be used in an ordering"
+    val left = Seq((1L, "a", ts("2024-01-02 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(("a", ts("2024-01-01 00:00:00"), Map("x" -> 1L)))
+      .toDF("rk", "rt", "props")
+    val row = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt").collect()(0)
+    assert(row.getLong(0) == 1L)
+    assert(row.getMap[String, Long](5) == Map("x" -> 1L))
+  }
+
+  test("elimination: a parent referencing no right column bypasses the join") {
+    val events = graft.Tables.events(spark, sfSmoke)
+    val l = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val r = events.filter($"event_type" === "signup")
+      .select($"user_id".as("su"), $"ts".as("st"))
+    // left-only projection: the join must vanish from the optimized plan
+    val leftOnly = AsOfJoinPlan.asof(l, r, "user_id", "su", "ts", "st")
+      .select($"event_id", $"user_id")
+    val optimized = leftOnly.queryExecution.optimizedPlan
+    assert(!optimized.exists(_.isInstanceOf[org.apache.spark.sql.graft.AsOfJoin]),
+      s"as-of join not eliminated:\n$optimized")
+    assert(leftOnly.count() == l.count(), "elimination changed cardinality")
+    // count(*) likewise collapses (the bench regime): no exec in the plan
+    val counted = AsOfJoinPlan.asof(l, r, "user_id", "su", "ts", "st")
+      .groupBy().count()
+    assert(!counted.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.AsOfJoin]),
+      "count(*) over as-of join should not pay for the join")
+    // but a right-column reference KEEPS the join
+    val withRight = AsOfJoinPlan.asof(l, r, "user_id", "su", "ts", "st")
+      .select($"event_id", $"st")
+    assert(withRight.queryExecution.optimizedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.graft.AsOfJoin]),
+      "join wrongly eliminated while a right column is referenced")
+  }
+
   test("mixed keys interleave correctly across a larger generated fixture") {
     // brute-force reference on 300 left x 120 right rows across 6 keys
     val rnd = new scala.util.Random(7)
