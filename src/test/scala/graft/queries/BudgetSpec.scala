@@ -108,4 +108,14 @@ class BudgetSpec extends AnyFunSuite with SparkSpec {
   cpuBudget("c06_contamination_blast_radius", 9.0)
   cpuBudget("sp01_bfs_hops", 10.0)
   cpuBudget("tc01_triangle_count", 5.0)
+  // round-11 additions (verdict #4): the next tier of heavies from the
+  // round-10 driver bench (kc01 4.8 s, lp01 5.6 s, c02 5.95 s, st09 5.9 s,
+  // t10 4.3 s at sf0.1/width 32) — measured warm sf0.01 medians at this
+  // suite's width 4: kc01 1.20 s, lp01 0.99 s, c02 0.90 s, st09 0.75 s,
+  // t10 0.69 s CPU; ceilings ~4x
+  cpuBudget("kc01_kcore", 5.0)
+  cpuBudget("lp01_label_propagation", 4.0)
+  cpuBudget("c02_neardup_consolidation", 3.5)
+  cpuBudget("st09_stream_outer_join", 3.0)
+  cpuBudget("t10_winnowing_pairs", 3.0)
 }
