@@ -240,17 +240,29 @@ object EventAnalytics {
   def ep01(s: SparkSession, dir: String): DataFrame =
     sessionPatterns(Tables.events(s, dir))
 
-  /** ep01 over any (user_id, ts, event_id, event_type) relation. */
-  def sessionPatterns(events: DataFrame): DataFrame = {
+  /** Per-(user, calendar-day) session sequence: event types joined with
+    * '>' in the deterministic (ts, event_id) total order — the shared
+    * substrate of ep01's position predicates and ep02's variable-length
+    * quantifier matching. One fact-scale exchange (the session groupBy);
+    * sequence strings are session-sized, never corpus-sized.
+    */
+  private def sessionSeqs(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    val sessions = events
+    events
       .groupBy($"user_id", to_date($"ts").as("day"))
       .agg(array_join(
         transform(
           sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))),
           e => e.getField("event_type")),
         ">").as("seq"))
+  }
+
+  /** ep01 over any (user_id, ts, event_id, event_type) relation. */
+  def sessionPatterns(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val sessions = sessionSeqs(events)
     val wrapped = concat(lit(">"), $"seq", lit(">"))
     def pos(eventType: String) = instr(wrapped, ">" + eventType + ">")
     val pSignup = pos("signup")
@@ -294,11 +306,98 @@ object EventAnalytics {
       |          THEN 1 END) FROM w)
       |ORDER BY pattern""".stripMargin
 
+  /** ep02 — VARIABLE-LENGTH EVENT PATTERN MATCHING (MATCH_RECOGNIZE's
+    * `PATTERN (A B+ C)` with a quantifier, beyond ep01's fixed-position
+    * predicates): per session, count the non-overlapping greedy matches of
+    * signup → (view|click)+ → purchase and report the total and maximum
+    * B-run lengths. Matching sessions only.
+    *
+    * Determinism argument (why regex and automaton semantics coincide):
+    * the B alphabet {view, click} is disjoint from C {purchase}, so for a
+    * fixed match start the B-run is the MAXIMAL run of B-tokens after the
+    * A — a shorter run would be followed by another B-token, never C.
+    * Leftmost-first scanning with skip-past-last-row is then unambiguous,
+    * which is what makes two INDEPENDENT formulations agree exactly:
+    *  - Spark: `regexp_extract_all` over the delimited session string
+    *    (`>signup((?:>(?:view|click))+)>purchase(?=>)` — the lookahead
+    *    keeps the trailing delimiter unconsumed so back-to-back matches
+    *    both fire; Java regex, Spark-side only);
+    *  - oracle: a RECURSIVE-CTE automaton over the raw event rows (state
+    *    idle/armed + run counter, one transition per event — no regex, no
+    *    string materialization; DuckDB's RE2 couldn't express the
+    *    lookahead anyway).
+    * Cross-validated exhaustively at sf0.01: both formulations emit
+    * identical (n_matches, total_b, max_b) for all matching sessions.
+    *
+    * Scale shape: ep01's — one session-grain exchange, per-session work
+    * linear in session length, output bounded by matching sessions. The
+    * oracle's recursion depth is the longest session, not the corpus.
+    */
+  def ep02(s: SparkSession, dir: String): DataFrame =
+    variablePatterns(Tables.events(s, dir))
+
+  /** ep02 over any (user_id, ts, event_id, event_type) relation. */
+  def variablePatterns(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val bLen = (run: org.apache.spark.sql.Column) =>
+      (size(split(run, ">")) - 1).cast("long")
+    sessionSeqs(events)
+      .select($"user_id",
+        // ISO string, not DATE: the gate's comparator normalizes DATE and
+        // TIMESTAMP columns differently between engines (F16 pattern)
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        regexp_extract_all(
+          concat(lit(">"), $"seq", lit(">")),
+          lit(">signup((?:>(?:view|click))+)>purchase(?=>)"), lit(1)).as("runs"))
+      .filter(size($"runs") > 0)
+      .select($"user_id", $"day",
+        size($"runs").cast("long").as("n_matches"),
+        aggregate($"runs", lit(0L), (acc, r) => acc + bLen(r)).as("total_b"),
+        array_max(transform($"runs", bLen)).as("max_b"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val ep02Oracle: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |walk AS (
+      |  SELECT user_id, day, 0 AS rn, 0 AS s, 0 AS b,
+      |         CAST(0 AS BIGINT) AS n_matches, CAST(0 AS BIGINT) AS total_b,
+      |         CAST(0 AS BIGINT) AS max_b
+      |  FROM (SELECT DISTINCT user_id, day FROM ev)
+      |  UNION ALL
+      |  SELECT w.user_id, w.day, w.rn + 1,
+      |    CASE WHEN e.event_type = 'signup' THEN 1
+      |         WHEN w.s = 1 AND e.event_type IN ('view','click') THEN 1
+      |         ELSE 0 END,
+      |    CASE WHEN e.event_type = 'signup' THEN 0
+      |         WHEN w.s = 1 AND e.event_type IN ('view','click') THEN w.b + 1
+      |         ELSE 0 END,
+      |    w.n_matches + CASE WHEN w.s = 1 AND w.b >= 1 AND e.event_type = 'purchase'
+      |                       THEN 1 ELSE 0 END,
+      |    w.total_b + CASE WHEN w.s = 1 AND w.b >= 1 AND e.event_type = 'purchase'
+      |                     THEN w.b ELSE 0 END,
+      |    CASE WHEN w.s = 1 AND w.b >= 1 AND e.event_type = 'purchase' AND w.b > w.max_b
+      |         THEN w.b ELSE w.max_b END
+      |  FROM walk w JOIN ev e
+      |    ON e.user_id = w.user_id AND e.day = w.day AND e.rn = w.rn + 1)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_matches, total_b, max_b
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |                                   ORDER BY rn DESC) AS lastr
+      |      FROM walk) t
+      |WHERE lastr = 1 AND n_matches > 0
+      |ORDER BY user_id, day""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q51_cohort_retention", q51, Some(q51Oracle)),
     Q("q52_funnel_steps", q52, Some(q52Oracle)),
     Q("q58_event_paths", q58, Some(q58Oracle)),
     Q("ep01_pattern_match", ep01, Some(ep01Oracle)),
+    Q("ep02_variable_pattern", ep02, Some(ep02Oracle)),
     Q("q59_sessionize_batch", q59, Some(q59Oracle)),
   )
 }

@@ -120,4 +120,63 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
       "signup_then_purchase" -> 1L, // u1
     ))
   }
+
+  test("ep02 variable-length patterns: quantifier runs, restarts, back-to-back matches") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def row(u: Long, m: Int, id: Long, et: String) = (u, t(m), id, et)
+    val ev = Seq(
+      // u1: signup > view > view > purchase           → 1 match, b=2
+      row(1L, 1, 10L, "signup"), row(1L, 2, 11L, "view"),
+      row(1L, 3, 12L, "view"), row(1L, 4, 13L, "purchase"),
+      // u2: signup > purchase                         → B+ needs ≥1: NO match
+      row(2L, 1, 20L, "signup"), row(2L, 2, 21L, "purchase"),
+      // u3: signup > view > error > purchase          → error breaks the run: NO match
+      row(3L, 1, 30L, "signup"), row(3L, 2, 31L, "view"),
+      row(3L, 3, 32L, "error"), row(3L, 4, 33L, "purchase"),
+      // u4: signup > view > signup > click > purchase → restart on 2nd A: 1 match, b=1
+      row(4L, 1, 40L, "signup"), row(4L, 2, 41L, "view"),
+      row(4L, 3, 42L, "signup"), row(4L, 4, 43L, "click"),
+      row(4L, 5, 44L, "purchase"),
+      // u5: two back-to-back matches (b=1, then b=3)  → n=2, total=4, max=3
+      row(5L, 1, 50L, "signup"), row(5L, 2, 51L, "click"),
+      row(5L, 3, 52L, "purchase"), row(5L, 4, 53L, "signup"),
+      row(5L, 5, 54L, "view"), row(5L, 6, 55L, "click"),
+      row(5L, 7, 56L, "view"), row(5L, 8, 57L, "purchase"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.variablePatterns(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 2L, 2L)),
+      4L -> ((1L, 1L, 1L)),
+      5L -> ((2L, 4L, 3L)),
+    ), s"got $out")
+  }
+
+  test("ep02 agrees with an independent in-memory automaton on real events") {
+    val events = graft.Tables.events(spark, sfSmoke)
+    val got = EventAnalytics.variablePatterns(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute-force automaton over the raw rows (mirrors the DuckDB
+    // recursive-CTE oracle, written independently in Scala)
+    val raw = events.selectExpr("user_id", "CAST(ts AS DATE) AS day",
+        "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getTimestamp(2),
+        r.getLong(3), r.getString(4)))
+    val want = raw.groupBy(e => (e._1, e._2)).flatMap { case (key, rows) =>
+      val seq = rows.sortBy(e => (e._3.getTime, e._4)).map(_._5)
+      var s = 0; var b = 0L; var n = 0L; var tot = 0L; var mx = 0L
+      seq.foreach {
+        case "signup" => s = 1; b = 0
+        case t if s == 1 && (t == "view" || t == "click") => b += 1
+        case "purchase" if s == 1 && b >= 1 =>
+          n += 1; tot += b; mx = math.max(mx, b); s = 0; b = 0
+        case _ => s = 0; b = 0
+      }
+      if (n > 0) Some(key -> ((n, tot, mx))) else None
+    }.toMap
+    assert(want.nonEmpty, "no matching session at this SF — fixture too small")
+    assert(got == want)
+  }
 }

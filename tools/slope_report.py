@@ -45,37 +45,53 @@ def main(paths):
         walls = [d["queries"].get(q, -1.0) for _, d in runs]
         cpus = [d.get("cpu", {}).get(q, -1.0) for _, d in runs]
         if any(w <= 0 for w in walls):
-            rows.append((q, walls, cpus, None, None))
+            rows.append((q, walls, cpus, None, None, None, None))
             continue
         # top-decade slope (least overhead-polluted) + full-range slope
         top = math.log(walls[-1] / walls[-2]) / math.log(sfs[-1] / sfs[-2])
         full = math.log(walls[-1] / walls[0]) / math.log(sfs[-1] / sfs[0])
-        rows.append((q, walls, cpus, top, full))
+        # CPU slopes: the contention-immune signal (round-10 lesson — the
+        # d05 positive control shows cpu-slope 1.17 while local[32] wall
+        # hides the quadratic entirely). Sub-10ms CPU samples are below the
+        # listener's resolution floor; skip the slope rather than divide
+        # noise by noise.
+        ctop = cfull = None
+        if all(c > 0.01 for c in cpus):
+            ctop = math.log(cpus[-1] / cpus[-2]) / math.log(sfs[-1] / sfs[-2])
+            cfull = math.log(cpus[-1] / cpus[0]) / math.log(sfs[-1] / sfs[0])
+        rows.append((q, walls, cpus, top, full, ctop, cfull))
 
     print(f"| query | " + " | ".join(f"wall sf{sf} (s)" for sf in sfs) +
-          " | slope sf0.01→0.1 | slope full | verdict |")
-    print("|---|" + "---|" * (len(sfs) + 3))
+          " | wall slope 0.01→0.1 | cpu sf0.1 (s) | cpu slope 0.01→0.1 | verdict |")
+    print("|---|" + "---|" * (len(sfs) + 4))
     flagged = []
-    for q, walls, cpus, top, full in rows:
+    for q, walls, cpus, top, full, ctop, cfull in rows:
         if top is None:
-            print(f"| {q} | " + " | ".join("-" for _ in walls) + " | n/a | n/a | FAILED rep |")
+            print(f"| {q} | " + " | ".join("-" for _ in walls) +
+                  " | n/a | n/a | n/a | FAILED rep |")
             continue
-        verdict = "super-linear — AUDIT" if top > 1.2 else (
-            "~linear" if top > 0.6 else "overhead-dominated")
-        if top > 1.2:
+        # verdict on the CPU slope when resolvable (wall otherwise): CPU is
+        # the honest work measure at local[32] where idle cores hide wall
+        basis = ctop if ctop is not None else top
+        verdict = "super-linear — AUDIT" if basis > 1.2 else (
+            "~linear" if basis > 0.6 else "overhead-dominated")
+        if basis > 1.2:
             flagged.append(q)
+        ctop_s = f"{ctop:.2f}" if ctop is not None else "below-floor"
         print(f"| {q} | " + " | ".join(f"{w:.2f}" for w in walls) +
-              f" | {top:.2f} | {full:.2f} | {verdict} |")
+              f" | {top:.2f} | {cpus[-1]:.2f} | {ctop_s} | {verdict} |")
     summary = {
         "sfs": sfs,
         "slopes": {q: {"top_decade": top, "full_range": full,
-                       "walls": walls}
-                   for q, walls, cpus, top, full in rows if top is not None},
+                       "cpu_top_decade": ctop, "cpu_full_range": cfull,
+                       "walls": walls, "cpus": cpus}
+                   for q, walls, cpus, top, full, ctop, cfull in rows
+                   if top is not None},
         "flagged_superlinear": flagged,
     }
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
-    print(f"\nflagged super-linear (top decade > 1.2): {flagged or 'none'}",
+    print(f"\nflagged super-linear (cpu-or-wall top decade > 1.2): {flagged or 'none'}",
           file=sys.stderr)
 
 
