@@ -73,10 +73,21 @@ case class AsOfJoin(
   * join). At 100 TB an unused as-of join is the difference between two
   * corpus shuffles and none. Safe with respect to the duplicate-(key,time)
   * tiebreak: left attributes come from the left row itself, identical
-  * whichever right row wins. (Right-side COLUMN pruning into the join is
-  * deliberately NOT done — dropping an unreferenced right column can
-  * change which duplicate wins and thereby the referenced columns'
-  * values.)
+  * whichever right row wins.
+  *
+  * Partial right-side COLUMN pruning needs no custom rule: Catalyst's
+  * generic ColumnPruning case ("plans that inherit output from their
+  * children") pushes a projection below BOTH sides of any node, keeping
+  * `node.references` (our key/time expressions are constructor fields, so
+  * QueryPlan.references covers them) plus the parent's references —
+  * verified by AsOfJoinSpec's pruning test. At 100 TB that is the
+  * difference between shuffling a wide quote record and shuffling
+  * (key, time, price). Semantics note this implies (documented in
+  * asof()'s contract): the duplicate-(key,time) tiebreak runs over the
+  * KEPT columns, so duplicates that differ only in a column the query
+  * never references resolve arbitrarily among rows identical on every
+  * kept column — which is exactly when the query cannot observe the
+  * difference.
   *
   * Registered in the operator-optimization batch
   * ([[graft.functions.GraftExtensions]] injectOptimizerRule), so it
@@ -355,11 +366,16 @@ object AsOfJoinPlan {
     *
     * Determinism contract for duplicate right rows at an exact (key, time):
     * the winner is the greatest row under ascending order of the right
-    * side's remaining ORDERABLE columns. Unorderable columns (maps) don't
-    * participate in the tiebreak — two right rows identical in every
-    * orderable column but differing in a map column resolve arbitrarily.
-    * Narrow the right side (or serialize the map to a string) if that case
-    * must be deterministic.
+    * side's KEPT ORDERABLE columns. Two carve-outs, both unobservable to
+    * the query that triggers them:
+    *  - Catalyst's ColumnPruning narrows the right side to the columns the
+    *    query references (plus key/time), so duplicates differing only in
+    *    an unreferenced column resolve arbitrarily among rows the query
+    *    cannot tell apart;
+    *  - unorderable columns (maps) don't participate in the tiebreak —
+    *    two right rows identical in every orderable kept column but
+    *    differing in a map column resolve arbitrarily. Serialize the map
+    *    to a string if that case must be deterministic.
     */
   def asof(
       left: DataFrame, right: DataFrame,

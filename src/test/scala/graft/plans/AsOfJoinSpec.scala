@@ -231,6 +231,40 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       "join wrongly eliminated while a right column is referenced")
   }
 
+  test("column pruning reaches through the custom node; tiebreak runs over kept columns") {
+    import org.apache.spark.sql.graft.AsOfJoin
+    val left = Seq((1L, "a", ts("2024-01-02 00:00:00"))).toDF("id", "k", "t")
+    // duplicate (key, time) right rows: the tiebreak must stay correct
+    // over whatever columns survive pruning
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L, 9L, 1L),
+      ("a", ts("2024-01-01 00:00:00"), 2L, 0L, 2L),
+    ).toDF("rk", "rt", "va", "vx", "vb")
+    // Catalyst's generic ColumnPruning (not a custom rule) narrows the
+    // right side to key/time + referenced columns — the 100 TB shuffle-
+    // width win — for ANY referenced subset, middles included
+    val pruned = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt")
+      .select($"id", $"va")
+    val prunedJoin = pruned.queryExecution.optimizedPlan
+      .collect { case j: AsOfJoin => j }
+    assert(prunedJoin.nonEmpty, "join vanished — elimination fired instead of pruning")
+    assert(prunedJoin.head.right.output.map(_.name) == Seq("rk", "rt", "va"),
+      s"expected right side pruned to kept columns, got ${prunedJoin.head.right.output.map(_.name)}")
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L))) // greatest kept tuple wins
+    // referencing only the LAST column prunes the middle one too; the
+    // winner is the greatest under the kept (rk, rt, vb) order
+    val lastOnly = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt")
+      .select($"id", $"vb")
+    val lastJoin = lastOnly.queryExecution.optimizedPlan
+      .collect { case j: AsOfJoin => j }
+    assert(lastJoin.nonEmpty)
+    assert(lastJoin.head.right.output.map(_.name) == Seq("rk", "rt", "vb"),
+      s"expected middle column pruned too: ${lastJoin.head.right.output.map(_.name)}")
+    assert(lastOnly.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+  }
+
   test("mixed keys interleave correctly across a larger generated fixture") {
     // brute-force reference on 300 left x 120 right rows across 6 keys
     val rnd = new scala.util.Random(7)
