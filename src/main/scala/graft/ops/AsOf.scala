@@ -302,11 +302,114 @@ object AsOf {
       .orderBy($"event_id")
   }
 
+  /** q65/q66's staleness bound in MICROSECONDS (30 days) — unlike q61's
+    * calendar-day datediff form, the native operator's tolerance is a
+    * duration in the time column's underlying integer units (the pandas
+    * `merge_asof(tolerance=Timedelta(...))` contract), enforced INSIDE the
+    * exec's merge walk.
+    */
+  val ToleranceUs: Long = 30L * 86400L * 1000000L
+
+  /** q65 — q63's native attribution join with the tolerance enforced
+    * INSIDE the operator ([[org.apache.spark.sql.graft.AsOfJoinPlan]]
+    * `tolerance`): a signup more than 30 days (in event-time micros)
+    * before the purchase never leaves the exec — the matched columns
+    * emerge nulled TOGETHER, no post-join CASE needed. Oracle: DuckDB
+    * native ASOF + an epoch_us delta guard — independent duration
+    * semantics (q61 gates the calendar-day variant through the composed
+    * form; this gates the duration variant through the native one).
+    */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user_id"), $"ts".as("signup_ts"),
+        $"event_id".as("signup_id"))
+    org.apache.spark.sql.graft.AsOfJoinPlan
+      .asof(purchases, signups,
+        leftKey = "user_id", rightKey = "s_user_id",
+        leftTs = "ts", rightTs = "signup_ts",
+        tolerance = Some(ToleranceUs))
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+        $"value",
+        date_format($"signup_ts", "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+        $"signup_id",
+        (unix_micros($"ts") - unix_micros($"signup_ts")).as("lag_us"),
+      )
+      .orderBy($"event_id")
+  }
+
+  val q65Oracle: String =
+    s"""SELECT p.event_id, p.user_id,
+       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       |  p.value,
+       |  CASE WHEN epoch_us(p.ts) - epoch_us(s.signup_ts) <= $ToleranceUs
+       |       THEN strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') END AS signup_time,
+       |  CASE WHEN epoch_us(p.ts) - epoch_us(s.signup_ts) <= $ToleranceUs
+       |       THEN s.signup_id END AS signup_id,
+       |  CASE WHEN epoch_us(p.ts) - epoch_us(s.signup_ts) <= $ToleranceUs
+       |       THEN epoch_us(p.ts) - epoch_us(s.signup_ts) END AS lag_us
+       |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+       |ASOF LEFT JOIN (SELECT user_id, ts AS signup_ts, event_id AS signup_id
+       |                FROM events WHERE event_type = 'signup') s
+       |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+       |ORDER BY p.event_id""".stripMargin
+
+  /** q66 — CONVERSION WINDOW through the native FORWARD direction with
+    * in-operator tolerance: each signup's first purchase within 30 days
+    * (event-time micros); later purchases never attribute. The canonical
+    * growth-analytics query — q64's join with the window enforced where
+    * the state lives.
+    */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val signups = events.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("purchase_ts"),
+        $"value".as("purchase_value"))
+    org.apache.spark.sql.graft.AsOfJoinPlan
+      .asof(signups, purchases,
+        leftKey = "user_id", rightKey = "p_user_id",
+        leftTs = "ts", rightTs = "purchase_ts",
+        forward = true, tolerance = Some(ToleranceUs))
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+        date_format($"purchase_ts", "yyyy-MM-dd HH:mm:ss").as("first_purchase_time"),
+        $"purchase_value",
+        (unix_micros($"purchase_ts") - unix_micros($"ts")).as("lag_us"),
+      )
+      .orderBy($"event_id")
+  }
+
+  val q66Oracle: String =
+    s"""SELECT sg.event_id, sg.user_id,
+       |  strftime(sg.ts, '%Y-%m-%d %H:%M:%S') AS signup_time,
+       |  CASE WHEN epoch_us(p.purchase_ts) - epoch_us(sg.ts) <= $ToleranceUs
+       |       THEN strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') END AS first_purchase_time,
+       |  CASE WHEN epoch_us(p.purchase_ts) - epoch_us(sg.ts) <= $ToleranceUs
+       |       THEN p.purchase_value END AS purchase_value,
+       |  CASE WHEN epoch_us(p.purchase_ts) - epoch_us(sg.ts) <= $ToleranceUs
+       |       THEN epoch_us(p.purchase_ts) - epoch_us(sg.ts) END AS lag_us
+       |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') sg
+       |ASOF LEFT JOIN (SELECT user_id, ts AS purchase_ts, value AS purchase_value
+       |                FROM events WHERE event_type = 'purchase') p
+       |  ON sg.user_id = p.user_id AND sg.ts <= p.purchase_ts
+       |ORDER BY sg.event_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_asof_join", q31, Some(q31Oracle)),
     Q("q61_asof_tolerance", q61, Some(q61Oracle)),
     Q("q62_asof_forward", q62, Some(q62Oracle)),
     Q("q63_asof_native", q63, Some(q31Oracle)),
     Q("q64_asof_native_forward", q64, Some(q62Oracle)),
+    Q("q65_asof_native_tolerance", q65, Some(q65Oracle)),
+    Q("q66_asof_native_window", q66, Some(q66Oracle)),
   )
 }

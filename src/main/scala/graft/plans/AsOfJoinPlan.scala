@@ -48,6 +48,7 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean,
+    tolerance: Option[Long] = None,
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -109,8 +110,8 @@ object EliminateUnreferencedAsOfJoin
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -121,6 +122,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan,
 ) extends BinaryExecNode {
@@ -181,6 +183,13 @@ case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // tolerance semantics need an integer time delta: only long-backed
+    // time types qualify (micros for timestamps, days for dates — the
+    // caller supplies the bound in the SAME units; see asof()'s contract)
+    require(tolerance.isEmpty ||
+      (longBacked(leftTime.dataType) && longBacked(rightTime.dataType)),
+      s"as-of tolerance requires a long-backed time type, got " +
+        s"${leftTime.dataType}/${rightTime.dataType}")
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTime, left.output)
     val rkB = BindReferences.bindReference(rightKey, right.output)
@@ -235,6 +244,14 @@ case class AsOfJoinExec(
       advanceR()
       var cand: InternalRow = null
       var candKey = 0L
+      var candTime = 0L
+      // tolerance (pandas merge_asof contract): the NEAREST match is
+      // checked against the bound and nulled if stale — never a fallback
+      // to an older/farther row (backward already holds the newest ≤ t;
+      // anything older is staler; forward holds the first ≥ t — anything
+      // later is farther)
+      val unbounded = tolerance.isEmpty
+      val tol = tolerance.getOrElse(0L)
       lIter.map { l =>
         if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
           proj(joined(l, nullRight))
@@ -249,7 +266,8 @@ case class AsOfJoinExec(
               else if (rTime < lt) advanceR()
               else done = true
             }
-            val matched = rHead != null && rKey == lk && rTime >= lt
+            val matched = rHead != null && rKey == lk && rTime >= lt &&
+              (unbounded || rTime - lt <= tol)
             proj(joined(l, if (matched) rHead else nullRight))
           } else {
             var done = false
@@ -257,10 +275,11 @@ case class AsOfJoinExec(
               if (rKey < lk) advanceR()
               else if (rKey > lk) done = true
               else if (rTime <= lt) {
-                cand = rHead.copy(); candKey = rKey; advanceR()
+                cand = rHead.copy(); candKey = rKey; candTime = rTime; advanceR()
               } else done = true
             }
-            val matched = cand != null && candKey == lk
+            val matched = cand != null && candKey == lk &&
+              (unbounded || lt - candTime <= tol)
             proj(joined(l, if (matched) cand else nullRight))
           }
         }
@@ -314,6 +333,12 @@ case class AsOfJoinExec(
       // iterator advances.
       var cand: InternalRow = null
       var candKey: Any = null
+      var candTime = 0L
+      // tolerance on the generic path: time is long-backed by the doExecute
+      // require (boxed as java.lang Number subtypes), so the delta is the
+      // unboxed long difference — same contract as the primitive path
+      val unbounded = tolerance.isEmpty
+      val tol = tolerance.getOrElse(0L)
 
       lIter.map { l =>
         val lkv = lkB.eval(l)
@@ -333,7 +358,9 @@ case class AsOfJoinExec(
             else done = true // first at-or-after row — the match
           }
           val matched = rHead != null && keyOrd.compare(rHeadKey, lkv) == 0 &&
-            timeOrd.compare(rHeadTime, ltv) >= 0
+            timeOrd.compare(rHeadTime, ltv) >= 0 &&
+            (unbounded || rHeadTime.asInstanceOf[Number].longValue -
+              ltv.asInstanceOf[Number].longValue <= tol)
           proj(joined(l, if (matched) rHead else nullRight))
         } else {
           // advance the right side up to (key, time] of this left row
@@ -345,10 +372,13 @@ case class AsOfJoinExec(
             else if (timeOrd.compare(rHeadTime, ltv) <= 0) {
               cand = rHead.copy() // newest at-or-before match so far
               candKey = rkB.eval(cand)
+              if (!unbounded) candTime = rHeadTime.asInstanceOf[Number].longValue
               advanceR()
             } else done = true // right time ahead of this left ts
           }
-          val matched = cand != null && keyOrd.compare(candKey, lkv) == 0
+          val matched = cand != null && keyOrd.compare(candKey, lkv) == 0 &&
+            (unbounded ||
+              ltv.asInstanceOf[Number].longValue - candTime <= tol)
           proj(joined(l, if (matched) cand else nullRight))
         }
       }
@@ -376,12 +406,23 @@ object AsOfJoinPlan {
     *    two right rows identical in every orderable kept column but
     *    differing in a map column resolve arbitrarily. Serialize the map
     *    to a string if that case must be deterministic.
+    *
+    * `tolerance` (pandas `merge_asof(tolerance=…)` contract): when set,
+    * the nearest match is additionally required to lie within the bound —
+    * `leftTs − rightTs ≤ tolerance` backward, `rightTs − leftTs ≤
+    * tolerance` forward — and is NULLED OUT (never replaced by a farther
+    * row: backward already holds the newest at-or-before, anything older
+    * is staler; forward holds the first at-or-after, anything later is
+    * farther). The bound is in the time column's UNDERLYING INTEGER UNITS
+    * — microseconds for timestamps, days for dates — and requires a
+    * long-backed time type.
     */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       forward: Boolean = false,
+      tolerance: Option[Long] = None,
   ): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -400,6 +441,6 @@ object AsOfJoinPlan {
         throw new IllegalArgumentException(s"asof: no column '$n' in ${p.output.map(_.name)}"))
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], AsOfJoin(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs),
-      forward))
+      forward, tolerance))
   }
 }

@@ -265,6 +265,57 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, 2L)))
   }
 
+  test("tolerance: nearest match nulled when stale, boundary inclusive, on BOTH walk paths") {
+    val tol = Some(60L * 1000000L) // 60 s in micros
+    def check(left: org.apache.spark.sql.DataFrame,
+        right: org.apache.spark.sql.DataFrame): Unit = {
+      val back = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt",
+        tolerance = tol)
+        .select($"id", $"v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // 1: equal ts (0 s) match; 2,3: newest prior is 240/210 s stale ->
+      // null; 4: exactly 60 s -> inclusive match; 5: 330 s -> null;
+      // 6: 30 s fresh -> match
+      assert(back == Map(1L -> 100L, 2L -> -1L, 3L -> -1L, 4L -> 100L,
+        5L -> -1L, 6L -> 200L), s"backward: $back")
+      val fwd = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt",
+        forward = true, tolerance = tol)
+        .select($"id", $"v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // 1: equal ts match; 2: 30 s ahead fresh; 3: exactly 60 s inclusive;
+      // 4: 210 s ahead stale -> null; 5,6: nothing at-or-after -> null
+      assert(fwd == Map(1L -> 100L, 2L -> 200L, 3L -> 200L, 4L -> -1L,
+        5L -> -1L, 6L -> -1L), s"forward: $fwd")
+    }
+    // rights at 10:00:00 (v=100) and 10:04:30 (v=200); probes:
+    // 10:00:00, 10:04:00, 10:03:30, 10:01:00, 10:10:00, 10:05:00
+    val times = Seq("10:00:00", "10:04:00", "10:03:30", "10:01:00",
+      "10:10:00", "10:05:00")
+    def lts(i: Int) = ts(s"2024-01-01 ${times(i - 1)}")
+    val rts1 = ts("2024-01-01 10:00:00")
+    val rts2 = ts("2024-01-01 10:04:30")
+    // primitive path: BIGINT keys
+    check(
+      (1L to 6L).map(i => (i, 10L, lts(i.toInt))).toDF("id", "k", "t"),
+      Seq((10L, rts1, 100L), (10L, rts2, 200L)).toDF("rk", "rt", "v"))
+    // generic path: STRING keys, same shape
+    check(
+      (1L to 6L).map(i => (i, "a", lts(i.toInt))).toDF("id", "k", "t"),
+      Seq(("a", rts1, 100L), ("a", rts2, 200L)).toDF("rk", "rt", "v"))
+  }
+
+  test("tolerance with a non-long-backed time type fails loudly") {
+    val left = Seq((1L, "a", "x")).toDF("id", "k", "t")
+    val right = Seq(("a", "w", 1L)).toDF("rk", "rt", "v")
+    val e = intercept[Throwable] {
+      AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt",
+        tolerance = Some(10L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("long-backed")), s"got: ${messages(e)}")
+  }
+
   test("mixed keys interleave correctly across a larger generated fixture") {
     // brute-force reference on 300 left x 120 right rows across 6 keys
     val rnd = new scala.util.Random(7)
