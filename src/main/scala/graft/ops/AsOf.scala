@@ -403,6 +403,67 @@ object AsOf {
        |  ON sg.user_id = p.user_id AND sg.ts <= p.purchase_ts
        |ORDER BY sg.event_id""".stripMargin
 
+  /** q67 — NEAREST-direction native as-of (pandas `direction='nearest'`):
+    * each purchase aligned to its temporally CLOSEST signup — before or
+    * after — within the 30-day bound; equal distances resolve backward.
+    * Completes merge_asof parity: backward (q63), forward (q64), nearest
+    * (q67), each with in-operator tolerance (q65/q66/q67). The oracle has
+    * no native nearest, so it derives it INDEPENDENTLY from two DuckDB
+    * ASOF joins (backward + forward per purchase) and picks the smaller
+    * epoch_us delta with the same tie rule — a different decomposition of
+    * the same semantics, which is what makes the hash match meaningful.
+    */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user_id"), $"ts".as("signup_ts"),
+        $"event_id".as("signup_id"))
+    org.apache.spark.sql.graft.AsOfJoinPlan
+      .asof(purchases, signups,
+        leftKey = "user_id", rightKey = "s_user_id",
+        leftTs = "ts", rightTs = "signup_ts",
+        tolerance = Some(ToleranceUs), nearest = true)
+      .select(
+        $"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+        date_format($"signup_ts", "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+        $"signup_id",
+        abs(unix_micros($"ts") - unix_micros($"signup_ts")).as("delta_us"),
+      )
+      .orderBy($"event_id")
+  }
+
+  val q67Oracle: String =
+    s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       |s AS (SELECT user_id AS s_uid, ts AS s_ts, event_id AS s_id
+       |      FROM events WHERE event_type = 'signup'),
+       |b AS (SELECT p.event_id, s.s_ts AS b_ts, s.s_id AS b_id
+       |      FROM p ASOF LEFT JOIN s ON p.user_id = s.s_uid AND p.ts >= s.s_ts),
+       |f AS (SELECT p.event_id, s.s_ts AS f_ts, s.s_id AS f_id
+       |      FROM p ASOF LEFT JOIN s ON p.user_id = s.s_uid AND p.ts <= s.s_ts),
+       |x AS (SELECT p.event_id, p.user_id, p.ts, b.b_ts, b.b_id, f.f_ts, f.f_id,
+       |        epoch_us(p.ts) - epoch_us(b.b_ts) AS db,
+       |        epoch_us(f.f_ts) - epoch_us(p.ts) AS df
+       |      FROM p JOIN b USING (event_id) JOIN f USING (event_id)),
+       |y AS (SELECT event_id, user_id, ts,
+       |        CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+       |             THEN b_ts ELSE f_ts END AS n_ts,
+       |        CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+       |             THEN b_id ELSE f_id END AS n_id,
+       |        CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+       |             THEN db ELSE df END AS nd
+       |      FROM x)
+       |SELECT event_id, user_id,
+       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       |  CASE WHEN nd <= $ToleranceUs
+       |       THEN strftime(n_ts, '%Y-%m-%d %H:%M:%S') END AS signup_time,
+       |  CASE WHEN nd <= $ToleranceUs THEN n_id END AS signup_id,
+       |  CASE WHEN nd <= $ToleranceUs THEN nd END AS delta_us
+       |FROM y ORDER BY event_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_asof_join", q31, Some(q31Oracle)),
     Q("q61_asof_tolerance", q61, Some(q61Oracle)),
@@ -411,5 +472,6 @@ object AsOf {
     Q("q64_asof_native_forward", q64, Some(q62Oracle)),
     Q("q65_asof_native_tolerance", q65, Some(q65Oracle)),
     Q("q66_asof_native_window", q66, Some(q66Oracle)),
+    Q("q67_asof_native_nearest", q67, Some(q67Oracle)),
   )
 }

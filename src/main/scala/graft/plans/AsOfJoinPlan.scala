@@ -49,6 +49,7 @@ case class AsOfJoin(
     rightTime: Expression,
     forward: Boolean,
     tolerance: Option[Long] = None,
+    nearest: Boolean = false,
 ) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -110,8 +111,9 @@ object EliminateUnreferencedAsOfJoin
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol, near) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, near,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -123,6 +125,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     forward: Boolean,
     tolerance: Option[Long],
+    nearest: Boolean,
     left: SparkPlan,
     right: SparkPlan,
 ) extends BinaryExecNode {
@@ -183,13 +186,16 @@ case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    // tolerance semantics need an integer time delta: only long-backed
-    // time types qualify (micros for timestamps, days for dates — the
-    // caller supplies the bound in the SAME units; see asof()'s contract)
-    require(tolerance.isEmpty ||
+    // tolerance/nearest semantics need an integer time delta: only
+    // long-backed time types qualify (micros for timestamps, days for
+    // dates — the caller supplies the bound in the SAME units; see
+    // asof()'s contract)
+    require((tolerance.isEmpty && !nearest) ||
       (longBacked(leftTime.dataType) && longBacked(rightTime.dataType)),
-      s"as-of tolerance requires a long-backed time type, got " +
+      s"as-of tolerance/nearest requires a long-backed time type, got " +
         s"${leftTime.dataType}/${rightTime.dataType}")
+    require(!(forward && nearest),
+      "as-of nearest is its own direction — pass forward = false")
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTime, left.output)
     val rkB = BindReferences.bindReference(rightKey, right.output)
@@ -270,6 +276,10 @@ case class AsOfJoinExec(
               (unbounded || rTime - lt <= tol)
             proj(joined(l, if (matched) rHead else nullRight))
           } else {
+            // backward walk — ALSO the nearest walk: at loop exit, rHead
+            // is exactly the minimal at-or-after row for this key (rows
+            // at == lt were promoted into cand, Δ = 0, which wins nearest
+            // anyway), so both candidates are in hand with no extra pass
             var done = false
             while (!done && rHead != null) {
               if (rKey < lk) advanceR()
@@ -278,9 +288,26 @@ case class AsOfJoinExec(
                 cand = rHead.copy(); candKey = rKey; candTime = rTime; advanceR()
               } else done = true
             }
-            val matched = cand != null && candKey == lk &&
-              (unbounded || lt - candTime <= tol)
-            proj(joined(l, if (matched) cand else nullRight))
+            val backOk = cand != null && candKey == lk
+            if (!nearest) {
+              val matched = backOk && (unbounded || lt - candTime <= tol)
+              proj(joined(l, if (matched) cand else nullRight))
+            } else {
+              // pandas merge_asof(direction='nearest'): smaller |Δ| wins,
+              // tie -> backward; tolerance tests the CHOSEN delta (if the
+              // nearer side is out of bound, the farther one is too)
+              val fwdOk = rHead != null && rKey == lk
+              val useBack = backOk && (!fwdOk || lt - candTime <= rTime - lt)
+              val useFwd = fwdOk && !useBack
+              val within =
+                if (useBack) unbounded || lt - candTime <= tol
+                else if (useFwd) unbounded || rTime - lt <= tol
+                else false
+              proj(joined(l,
+                if (useBack && within) cand
+                else if (useFwd && within) rHead
+                else nullRight))
+            }
           }
         }
       }
@@ -364,6 +391,7 @@ case class AsOfJoinExec(
           proj(joined(l, if (matched) rHead else nullRight))
         } else {
           // advance the right side up to (key, time] of this left row
+          // (doubles as the nearest walk — see the primitive path's note)
           var done = false
           while (!done && rHead != null) {
             val c = keyOrd.compare(rHeadKey, lkv)
@@ -372,14 +400,33 @@ case class AsOfJoinExec(
             else if (timeOrd.compare(rHeadTime, ltv) <= 0) {
               cand = rHead.copy() // newest at-or-before match so far
               candKey = rkB.eval(cand)
-              if (!unbounded) candTime = rHeadTime.asInstanceOf[Number].longValue
+              if (!unbounded || nearest)
+                candTime = rHeadTime.asInstanceOf[Number].longValue
               advanceR()
             } else done = true // right time ahead of this left ts
           }
-          val matched = cand != null && keyOrd.compare(candKey, lkv) == 0 &&
-            (unbounded ||
+          val backOk = cand != null && keyOrd.compare(candKey, lkv) == 0
+          if (!nearest) {
+            val matched = backOk && (unbounded ||
               ltv.asInstanceOf[Number].longValue - candTime <= tol)
-          proj(joined(l, if (matched) cand else nullRight))
+            proj(joined(l, if (matched) cand else nullRight))
+          } else {
+            val ltL = ltv.asInstanceOf[Number].longValue
+            val fwdOk = rHead != null && keyOrd.compare(rHeadKey, lkv) == 0
+            val df =
+              if (fwdOk) rHeadTime.asInstanceOf[Number].longValue - ltL
+              else Long.MaxValue
+            val useBack = backOk && (!fwdOk || ltL - candTime <= df)
+            val useFwd = fwdOk && !useBack
+            val within =
+              if (useBack) unbounded || ltL - candTime <= tol
+              else if (useFwd) unbounded || df <= tol
+              else false
+            proj(joined(l,
+              if (useBack && within) cand
+              else if (useFwd && within) rHead
+              else nullRight))
+          }
         }
       }
     }
@@ -416,6 +463,15 @@ object AsOfJoinPlan {
     * farther). The bound is in the time column's UNDERLYING INTEGER UNITS
     * — microseconds for timestamps, days for dates — and requires a
     * long-backed time type.
+    *
+    * `nearest` (pandas `direction='nearest'`): the smaller |Δt| of the
+    * backward and forward candidates wins; equal distances resolve
+    * BACKWARD. One merge walk serves both candidates — when the backward
+    * scan stops, the lookahead row IS the minimal at-or-after match — so
+    * nearest costs the same single pass. Requires a long-backed time type
+    * (the distances are integer deltas); mutually exclusive with
+    * `forward`. Composes with `tolerance` (the chosen delta is tested;
+    * if the nearer side is out of bound the farther one is too).
     */
   def asof(
       left: DataFrame, right: DataFrame,
@@ -423,6 +479,7 @@ object AsOfJoinPlan {
       leftTs: String, rightTs: String,
       forward: Boolean = false,
       tolerance: Option[Long] = None,
+      nearest: Boolean = false,
   ): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -439,8 +496,10 @@ object AsOfJoinPlan {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"asof: no column '$n' in ${p.output.map(_.name)}"))
+    require(!(forward && nearest),
+      "asof: nearest is its own direction — pass forward = false")
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], AsOfJoin(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs),
-      forward, tolerance))
+      forward, tolerance, nearest))
   }
 }

@@ -304,6 +304,68 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       Seq(("a", rts1, 100L), ("a", rts2, 200L)).toDF("rk", "rt", "v"))
   }
 
+  test("nearest direction: smaller |Δt| wins, ties go backward, tolerance on the chosen delta, both paths") {
+    def check(left: org.apache.spark.sql.DataFrame,
+        right: org.apache.spark.sql.DataFrame): Unit = {
+      def run(tol: Option[Long]) =
+        AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt",
+          tolerance = tol, nearest = true)
+          .select($"id", $"v").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // rights at 10:00:00 (v=100) and 10:04:30 (v=200)
+      // 1: 10:02:00 -> back 120 s vs fwd 150 s -> 100
+      // 2: 10:02:30 -> back 150 s vs fwd 120 s -> 200
+      // 3: 10:02:15 -> 135 s both -> tie -> BACKWARD -> 100
+      // 4: 09:00:00 -> no earlier row -> forward 3600 s -> 100
+      // 5: 11:00:00 -> no later row -> backward 3330 s -> 200
+      assert(run(None) == Map(1L -> 100L, 2L -> 200L, 3L -> 100L,
+        4L -> 100L, 5L -> 200L), s"unbounded: ${run(None)}")
+      // 130 s bound: 1 and 2 stay (120 s), 3 drops (chosen 135 s), the
+      // distant 4/5 drop — never replaced by the other (farther) side
+      assert(run(Some(130L * 1000000L)) == Map(1L -> 100L, 2L -> 200L,
+        3L -> -1L, 4L -> -1L, 5L -> -1L), s"bounded: ${run(Some(130000000L))}")
+    }
+    val times = Seq("10:02:00", "10:02:30", "10:02:15", "09:00:00", "11:00:00")
+    def lts(i: Int) = ts(s"2024-01-01 ${times(i - 1)}")
+    val rts1 = ts("2024-01-01 10:00:00")
+    val rts2 = ts("2024-01-01 10:04:30")
+    check( // primitive path: BIGINT keys
+      (1L to 5L).map(i => (i, 10L, lts(i.toInt))).toDF("id", "k", "t"),
+      Seq((10L, rts1, 100L), (10L, rts2, 200L)).toDF("rk", "rt", "v"))
+    check( // generic path: STRING keys
+      (1L to 5L).map(i => (i, "a", lts(i.toInt))).toDF("id", "k", "t"),
+      Seq(("a", rts1, 100L), ("a", rts2, 200L)).toDF("rk", "rt", "v"))
+  }
+
+  test("nearest agrees with a brute-force reference across a randomized fixture") {
+    val rnd = new scala.util.Random(11)
+    val keys = Vector(1L, 2L, 3L, 4L)
+    val lrows = (1L to 200L).map(i =>
+      (i, keys(rnd.nextInt(4)), ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+    val rrows = (1L to 80L).map(i =>
+      (keys(rnd.nextInt(4)), ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i))
+    val got = AsOfJoinPlan.asof(
+      lrows.toDF("id", "k", "t"), rrows.toDF("rk", "rt", "v"),
+      "k", "rk", "t", "rt", nearest = true)
+      .select($"id", $"v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val want = lrows.map { case (id, k, t) =>
+      val same = rrows.filter(_._1 == k)
+      val back = same.filter(!_._2.after(t))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption
+      val fwd = same.filter(!_._2.before(t))
+        .sortBy(r => (r._2.getTime, r._3)).headOption
+      id -> ((back, fwd) match {
+        case (None, None) => -1L
+        case (Some(b), None) => b._3
+        case (None, Some(f)) => f._3
+        case (Some(b), Some(f)) =>
+          if (t.getTime - b._2.getTime <= f._2.getTime - t.getTime) b._3 else f._3
+      })
+    }.toMap
+    assert(got == want)
+  }
+
   test("tolerance with a non-long-backed time type fails loudly") {
     val left = Seq((1L, "a", "x")).toDF("id", "k", "t")
     val right = Seq(("a", "w", 1L)).toDF("rk", "rt", "v")
