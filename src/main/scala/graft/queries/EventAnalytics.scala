@@ -392,12 +392,76 @@ object EventAnalytics {
       |WHERE lastr = 1 AND n_matches > 0
       |ORDER BY user_id, day""".stripMargin
 
+  /** ep03 — BOUNDED-REPETITION quantifier (MATCH_RECOGNIZE `B{2,} C`):
+    * per session, the "frustration conversion" — a run of AT LEAST TWO
+    * consecutive errors immediately followed by a purchase. Completes the
+    * quantifier spectrum across the family: ep01 fixed positions, ep02
+    * one-or-more (`+`), ep03 bounded repetition (`{m,}`). Same
+    * independent-formulation gate design as ep02 — the run alphabet
+    * {error} excludes the closing event, so greedy-regex (leftmost start
+    * captures the WHOLE consecutive run) and the automaton's run counter
+    * provably coincide:
+    *  - Spark: `regexp_extract_all` with `(?:>error){2,}` over the
+    *    delimited session string;
+    *  - oracle: the recursive-CTE automaton with a consecutive-run
+    *    counter, one transition per event.
+    * Reports non-overlapping match counts and the longest matched run.
+    */
+  def ep03(s: SparkSession, dir: String): DataFrame =
+    boundedRepetitionPatterns(Tables.events(s, dir))
+
+  /** ep03 over any (user_id, ts, event_id, event_type) relation. */
+  def boundedRepetitionPatterns(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val runLen = (run: org.apache.spark.sql.Column) =>
+      (size(split(run, ">")) - 1).cast("long")
+    sessionSeqs(events)
+      .select($"user_id",
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        regexp_extract_all(
+          concat(lit(">"), $"seq", lit(">")),
+          lit("((?:>error){2,})>purchase(?=>)"), lit(1)).as("runs"))
+      .filter(size($"runs") > 0)
+      .select($"user_id", $"day",
+        size($"runs").cast("long").as("n_matches"),
+        array_max(transform($"runs", runLen)).as("max_run"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val ep03Oracle: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |walk AS (
+      |  SELECT user_id, day, 0 AS rn, 0 AS run,
+      |         CAST(0 AS BIGINT) AS n_matches, CAST(0 AS BIGINT) AS max_run
+      |  FROM (SELECT DISTINCT user_id, day FROM ev)
+      |  UNION ALL
+      |  SELECT w.user_id, w.day, w.rn + 1,
+      |    CASE WHEN e.event_type = 'error' THEN w.run + 1 ELSE 0 END,
+      |    w.n_matches + CASE WHEN e.event_type = 'purchase' AND w.run >= 2
+      |                       THEN 1 ELSE 0 END,
+      |    CASE WHEN e.event_type = 'purchase' AND w.run >= 2 AND w.run > w.max_run
+      |         THEN w.run ELSE w.max_run END
+      |  FROM walk w JOIN ev e
+      |    ON e.user_id = w.user_id AND e.day = w.day AND e.rn = w.rn + 1)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_matches, max_run
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |                                   ORDER BY rn DESC) AS lastr
+      |      FROM walk) t
+      |WHERE lastr = 1 AND n_matches > 0
+      |ORDER BY user_id, day""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q51_cohort_retention", q51, Some(q51Oracle)),
     Q("q52_funnel_steps", q52, Some(q52Oracle)),
     Q("q58_event_paths", q58, Some(q58Oracle)),
     Q("ep01_pattern_match", ep01, Some(ep01Oracle)),
     Q("ep02_variable_pattern", ep02, Some(ep02Oracle)),
+    Q("ep03_bounded_repetition", ep03, Some(ep03Oracle)),
     Q("q59_sessionize_batch", q59, Some(q59Oracle)),
   )
 }

@@ -153,6 +153,52 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     ), s"got $out")
   }
 
+  test("ep03 bounded repetition: run thresholds, resets, back-to-back, longest run") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def row(u: Long, m: Int, id: Long, et: String) = (u, t(m), id, et)
+    val ev = Seq(
+      // u1: error > error > purchase                  → 1 match, run=2
+      row(1L, 1, 10L, "error"), row(1L, 2, 11L, "error"), row(1L, 3, 12L, "purchase"),
+      // u2: error > purchase                          → run 1 < 2: NO match
+      row(2L, 1, 20L, "error"), row(2L, 2, 21L, "purchase"),
+      // u3: error > error > view > purchase           → view resets: NO match
+      row(3L, 1, 30L, "error"), row(3L, 2, 31L, "error"),
+      row(3L, 3, 32L, "view"), row(3L, 4, 33L, "purchase"),
+      // u4: e>e>e>purchase then e>e>purchase          → n=2, max_run=3
+      row(4L, 1, 40L, "error"), row(4L, 2, 41L, "error"),
+      row(4L, 3, 42L, "error"), row(4L, 4, 43L, "purchase"),
+      row(4L, 5, 44L, "error"), row(4L, 6, 45L, "error"),
+      row(4L, 7, 46L, "purchase"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.boundedRepetitionPatterns(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((1L, 2L)), 4L -> ((2L, 3L))), s"got $out")
+  }
+
+  test("ep03 agrees with an independent in-memory automaton on real events") {
+    val events = graft.Tables.events(spark, sfSmoke)
+    val got = EventAnalytics.boundedRepetitionPatterns(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val raw = events.selectExpr("user_id", "CAST(ts AS DATE) AS day",
+        "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getTimestamp(2),
+        r.getLong(3), r.getString(4)))
+    val want = raw.groupBy(e => (e._1, e._2)).flatMap { case (key, rows) =>
+      val seq = rows.sortBy(e => (e._3.getTime, e._4)).map(_._5)
+      var run = 0L; var n = 0L; var mx = 0L
+      seq.foreach {
+        case "error" => run += 1
+        case "purchase" =>
+          if (run >= 2) { n += 1; mx = math.max(mx, run) }
+          run = 0
+        case _ => run = 0
+      }
+      if (n > 0) Some(key -> ((n, mx))) else None
+    }.toMap
+    assert(got == want)
+  }
+
   test("ep02 agrees with an independent in-memory automaton on real events") {
     val events = graft.Tables.events(spark, sfSmoke)
     val got = EventAnalytics.variablePatterns(events).collect()
