@@ -186,6 +186,17 @@ case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // the walks compare LEFT-typed values against RIGHT-side rows (one
+    // interpreted ordering per column on the generic path, raw deltas on
+    // the bounded paths), so a cross-side type mismatch is never sound:
+    // TIMESTAMP-vs-DATE would silently mix micros with days (round-11
+    // advice) — fail loudly at the same point as the long-backed check
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of key types must match across sides, got " +
+        s"${leftKey.dataType}/${rightKey.dataType}")
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time types must match across sides, got " +
+        s"${leftTime.dataType}/${rightTime.dataType}")
     // tolerance/nearest semantics need an integer time delta: only
     // long-backed time types qualify (micros for timestamps, days for
     // dates — the caller supplies the bound in the SAME units; see
@@ -498,6 +509,14 @@ object AsOfJoinPlan {
         throw new IllegalArgumentException(s"asof: no column '$n' in ${p.output.map(_.name)}"))
     require(!(forward && nearest),
       "asof: nearest is its own direction — pass forward = false")
+    // same cross-side type guards as the exec's (round-11 advice), surfaced
+    // at plan-build time where the caller can see which columns disagree
+    require(attr(lp, leftKey).dataType == attr(rp, rightKey).dataType,
+      s"asof: key types must match, got ${attr(lp, leftKey).dataType} " +
+        s"($leftKey) vs ${attr(rp, rightKey).dataType} ($rightKey)")
+    require(attr(lp, leftTs).dataType == attr(rp, rightTs).dataType,
+      s"asof: time types must match, got ${attr(lp, leftTs).dataType} " +
+        s"($leftTs) vs ${attr(rp, rightTs).dataType} ($rightTs)")
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], AsOfJoin(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs), attr(rp, rightTs),
       forward, tolerance, nearest))

@@ -70,9 +70,11 @@ def main(paths):
             print(f"| {q} | " + " | ".join("-" for _ in walls) +
                   " | n/a | n/a | n/a | FAILED rep |")
             continue
-        # verdict on the CPU slope when resolvable (wall otherwise): CPU is
-        # the honest work measure at local[32] where idle cores hide wall
-        basis = ctop if ctop is not None else top
+        # verdict on the WORSE of the wall and CPU top-decade slopes: CPU is
+        # the honest work measure at local[32] where idle cores hide wall,
+        # but a shuffle/IO-bound query can grow super-linear in wall while
+        # its CPU stays linear — flag on either (round-11 advice)
+        basis = max(top, ctop) if ctop is not None else top
         verdict = "super-linear — AUDIT" if basis > 1.2 else (
             "~linear" if basis > 0.6 else "overhead-dominated")
         if basis > 1.2:
@@ -91,8 +93,8 @@ def main(paths):
     }
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
-    print(f"\nflagged super-linear (cpu-or-wall top decade > 1.2): {flagged or 'none'}",
-          file=sys.stderr)
+    print("\nflagged super-linear (max of wall/cpu top-decade slopes > 1.2): "
+          f"{flagged or 'none'}", file=sys.stderr)
 
 
 if __name__ == "__main__":
