@@ -170,9 +170,12 @@ object Bench {
       // wst01 2.35 s cold vs 0.06 s warm). Warming it here keeps every
       // wst number a query measurement. Guarded: a missing reference data
       // dir must degrade to per-query failures (-1), not kill the bench.
+      // NonFatal only (round-11 advice): the degradation target is a
+      // missing data dir — a non-fatal exception. OOM/LinkageError must
+      // propagate rather than let a corrupt JVM record plausible numbers.
       try graft.etl.WhoStarQueries.warm(spark)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] WHO star warmup skipped: ${e.getMessage}")
       }
     }
@@ -192,6 +195,16 @@ object Bench {
     //     wall-clock < SPARK_GRAFT_BUDGET_SEC, so a slow pass degrades to
     //     fewer reps instead of a killed process and no artifact at all.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Adaptive rep acquisition (round-11 verdict #2): a "median" backed by
+    // a single clean rep is rep 1 verbatim — and rep 1 is the cold rep, so
+    // a storm hitting reps 2..n silently publishes JIT + first-touch cost
+    // as the headline (driver r11: 305 s vs 224.8 s clean census of the
+    // same code). When fewer than 2 clean reps exist after the configured
+    // count, up to maxExtraReps more run — budget-boxed and storm-gated
+    // like any other rep — before the artifact is published; clean_reps in
+    // the artifact says what actually backs the headline.
+    val maxExtraReps = sys.env.get("SPARK_GRAFT_MAX_EXTRA_REPS")
+      .flatMap(_.toIntOption).getOrElse(2)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "900").toDouble
     // Absolute ceiling covering rep 1 too: past it, remaining queries are
     // skipped (recorded -1) so the JSON artifact still gets emitted before
@@ -207,6 +220,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // SPARK_GRAFT_TIMING_MODE=rdd (round-11 verdict #3): execute the FULL
+    // materializing physical plan via queryExecution.toRdd.count() — no
+    // logical Aggregate is added, so optimizer rewrites that collapse
+    // count() plans (column pruning to a bare scan-count, as-of join
+    // elimination) don't fire. count() remains the default contract mode;
+    // rdd mode is the honest census for composed plans whose rows a real
+    // consumer would materialize (the round-11 DbgStages forensics: q31's
+    // union+window never executes under count()).
+    val rddMode = sys.env.get("SPARK_GRAFT_TIMING_MODE").contains("rdd")
+    val timingMode = if (rddMode) "rdd" else "count"
     // executor CPU time per query: contention-immune signal alongside wall
     // time (a busy host inflates wall but not CPU). Snapshots are fenced by
     // draining the async listener bus before reading the counter.
@@ -263,9 +286,28 @@ object Bench {
     // the honest "worst window this rep ran through"
     val midProbeEvery = 15
     var sinceProbe = 0
+    // A rep's storm stamp (computed as each rep completes, so the adaptive
+    // loop can see it): the MINIMUM fault-rate probe seen during the rep
+    // below the floor, OR whole-process sys ≥ 50% of usr across the rep's
+    // queries. The 0.5 cut separates the regimes observed on this box:
+    // tmpfs-shuffle width-32 baseline sys runs ~0.2-0.4 of usr on clean
+    // queries, while storm reps show 0.8-5x (r8 driver bench 1.64, r9
+    // first attempt d10 rep at 5.2). Raw per-rep sys/usr is in the
+    // artifact so the cut can be re-judged post-hoc.
+    def stormStampOf(i: Int): Boolean =
+      (repMinProbe(i) >= 0 && repMinProbe(i) < stormFloorMbps) ||
+        (repUsrTot(i) > 0 && repSysTot(i) >= 0.5 * repUsrTot(i))
+    def cleanSoFar: Int = repStorm.count(s => !s)
     var rep = 1
     var outOfBudget = false
-    while (rep <= reps && !outOfBudget) {
+    while (!outOfBudget && (rep <= reps ||
+        (rep <= reps + maxExtraReps && cleanSoFar < 2 &&
+          elapsedSec < budgetSec))) {
+      if (rep > reps)
+        System.err.println(
+          f"[bench] only $cleanSoFar clean rep(s) after ${rep - 1}; " +
+            f"acquiring extra rep $rep (max ${reps + maxExtraReps}, " +
+            f"elapsed $elapsedSec%.0f s of $budgetSec%.0f)")
       var probe = probeFaultMbps()
       val waitStart = System.nanoTime()
       while (probe >= 0 && probe < stormFloorMbps &&
@@ -301,7 +343,11 @@ object Bench {
           val (u0, s0) = procUserSys()
           val t0 = System.nanoTime()
           val ok =
-            try { fn(spark, sfDir).count(); true }
+            try {
+              val df = fn(spark, sfDir)
+              if (rddMode) df.queryExecution.toRdd.count() else df.count()
+              true
+            }
             catch {
               case e: Throwable =>
                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -336,19 +382,14 @@ object Bench {
               s"in rep $rep; reporting medians over completed reps")
         }
       }
+      repStorm += stormStampOf(rep - 1)
       rep += 1
     }
-    // A rep's storm stamp: the MINIMUM fault-rate probe seen during the
-    // rep below the floor, OR whole-process sys ≥ 50% of usr across the
-    // rep's queries. The 0.5 cut separates the regimes observed on this
-    // box: tmpfs-shuffle width-32 baseline sys runs ~0.2-0.4 of usr on
-    // clean queries, while storm reps show 0.8-5x (r8 driver bench 1.64,
-    // r9 first attempt d10 rep at 5.2). Raw per-rep sys/usr is in the
-    // artifact so the cut can be re-judged post-hoc.
-    repProbe.indices.foreach { i =>
-      repStorm += ((repMinProbe(i) >= 0 && repMinProbe(i) < stormFloorMbps) ||
-        (repUsrTot(i) > 0 && repSysTot(i) >= 0.5 * repUsrTot(i)))
-    }
+    val cleanReps = cleanSoFar
+    if (cleanReps < 2)
+      System.err.println(
+        s"[bench] WARNING: only $cleanReps clean rep(s) back this artifact " +
+          s"(storm-gating + budget exhausted); headline may carry cold-rep cost")
     // LOWER median: with an even rep count the plain upper-median reports
     // the WORSE of the two middle reps, so a single environmental stall
     // (host disk dip) masquerades as the query's time. Odd rep counts are
@@ -402,7 +443,7 @@ object Bench {
       if (repUsrTot(i) > 0) f"${repSysTot(i) / repUsrTot(i)}%.2f" else "-1")
       .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpusJson,"heap_gb":$heapGb%.1f,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_min_probe_mbps":$repMinProbeJson,"rep_sys_usr":$repSysUsrJson,"rep_storm":$repStormJson,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"clean_reps":$cleanReps,"timing_mode":"$timingMode","cpus":$cpusJson,"heap_gb":$heapGb%.1f,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_min_probe_mbps":$repMinProbeJson,"rep_sys_usr":$repSysUsrJson,"rep_storm":$repStormJson,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
     // Artifact durability (two rounds of perf evidence were lost to stdout
     // interleaving / DNF): write the full JSON to a well-known file FIRST,
     // then print a marker-prefixed copy (grep-recoverable even if the tail
@@ -425,9 +466,10 @@ object Bench {
     // GRAFT_BENCH_SUMMARY as a field value (any substring-based capture
     // stop still matches; json.loads of the whole line now succeeds).
     val failed = results.count(_.wall < 0)
-    val compact = compactLine(total, sfDir, reps, results.size, failed,
-      heapGb, repStormJson, outFile)
-    val summary = summaryLine(total, sfDir, reps, results.size, failed, outFile)
+    val compact = compactLine(total, sfDir, reps, cleanReps, results.size,
+      failed, heapGb, repStormJson, outFile)
+    val summary = summaryLine(total, sfDir, reps, cleanReps, results.size,
+      failed, outFile)
     terminalLines(json, compact, summary).foreach(println)
     Console.out.flush()
     System.err.println(s"GRAFT_BENCH_JSON $json")
@@ -456,11 +498,13 @@ object Bench {
     Seq(fullJson, s"GRAFT_BENCH_JSON $fullJson", compactJson, summaryJson)
 
   /** Compact contract JSON (< 500 bytes): headline metric + run stamps;
-    * per-query timings live in the durable artifact file. */
-  def compactLine(total: Double, sfDir: String, reps: Int, n: Int,
-      failed: Int, heapGb: Double, repStormJson: String,
+    * per-query timings live in the durable artifact file. clean_reps says
+    * how many non-storm reps back the medians (round-11 verdict #2: a
+    * graded headline must never be a single cold rep without saying so). */
+  def compactLine(total: Double, sfDir: String, reps: Int, cleanReps: Int,
+      n: Int, failed: Int, heapGb: Double, repStormJson: String,
       outFile: String): String =
-    f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"n":$n,"failed":$failed,"heap_gb":$heapGb%.1f,"rep_storm":$repStormJson,"file":"$outFile"}"""
+    f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"clean_reps":$cleanReps,"n":$n,"failed":$failed,"heap_gb":$heapGb%.1f,"rep_storm":$repStormJson,"file":"$outFile"}"""
 
   /** Summary marker line: PURE JSON (bare json.loads succeeds) whose
     * "marker" field carries the literal GRAFT_BENCH_SUMMARY string so a
@@ -468,7 +512,7 @@ object Bench {
     * metric/value/unit fields so a parse-the-last-line driver gets the
     * headline even when this is the only line it keeps.
     */
-  def summaryLine(total: Double, sfDir: String, reps: Int, n: Int,
-      failed: Int, outFile: String): String =
-    f"""{"marker":"GRAFT_BENCH_SUMMARY","metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"total_s":$total%.1f,"sf":"$sfDir","reps":$reps,"file":"$outFile"}"""
+  def summaryLine(total: Double, sfDir: String, reps: Int, cleanReps: Int,
+      n: Int, failed: Int, outFile: String): String =
+    f"""{"marker":"GRAFT_BENCH_SUMMARY","metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"total_s":$total%.1f,"sf":"$sfDir","reps":$reps,"clean_reps":$cleanReps,"file":"$outFile"}"""
 }

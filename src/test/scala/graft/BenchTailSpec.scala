@@ -29,9 +29,9 @@ class BenchTailSpec extends AnyFunSuite {
   private val fullJson =
     s"""{"metric":"total","value":202.45,"unit":"sec","queries":$queries,"sf":"/root/testdata/sf0.1","reps":3,"cpus":32,"heap_gb":12.0,"pretouch_mbps":1674.0,"rep_probe_mbps":[1500.0,1400.0,90.0],"rep_min_probe_mbps":[1300.0,1200.0,80.0],"rep_sys_usr":[0.25,0.30,1.64],"rep_storm":[false,false,true],"spread":{},"cpu":{},"usr":{},"sys":{}}"""
   private val compact = Bench.compactLine(202.45, "/root/testdata/sf0.1", 3,
-    194, 0, 12.04, "[false,false,true]", "BENCH.json")
+    2, 194, 0, 12.04, "[false,false,true]", "BENCH.json")
   private val summary = Bench.summaryLine(202.45, "/root/testdata/sf0.1", 3,
-    194, 0, "BENCH.json")
+    2, 194, 0, "BENCH.json")
   private val lines = Bench.terminalLines(fullJson, compact, summary)
   private val stdout = lines.mkString("", "\n", "\n")
 
@@ -84,6 +84,13 @@ class BenchTailSpec extends AnyFunSuite {
     assert(parses(lines.last))
     assert(lines.last.startsWith("{") && lines.last.endsWith("}"))
     assert(mapper.readTree(lines.last).get("marker").asText() == "GRAFT_BENCH_SUMMARY")
+  }
+
+  test("both driver-parseable lines carry the clean_reps stamp") {
+    // round-11 verdict #2: the graded headline must be auditable for how
+    // many non-storm reps back it, whichever line the driver keeps
+    assert(mapper.readTree(summary).get("clean_reps").asInt() == 2)
+    assert(mapper.readTree(compact).get("clean_reps").asInt() == 2)
   }
 
   test("compact and summary lines stay under a 2 KB tail window combined") {
