@@ -376,6 +376,48 @@ object Aggregates {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY gid, status_label, priority_label""".stripMargin
 
+  /** q68 — explicit GROUPING SETS (closes the grouping algebra next to
+    * q25's ROLLUP and q39's CUBE): the independent-subtotals shape
+    * ((status), (priority), ()) that NEITHER rollup nor cube expresses —
+    * two one-dimensional margins plus the grand total, without the
+    * cross-product cells. Spark's Dataset.groupingSets (4.0+) and DuckDB's
+    * GROUP BY GROUPING SETS share the GROUPING bitmask convention
+    * (bit = 1 ⇔ column aggregated away — q39's cross-engine treatment),
+    * so gid is itself part of the check. Scale shape: one shuffle; the
+    * grouping-set expansion replicates each input row once per set
+    * MAP-SIDE before the partial aggregate, so the exchange carries
+    * |sets| × group-cardinality partial rows, never |sets| × input.
+    */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("total_price"),
+      )
+      .select(
+        $"gid",
+        coalesce($"o_orderstatus", lit("ALL")).as("status_label"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority_label"),
+        $"n_orders", $"total_price",
+      )
+      .orderBy($"gid", $"status_label", $"priority_label")
+  }
+
+  val q68Oracle: String =
+    """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COALESCE(o_orderstatus, 'ALL') AS status_label,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority_label,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, status_label, priority_label""".stripMargin
+
   /** q43 — conditional aggregation (SQL FILTER clause semantics as
     * when()-guarded aggregates): per priority, total counts next to
     * filtered counts / filtered exact sums / filtered distinct counts in
@@ -418,6 +460,7 @@ object Aggregates {
     Q("q36_array_agg_json", q36, Some(q36Oracle)),
     Q("q39_cube_grouping", q39, Some(q39Oracle)),
     Q("q43_conditional_agg", q43, Some(q43Oracle)),
+    Q("q68_grouping_sets", q68, Some(q68Oracle)),
     Q("q46_approx_quantile", q46, Some(q46Oracle)),
     Q("q50_variant_json", q50, Some(q50Oracle)),
   )

@@ -76,6 +76,59 @@ object Shaping {
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
       |FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin
 
+  /** q69 — pagination/count CONSISTENCY contract (SURVEY §7 hard-part 5,
+    * gated): the page rows AND the pagination envelope (total_rows,
+    * total_pages) from ONE base relation definition, so the two can never
+    * drift — the serving layer's A3 count and O3 page are spec+e2e only;
+    * this pins the combined contract with a hash. The SAME `base` val
+    * feeds both the ordered offset/limit page and the count aggregate: a
+    * filter change that touched one but not the other is structurally
+    * impossible.
+    *
+    * Scale shape: the page side is a global-sort LIMIT (top-(offset+k)
+    * heap per task, driver merges — offset+k rows, never a full sort);
+    * the count side is a partial+final 1-row aggregate; they meet in a
+    * broadcast of the 1-row envelope across the ≤ pageSize page rows
+    * (PlanSweepSpec whitelist: both nested-loop sides bounded by
+    * construction). total_pages uses integer ceil arithmetic — exact in
+    * both engines.
+    */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pageSize = 20
+    val pageNum = 6 // rows 101-120 of the ordered, filtered relation
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderstatus" === "O")
+      .select($"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_totalprice")
+    val envelope = base
+      .agg(count(lit(1)).as("total_rows"))
+      .select($"total_rows",
+        floor(($"total_rows" + lit(pageSize - 1)) / lit(pageSize))
+          .cast("long").as("total_pages"))
+    base
+      .orderBy($"o_orderkey")
+      .offset((pageNum - 1) * pageSize)
+      .limit(pageSize)
+      .crossJoin(broadcast(envelope))
+      .orderBy($"o_orderkey")
+  }
+
+  val q69Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |         o_totalprice
+      |  FROM orders WHERE o_orderstatus = 'O'),
+      |envelope AS (
+      |  SELECT COUNT(*) AS total_rows,
+      |         CAST(FLOOR((COUNT(*) + 19) / 20.0) AS BIGINT) AS total_pages
+      |  FROM base)
+      |SELECT o_orderkey, order_date, o_totalprice, total_rows, total_pages
+      |FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 20 OFFSET 100) p
+      |CROSS JOIN envelope
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q15 — unionByName of two branch projections (O6: app/etl.py:108). */
   def q15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -237,6 +290,7 @@ object Shaping {
     Q("q03_filter_project", q03, Some(q03Oracle)),
     Q("q13_topk_orders", q13, Some(q13Oracle)),
     Q("q14_pagination", q14, Some(q14Oracle)),
+    Q("q69_pagination_envelope", q69, Some(q69Oracle)),
     Q("q15_union_branches", q15, Some(q15Oracle)),
     Q("q16_explode_tokens", q16, Some(q16Oracle)),
     Q("q19_null_guards", q19, Some(q19Oracle)),

@@ -41,6 +41,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     "e03_blocking_quality",
     // 20-probe × 64-zone-map containment joins — both sides bounded
     "z04_layout_skipping",
+    // 1-row pagination envelope (count + page total) broadcast across the
+    // ≤ pageSize page rows — both nested-loop sides bounded by construction
+    "q69_pagination_envelope",
     // 5-row τ relation broadcast across the banding-bounded candidate set
     "d11_dedup_threshold_sweep",
     // 1-row date-bounds relation fanned across the dim table to generate
