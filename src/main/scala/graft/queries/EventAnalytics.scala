@@ -455,6 +455,130 @@ object EventAnalytics {
       |WHERE lastr = 1 AND n_matches > 0
       |ORDER BY user_id, day""".stripMargin
 
+  /** ep04 — OVERLAPPING-ALPHABET pattern with AFTER MATCH SKIP PAST LAST
+    * ROW (the last MATCH_RECOGNIZE capability class after ep01–ep03):
+    * `PATTERN (A W* P)` greedy, with A = signup, W = {view, click,
+    * purchase, signup}, P = purchase — the run alphabet CONTAINS both the
+    * closer and the opener, so ep01–ep03's disjointness argument (regex ≡
+    * automaton because the quantified run can never consume the closer)
+    * provably cannot apply. Two things change when alphabets overlap:
+    *
+    *  1. GREEDINESS becomes observable: the greedy `W*` absorbs
+    *     intermediate purchases, so the match closes at the LAST purchase
+    *     of the maximal W-run after the signup ("the whole shopping
+    *     spree"), not the first — a lazy `W*?` would stop at the first.
+    *  2. SKIP MODE becomes observable: signups inside a match's span are
+    *     real alternative starts, so AFTER MATCH SKIP PAST LAST ROW
+    *     (resume after the matched purchase — non-overlapping matches,
+    *     this operator's contract, and what a regex `find()` scan does)
+    *     genuinely differs from SKIP TO NEXT ROW (re-scan from
+    *     match-start + 1, yielding overlapping matches). The spec pins a
+    *     sequence where the two modes disagree.
+    *
+    * The AUTOMATON is the semantics owner (one forward pass per session,
+    * state = (armed, lastPurchasePos)): arm at the first signup when
+    * idle; while armed, every W token extends the run and each purchase
+    * records its position; a non-W token (error) or end-of-session
+    * commits [armed .. lastPurchase] if a purchase was seen, else
+    * nothing, and disarms. The REGEX side is derived from it rather than
+    * assumed equivalent; the equivalence argument (spec-cross-checked,
+    * and exercised against real events at two SFs by the gate):
+    *  - for a fixed armed position, leftmost-greedy backtracking places
+    *    the closer exactly at the last purchase of the maximal W-run —
+    *    the automaton's lastPurchase;
+    *  - failed starts agree: if the run after a signup holds no
+    *    purchase, no later signup INSIDE that run can succeed either (a
+    *    purchase after it would have been a purchase in the run);
+    *  - skip-past-last-row agrees with the single pass: a second match
+    *    cannot hide between lastPurchase and the break, because its
+    *    closer would itself have updated lastPurchase. So committing at
+    *    the break and resuming the same linear scan is exact.
+    * The DuckDB oracle is the same automaton as a recursive CTE (one
+    * transition per event; RE2 could not run the regex form anyway — the
+    * delimiter lookahead alone rules it out), so the gate compares two
+    * INDEPENDENT formulations, neither copied from the other.
+    *
+    * Reports per matching session: match count, total matched rows, and
+    * the longest match (rows). Scale shape: ep01's — one session-grain
+    * exchange; regex work is per-session and bounded by run length (the
+    * backtrack scan retries the closer once per run token), never
+    * corpus-sized; the oracle's recursion depth is the longest session.
+    */
+  def ep04(s: SparkSession, dir: String): DataFrame =
+    skipPastLastRowPatterns(Tables.events(s, dir))
+
+  /** ep04 over any (user_id, ts, event_id, event_type) relation. */
+  def skipPastLastRowPatterns(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    // group 1 = the W* run ('>tok' per token); matched rows = tokens + 2
+    // (the signup and the closing purchase), and size(split(run, ">")) is
+    // tokens + 1 (leading empty fragment), so rows = size + 1
+    val matchLen = (run: org.apache.spark.sql.Column) =>
+      (size(split(run, ">")) + 1).cast("long")
+    sessionSeqs(events)
+      .select($"user_id",
+        date_format($"day", "yyyy-MM-dd").as("day"),
+        regexp_extract_all(
+          concat(lit(">"), $"seq", lit(">")),
+          lit(">signup((?:>(?:view|click|purchase|signup))*)>purchase(?=>)"),
+          lit(1)).as("runs"))
+      .filter(size($"runs") > 0)
+      .select($"user_id", $"day",
+        size($"runs").cast("long").as("n_matches"),
+        aggregate($"runs", lit(0L), (acc, r) => acc + matchLen(r)).as("total_len"),
+        array_max(transform($"runs", matchLen)).as("max_len"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val ep04Oracle: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |walk AS (
+      |  SELECT user_id, day, 0 AS rn, 0 AS armed, 0 AS lastc,
+      |         CAST(0 AS BIGINT) AS n_matches, CAST(0 AS BIGINT) AS total_len,
+      |         CAST(0 AS BIGINT) AS max_len
+      |  FROM (SELECT DISTINCT user_id, day FROM ev)
+      |  UNION ALL
+      |  SELECT w.user_id, w.day, w.rn + 1,
+      |    CASE WHEN w.armed > 0
+      |          AND e.event_type IN ('view','click','purchase','signup')
+      |         THEN w.armed
+      |         WHEN w.armed = 0 AND e.event_type = 'signup' THEN w.rn + 1
+      |         ELSE 0 END,
+      |    CASE WHEN w.armed > 0 AND e.event_type = 'purchase' THEN w.rn + 1
+      |         WHEN w.armed > 0
+      |          AND e.event_type IN ('view','click','signup')
+      |         THEN w.lastc
+      |         ELSE 0 END,
+      |    w.n_matches + CASE WHEN w.armed > 0 AND w.lastc > 0
+      |          AND e.event_type NOT IN ('view','click','purchase','signup')
+      |         THEN 1 ELSE 0 END,
+      |    w.total_len + CASE WHEN w.armed > 0 AND w.lastc > 0
+      |          AND e.event_type NOT IN ('view','click','purchase','signup')
+      |         THEN w.lastc - w.armed + 1 ELSE 0 END,
+      |    CASE WHEN w.armed > 0 AND w.lastc > 0
+      |          AND e.event_type NOT IN ('view','click','purchase','signup')
+      |          AND w.lastc - w.armed + 1 > w.max_len
+      |         THEN w.lastc - w.armed + 1 ELSE w.max_len END
+      |  FROM walk w JOIN ev e
+      |    ON e.user_id = w.user_id AND e.day = w.day AND e.rn = w.rn + 1)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  n_matches + CASE WHEN armed > 0 AND lastc > 0 THEN 1 ELSE 0 END
+      |    AS n_matches,
+      |  total_len + CASE WHEN armed > 0 AND lastc > 0
+      |                   THEN lastc - armed + 1 ELSE 0 END AS total_len,
+      |  CASE WHEN armed > 0 AND lastc > 0 AND lastc - armed + 1 > max_len
+      |       THEN lastc - armed + 1 ELSE max_len END AS max_len
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |                                   ORDER BY rn DESC) AS lastr
+      |      FROM walk) t
+      |WHERE lastr = 1 AND (n_matches > 0 OR (armed > 0 AND lastc > 0))
+      |ORDER BY user_id, day""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q51_cohort_retention", q51, Some(q51Oracle)),
     Q("q52_funnel_steps", q52, Some(q52Oracle)),
@@ -462,6 +586,7 @@ object EventAnalytics {
     Q("ep01_pattern_match", ep01, Some(ep01Oracle)),
     Q("ep02_variable_pattern", ep02, Some(ep02Oracle)),
     Q("ep03_bounded_repetition", ep03, Some(ep03Oracle)),
+    Q("ep04_skip_past_last_row", ep04, Some(ep04Oracle)),
     Q("q59_sessionize_batch", q59, Some(q59Oracle)),
   )
 }

@@ -199,6 +199,120 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("ep04 overlapping alphabet: greedy closer, inner signups absorbed, skip past last row") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def row(u: Long, m: Int, id: Long, et: String) = (u, t(m), id, et)
+    val ev = Seq(
+      // u1: signup > view > purchase                      → 1 match, len 3
+      row(1L, 1, 10L, "signup"), row(1L, 2, 11L, "view"), row(1L, 3, 12L, "purchase"),
+      // u2: signup > view > purchase > view > purchase    → GREEDY absorbs the
+      // inner purchase: ONE match to the LAST purchase, len 5 (a disjoint-
+      // alphabet formulation would stop at the first and find two)
+      row(2L, 1, 20L, "signup"), row(2L, 2, 21L, "view"), row(2L, 3, 22L, "purchase"),
+      row(2L, 4, 23L, "view"), row(2L, 5, 24L, "purchase"),
+      // u3: signup > view > error > purchase              → error breaks; the
+      // purchase lands while idle: NO match
+      row(3L, 1, 30L, "signup"), row(3L, 2, 31L, "view"),
+      row(3L, 3, 32L, "error"), row(3L, 4, 33L, "purchase"),
+      // u4: signup > purchase > signup > view > purchase > error → the inner
+      // signup is a W token, not a restart: ONE match [1..5], len 5 — the
+      // skip-mode distinguisher (SKIP TO NEXT ROW would also match [3..5])
+      row(4L, 1, 40L, "signup"), row(4L, 2, 41L, "purchase"),
+      row(4L, 3, 42L, "signup"), row(4L, 4, 43L, "view"),
+      row(4L, 5, 44L, "purchase"), row(4L, 6, 45L, "error"),
+      // u5: purchase > view > signup                      → armed at 3, no
+      // purchase after: NO match (idle purchases never count)
+      row(5L, 1, 50L, "purchase"), row(5L, 2, 51L, "view"), row(5L, 3, 52L, "signup"),
+      // u6: two matches separated by error                → n=2, total 5, max 3
+      row(6L, 1, 60L, "signup"), row(6L, 2, 61L, "view"), row(6L, 3, 62L, "purchase"),
+      row(6L, 4, 63L, "error"), row(6L, 5, 64L, "signup"), row(6L, 6, 65L, "purchase"),
+      // u7: signup > signup > purchase                    → LEFTMOST start
+      // wins: one match from the FIRST signup, len 3
+      row(7L, 1, 70L, "signup"), row(7L, 2, 71L, "signup"), row(7L, 3, 72L, "purchase"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.skipPastLastRowPatterns(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 3L, 3L)),
+      2L -> ((1L, 5L, 5L)),
+      4L -> ((1L, 5L, 5L)),
+      6L -> ((2L, 5L, 3L)),
+      7L -> ((1L, 3L, 3L)),
+    ), s"got $out")
+  }
+
+  /** ep04's semantics owner, in memory: one forward pass, arm at the first
+    * idle signup, purchases record their position, a non-W token or
+    * end-of-session commits [armed..lastPurchase] when a purchase was seen.
+    * Written independently of both the Spark regex and the DuckDB CTE —
+    * the third formulation in the cross-check triangle.
+    */
+  private def skipPastLastAutomaton(seq: Seq[String]): (Long, Long, Long) = {
+    val W = Set("view", "click", "purchase", "signup")
+    var armed = 0; var lastc = 0
+    var n = 0L; var tot = 0L; var mx = 0L
+    def commit(): Unit = if (armed > 0 && lastc > 0) {
+      val len = (lastc - armed + 1).toLong
+      n += 1; tot += len; mx = math.max(mx, len)
+    }
+    seq.zipWithIndex.foreach { case (t, i0) =>
+      val pos = i0 + 1
+      if (armed > 0) {
+        if (t == "purchase") lastc = pos
+        else if (!W.contains(t)) { commit(); armed = 0; lastc = 0 }
+      } else if (t == "signup") { armed = pos; lastc = 0 }
+    }
+    commit()
+    (n, tot, mx)
+  }
+
+  test("ep04 SKIP TO NEXT ROW would disagree — the gate really pins the skip mode") {
+    // same single pass but restarting from match-start + 1 after each
+    // match (overlapping matches allowed): on the u4 sequence the inner
+    // signup yields a second, overlapping match
+    def skipToNextRow(seq: Seq[String]): Long = {
+      val W = Set("view", "click", "purchase", "signup")
+      var n = 0L
+      var start = 0
+      while (start < seq.length) {
+        if (seq(start) == "signup") {
+          var lastc = 0
+          var j = start + 1
+          while (j < seq.length && W.contains(seq(j))) {
+            if (seq(j) == "purchase") lastc = j
+            j += 1
+          }
+          if (lastc > 0) n += 1
+        }
+        start += 1
+      }
+      n
+    }
+    val u4 = Seq("signup", "purchase", "signup", "view", "purchase", "error")
+    assert(skipToNextRow(u4) == 2L)
+    assert(skipPastLastAutomaton(u4)._1 == 1L,
+      "past-last-row must see ONE match where to-next-row sees two")
+  }
+
+  test("ep04 agrees with an independent in-memory automaton on real events") {
+    val events = graft.Tables.events(spark, sfSmoke)
+    val got = EventAnalytics.skipPastLastRowPatterns(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val raw = events.selectExpr("user_id", "CAST(ts AS DATE) AS day",
+        "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getTimestamp(2),
+        r.getLong(3), r.getString(4)))
+    val want = raw.groupBy(e => (e._1, e._2)).flatMap { case (key, rows) =>
+      val seq = rows.sortBy(e => (e._3.getTime, e._4)).map(_._5).toSeq
+      val (n, tot, mx) = skipPastLastAutomaton(seq)
+      if (n > 0) Some(key -> ((n, tot, mx))) else None
+    }.toMap
+    assert(want.nonEmpty, "no matching session at this SF — fixture too small")
+    assert(got == want)
+  }
+
   test("ep02 agrees with an independent in-memory automaton on real events") {
     val events = graft.Tables.events(spark, sfSmoke)
     val got = EventAnalytics.variablePatterns(events).collect()
