@@ -20,11 +20,17 @@ object Timing {
     // the honest way to time what a query costs when its rows are actually
     // consumed (write, serve, downstream join).
     val rddMode = sys.env.get("SPARK_GRAFT_TIMING_MODE").contains("rdd")
+    // comma-separated names interleave WITHIN each rep — paired
+    // same-window A/B samples, immune to the box's minutes-scale drift
+    // that poisons two sequential single-query JVM runs
+    val qnames = name.split(",").map(_.trim).filter(_.nonEmpty)
     (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
-      val n = if (rddMode) df.queryExecution.toRdd.count() else df.count()
-      println(f"[timing] $name rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      qnames.foreach { q =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, dir)
+        val n = if (rddMode) df.queryExecution.toRdd.count() else df.count()
+        println(f"[timing] $q rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
     }
     spark.stop()
   }

@@ -464,6 +464,73 @@ object AsOf {
        |  CASE WHEN nd <= $ToleranceUs THEN nd END AS delta_us
        |FROM y ORDER BY event_id""".stripMargin
 
+  /** q70/q71 — STRING-KEYED as-of (the UUID/device-id shape: entity keys
+    * arrive as opaque strings, the single most common production key type
+    * the long-backed primitive walk can't serve). Same attribution
+    * semantics as q31/q63 with the entity key rendered as a string id;
+    * q70 runs the composed union+window form, q71 the native operator's
+    * UTF8String walk ([[org.apache.spark.sql.graft.AsOfJoinPlan]]
+    * doExecuteStringKey: keys read as UTF8String views by ordinal,
+    * compared monomorphically — no interpreted expression eval per probe).
+    * Both gate against the same DuckDB native-ASOF oracle on the same
+    * string key: three independent formulations again.
+    */
+  private def stringKeyedSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", concat(lit("u"), $"user_id").as("uid"), $"ts", $"value")
+    val signups = events.filter($"event_type" === "signup")
+      .select(concat(lit("u"), $"user_id").as("s_uid"), $"ts".as("signup_ts"),
+        $"event_id".as("signup_id"))
+    (purchases, signups)
+  }
+
+  private def stringKeyedShape(joined: DataFrame): DataFrame = {
+    val s = joined.sparkSession
+    import s.implicits._
+    joined.select(
+      $"event_id", $"uid",
+      date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+      $"value",
+      date_format($"signup_ts", "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+      $"signup_id",
+    ).orderBy($"event_id")
+  }
+
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (purchases, signups) = stringKeyedSides(s, dir)
+    stringKeyedShape(
+      asofJoin(purchases, signups.withColumnRenamed("s_uid", "uid"), key = "uid",
+        leftTs = "ts", rightTs = "signup_ts",
+        rightCols = Seq("signup_ts", "signup_id"))
+        .withColumnRenamed("asof_signup_ts", "signup_ts")
+        .withColumnRenamed("asof_signup_id", "signup_id"))
+  }
+
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, signups) = stringKeyedSides(s, dir)
+    stringKeyedShape(
+      org.apache.spark.sql.graft.AsOfJoinPlan.asof(purchases, signups,
+        leftKey = "uid", rightKey = "s_uid",
+        leftTs = "ts", rightTs = "signup_ts"))
+  }
+
+  val q70Oracle: String =
+    """SELECT p.event_id, p.uid,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      |  p.value,
+      |  strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_time,
+      |  s.signup_id
+      |FROM (SELECT event_id, 'u' || CAST(user_id AS VARCHAR) AS uid, ts, value
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT 'u' || CAST(user_id AS VARCHAR) AS uid,
+      |                       ts AS signup_ts, event_id AS signup_id
+      |                FROM events WHERE event_type = 'signup') s
+      |  ON p.uid = s.uid AND p.ts >= s.signup_ts
+      |ORDER BY p.event_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q31_asof_join", q31, Some(q31Oracle)),
     Q("q61_asof_tolerance", q61, Some(q61Oracle)),
@@ -473,5 +540,7 @@ object AsOf {
     Q("q65_asof_native_tolerance", q65, Some(q65Oracle)),
     Q("q66_asof_native_window", q66, Some(q66Oracle)),
     Q("q67_asof_native_nearest", q67, Some(q67Oracle)),
+    Q("q70_asof_string_composed", q70, Some(q70Oracle)),
+    Q("q71_asof_string_native", q71, Some(q70Oracle)),
   )
 }

@@ -217,19 +217,30 @@ case class AsOfJoinExec(
     // compares primitive longs — zero boxing, zero interpreted-ordering
     // calls per probe. Anything else (string keys, decimals) takes the
     // generic cached-eval path below.
-    val primitive =
-      leftKey.dataType == rightKey.dataType &&
-        leftTime.dataType == rightTime.dataType &&
-        longBacked(leftKey.dataType) && longBacked(leftTime.dataType) &&
-        lkB.isInstanceOf[BoundReference] && ltB.isInstanceOf[BoundReference] &&
+    val allBound =
+      lkB.isInstanceOf[BoundReference] && ltB.isInstanceOf[BoundReference] &&
         rkB.isInstanceOf[BoundReference] && rtB.isInstanceOf[BoundReference]
-    if (primitive)
-      doExecutePrimitive(
-        lkB.asInstanceOf[BoundReference].ordinal,
-        ltB.asInstanceOf[BoundReference].ordinal,
-        rkB.asInstanceOf[BoundReference].ordinal,
-        rtB.asInstanceOf[BoundReference].ordinal)
-    else doExecuteGeneric(lkB, ltB, rkB, rtB)
+    val primitive = longBacked(leftKey.dataType) &&
+      longBacked(leftTime.dataType) && allBound
+    // Second specialized walk (round-11 verdict #4): STRING keys — the
+    // UUID/device-id shape — with a long-backed time. Keys read as
+    // UTF8String views by ordinal and compared monomorphically
+    // (UTF8String.compareTo), times as primitive longs: no interpreted
+    // expression eval and no megamorphic ordering call per probe. Only
+    // non-atomic keys (decimals, structs) still take the generic path.
+    val stringKeyed = !primitive && allBound &&
+      leftKey.dataType == org.apache.spark.sql.types.StringType &&
+      longBacked(leftTime.dataType)
+    def ords = (
+      lkB.asInstanceOf[BoundReference].ordinal,
+      ltB.asInstanceOf[BoundReference].ordinal,
+      rkB.asInstanceOf[BoundReference].ordinal,
+      rtB.asInstanceOf[BoundReference].ordinal)
+    if (primitive) {
+      val (a, b, c, d) = ords; doExecutePrimitive(a, b, c, d)
+    } else if (stringKeyed) {
+      val (a, b, c, d) = ords; doExecuteStringKey(a, b, c, d)
+    } else doExecuteGeneric(lkB, ltB, rkB, rtB)
   }
 
   private def doExecutePrimitive(
@@ -308,6 +319,100 @@ case class AsOfJoinExec(
               // tie -> backward; tolerance tests the CHOSEN delta (if the
               // nearer side is out of bound, the farther one is too)
               val fwdOk = rHead != null && rKey == lk
+              val useBack = backOk && (!fwdOk || lt - candTime <= rTime - lt)
+              val useFwd = fwdOk && !useBack
+              val within =
+                if (useBack) unbounded || lt - candTime <= tol
+                else if (useFwd) unbounded || rTime - lt <= tol
+                else false
+              proj(joined(l,
+                if (useBack && within) cand
+                else if (useFwd && within) rHead
+                else nullRight))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** The primitive walk with UTF8String keys: identical control flow (see
+    * doExecuteGeneric for the contract comments), key fields read by
+    * ordinal as UTF8String VIEWS and compared via UTF8String.compareTo —
+    * monomorphic at each call site, no boxing, no interpreted ordering.
+    * View discipline (same as the generic path's cached-eval rule): a view
+    * into rHead's buffer is only held until the next rIter.next() — it is
+    * re-derived on every advance — and the backward candidate's key is a
+    * view into the candidate's own copy, which nothing reuses.
+    */
+  private def doExecuteStringKey(
+      lkOrd: Int, ltOrd: Int, rkOrd: Int, rtOrd: Int): RDD[InternalRow] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ltGet = longGetter(leftTime.dataType, ltOrd)
+    val rtGet = longGetter(rightTime.dataType, rtOrd)
+    val rightWidth = right.output.size
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight: InternalRow = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      var rHead: InternalRow = null
+      var rKey: UTF8String = null
+      var rTime = 0L
+      def advanceR(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          if (!r.isNullAt(rkOrd) && !r.isNullAt(rtOrd)) {
+            rHead = r; rKey = r.getUTF8String(rkOrd); rTime = rtGet(r)
+          }
+        }
+        if (rHead == null) rKey = null
+      }
+      advanceR()
+      var cand: InternalRow = null
+      var candKey: UTF8String = null
+      var candTime = 0L
+      val unbounded = tolerance.isEmpty
+      val tol = tolerance.getOrElse(0L)
+      lIter.map { l =>
+        if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+          proj(joined(l, nullRight))
+        } else {
+          val lk = l.getUTF8String(lkOrd)
+          val lt = ltGet(l)
+          if (forward) {
+            var done = false
+            while (!done && rHead != null) {
+              val c = rKey.compareTo(lk)
+              if (c < 0) advanceR()
+              else if (c > 0) done = true
+              else if (rTime < lt) advanceR()
+              else done = true
+            }
+            val matched = rHead != null && rKey.compareTo(lk) == 0 &&
+              rTime >= lt && (unbounded || rTime - lt <= tol)
+            proj(joined(l, if (matched) rHead else nullRight))
+          } else {
+            var done = false
+            while (!done && rHead != null) {
+              val c = rKey.compareTo(lk)
+              if (c < 0) advanceR()
+              else if (c > 0) done = true
+              else if (rTime <= lt) {
+                cand = rHead.copy()
+                candKey = cand.getUTF8String(rkOrd)
+                candTime = rTime
+                advanceR()
+              } else done = true
+            }
+            val backOk = cand != null && candKey.compareTo(lk) == 0
+            if (!nearest) {
+              val matched = backOk && (unbounded || lt - candTime <= tol)
+              proj(joined(l, if (matched) cand else nullRight))
+            } else {
+              val fwdOk = rHead != null && rKey.compareTo(lk) == 0
               val useBack = backOk && (!fwdOk || lt - candTime <= rTime - lt)
               val useFwd = fwdOk && !useBack
               val within =

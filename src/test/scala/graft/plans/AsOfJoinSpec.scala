@@ -154,8 +154,8 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
 
   test("edge semantics on long-backed keys — the specialized primitive walk") {
     // same edges as the string-key test, but BIGINT keys + TIMESTAMP times
-    // take the no-boxing primitive path (string keys take the generic one —
-    // both paths must agree on every edge)
+    // take the no-boxing primitive path (string keys take the UTF8String
+    // walk, decimal keys the generic one — all paths must agree)
     val left = Seq(
       (1L, Option(10L), Option(ts("2024-01-01 10:00:00"))), // before any right row -> nulls
       (2L, Option(10L), Option(ts("2024-01-02 10:00:00"))), // equal ts -> matches
@@ -364,6 +364,36 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       })
     }.toMap
     assert(got == want)
+  }
+
+  test("edge semantics on decimal keys — the fully generic interpreted walk") {
+    // DECIMAL keys are neither long-backed nor strings, so this is the one
+    // fixture that still routes through doExecuteGeneric after the
+    // UTF8String specialization — same edges, same expected map
+    def d(v: Long) = BigDecimal(v)
+    val left = Seq(
+      (1L, Option(d(10)), Option(ts("2024-01-01 10:00:00"))),
+      (2L, Option(d(10)), Option(ts("2024-01-02 10:00:00"))),
+      (3L, Option(d(10)), Option(ts("2024-01-03 10:00:00"))),
+      (4L, Option(d(20)), Option(ts("2024-01-05 10:00:00"))),
+      (5L, None: Option[BigDecimal], Option(ts("2024-01-05 10:00:00"))),
+      (6L, Option(d(30)), None: Option[Timestamp]),
+      (7L, Option(d(30)), Option(ts("2024-01-09 10:00:00"))),
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Option(d(10)), Option(ts("2024-01-02 10:00:00")), 100L),
+      (Option(d(10)), Option(ts("2024-01-03 09:00:00")), 200L),
+      (Option(d(10)), Option(ts("2024-01-03 09:00:00")), 300L),
+      (None: Option[BigDecimal], Option(ts("2024-01-01 00:00:00")), 400L),
+      (Option(d(30)), None: Option[Timestamp], 500L),
+      (Option(d(30)), Option(ts("2024-01-08 00:00:00")), 600L),
+    ).toDF("rk", "rt", "v")
+    val out = AsOfJoinPlan.asof(left, right, "k", "rk", "t", "rt")
+      .orderBy($"id").select($"id", $"v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(
+      1L -> -1L, 2L -> 100L, 3L -> 300L, 4L -> -1L, 5L -> -1L, 6L -> -1L, 7L -> 600L))
   }
 
   test("tolerance with a non-long-backed time type fails loudly") {
