@@ -579,6 +579,89 @@ object EventAnalytics {
       |WHERE lastr = 1 AND (n_matches > 0 OR (armed > 0 AND lastc > 0))
       |ORDER BY user_id, day""".stripMargin
 
+  /** ep05 — the SAME overlapping-alphabet pattern as ep04 under AFTER
+    * MATCH SKIP TO NEXT ROW (overlapping matches allowed): every signup
+    * whose W-run holds a later purchase is its own match, including
+    * signups INSIDE another match's span. Completes the skip-mode pair —
+    * ep04 gates PAST LAST ROW, ep05 gates TO NEXT ROW, and the spec pins
+    * a sequence where their counts differ.
+    *
+    * The formulation flip is the point: skip-to-next-row is PURELY
+    * RELATIONAL — split each session into maximal W-blocks at non-W
+    * breaks (running sum of break flags), take each block's LAST purchase
+    * position, and every signup before it matches with length
+    * (lastPurchase − signupPos + 1); greedy still means every match in a
+    * block closes at the block's last purchase. No regex, no automaton,
+    * no recursion on EITHER side — Spark windows vs DuckDB windows, two
+    * engines' window semantics checking each other (while ep04's
+    * non-overlapping semantics genuinely needs the automaton/regex pair:
+    * its commit positions depend on previous matches; to-next-row's
+    * don't, which is exactly why it decomposes relationally).
+    *
+    * Scale shape: one session-grain exchange for the row-number/
+    * running-sum windows; the block window's (user, day, block) keys are
+    * a superset of the partitioning already in place, so no second
+    * exchange; the final aggregate is match-cardinality. Per-event state
+    * is O(1); nothing session-quadratic despite overlapping matches —
+    * the lengths are closed-form per signup.
+    */
+  def ep05(s: SparkSession, dir: String): DataFrame =
+    skipToNextRowPatterns(Tables.events(s, dir))
+
+  /** ep05 over any (user_id, ts, event_id, event_type) relation. */
+  def skipToNextRowPatterns(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = events.sparkSession
+    import s.implicits._
+    val wTypes = Seq("view", "click", "purchase", "signup")
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    val pos = events
+      .withColumn("day", to_date($"ts"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("brk", when(!$"event_type".isin(wTypes: _*), 1L).otherwise(0L))
+      .withColumn("block",
+        sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val blocks = pos
+      .filter($"brk" === 0)
+      .withColumn("lastp",
+        max(when($"event_type" === "purchase", $"rn"))
+          .over(Window.partitionBy($"user_id", $"day", $"block")))
+    blocks
+      .filter($"event_type" === "signup" && $"lastp".isNotNull && $"rn" < $"lastp")
+      .groupBy($"user_id", date_format($"day", "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        sum($"lastp" - $"rn" + lit(1L)).as("total_len"),
+        max($"lastp" - $"rn" + lit(1L)).as("max_len"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val ep05Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    CASE WHEN event_type NOT IN ('view','click','purchase','signup')
+      |         THEN 1 ELSE 0 END AS brk,
+      |    SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup')
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS block
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+      |               ORDER BY ts, event_id)),
+      |b AS (
+      |  SELECT *, MAX(CASE WHEN event_type = 'purchase' THEN rn END)
+      |              OVER (PARTITION BY user_id, day, block) AS lastp
+      |  FROM ev WHERE brk = 0)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  COUNT(*) AS n_matches,
+      |  CAST(SUM(lastp - rn + 1) AS BIGINT) AS total_len,
+      |  MAX(lastp - rn + 1) AS max_len
+      |FROM b
+      |WHERE event_type = 'signup' AND lastp IS NOT NULL AND rn < lastp
+      |GROUP BY user_id, day
+      |ORDER BY user_id, day""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q51_cohort_retention", q51, Some(q51Oracle)),
     Q("q52_funnel_steps", q52, Some(q52Oracle)),
@@ -587,6 +670,7 @@ object EventAnalytics {
     Q("ep02_variable_pattern", ep02, Some(ep02Oracle)),
     Q("ep03_bounded_repetition", ep03, Some(ep03Oracle)),
     Q("ep04_skip_past_last_row", ep04, Some(ep04Oracle)),
+    Q("ep05_skip_to_next_row", ep05, Some(ep05Oracle)),
     Q("q59_sessionize_batch", q59, Some(q59Oracle)),
   )
 }

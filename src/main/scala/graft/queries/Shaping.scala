@@ -129,6 +129,35 @@ object Shaping {
       |CROSS JOIN envelope
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q72 — KEYSET pagination (the scale-correct deep-page form q14's own
+    * scaladoc promises): `WHERE key > last_seen ORDER BY key LIMIT n` on
+    * q69's base relation. Unlike OFFSET — which must produce and discard
+    * offset rows however deep the page — the keyset predicate reaches the
+    * parquet scan as a pushed filter (min/max pruning skips whole row
+    * groups below last_seen) and the LIMIT is a per-task top-k heap, so
+    * page cost is O(page), not O(offset + page), at any depth. Same
+    * filter + projection as q69 so the two pagination contracts are
+    * pinned against the same relation.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lastSeen = 400L // the key the previous page ended on
+    Tables.orders(s, dir)
+      .filter($"o_orderstatus" === "O" && $"o_orderkey" > lastSeen)
+      .select($"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_totalprice")
+      .orderBy($"o_orderkey")
+      .limit(20)
+  }
+
+  val q72Oracle: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |       o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_orderkey > 400
+      |ORDER BY o_orderkey LIMIT 20""".stripMargin
+
   /** q15 — unionByName of two branch projections (O6: app/etl.py:108). */
   def q15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -291,6 +320,7 @@ object Shaping {
     Q("q13_topk_orders", q13, Some(q13Oracle)),
     Q("q14_pagination", q14, Some(q14Oracle)),
     Q("q69_pagination_envelope", q69, Some(q69Oracle)),
+    Q("q72_keyset_pagination", q72, Some(q72Oracle)),
     Q("q15_union_branches", q15, Some(q15Oracle)),
     Q("q16_explode_tokens", q16, Some(q16Oracle)),
     Q("q19_null_guards", q19, Some(q19Oracle)),

@@ -313,6 +313,65 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("ep05 overlapping matches: every signup before the block's last purchase fires") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def row(u: Long, m: Int, id: Long, et: String) = (u, t(m), id, et)
+    // the ep04 fixture verbatim — the pair (ep04, ep05) must agree on
+    // u1/u2/u3/u5/u6 and differ EXACTLY on u4 and u7 (inner signups)
+    val ev = Seq(
+      row(1L, 1, 10L, "signup"), row(1L, 2, 11L, "view"), row(1L, 3, 12L, "purchase"),
+      row(2L, 1, 20L, "signup"), row(2L, 2, 21L, "view"), row(2L, 3, 22L, "purchase"),
+      row(2L, 4, 23L, "view"), row(2L, 5, 24L, "purchase"),
+      row(3L, 1, 30L, "signup"), row(3L, 2, 31L, "view"),
+      row(3L, 3, 32L, "error"), row(3L, 4, 33L, "purchase"),
+      row(4L, 1, 40L, "signup"), row(4L, 2, 41L, "purchase"),
+      row(4L, 3, 42L, "signup"), row(4L, 4, 43L, "view"),
+      row(4L, 5, 44L, "purchase"), row(4L, 6, 45L, "error"),
+      row(5L, 1, 50L, "purchase"), row(5L, 2, 51L, "view"), row(5L, 3, 52L, "signup"),
+      row(6L, 1, 60L, "signup"), row(6L, 2, 61L, "view"), row(6L, 3, 62L, "purchase"),
+      row(6L, 4, 63L, "error"), row(6L, 5, 64L, "signup"), row(6L, 6, 65L, "purchase"),
+      row(7L, 1, 70L, "signup"), row(7L, 2, 71L, "signup"), row(7L, 3, 72L, "purchase"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.skipToNextRowPatterns(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 3L, 3L)),
+      2L -> ((1L, 5L, 5L)), // one signup: greedy still closes at the LAST purchase
+      4L -> ((2L, 8L, 5L)), // inner signup fires its own overlapping match [3..5]
+      6L -> ((2L, 5L, 3L)),
+      7L -> ((2L, 5L, 3L)), // both signups match: [1..3] and [2..3]
+    ), s"got $out")
+  }
+
+  test("ep05 agrees with an independent in-memory scanner on real events") {
+    val events = graft.Tables.events(spark, sfSmoke)
+    val got = EventAnalytics.skipToNextRowPatterns(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val W = Set("view", "click", "purchase", "signup")
+    val raw = events.selectExpr("user_id", "CAST(ts AS DATE) AS day",
+        "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getTimestamp(2),
+        r.getLong(3), r.getString(4)))
+    val want = raw.groupBy(e => (e._1, e._2)).flatMap { case (key, rows) =>
+      val seq = rows.sortBy(e => (e._3.getTime, e._4)).map(_._5).toIndexedSeq
+      // per signup s: scan its W-run for the last purchase after s
+      val lens = seq.indices.filter(seq(_) == "signup").flatMap { s =>
+        var j = s + 1; var lastp = -1
+        while (j < seq.length && W.contains(seq(j))) {
+          if (seq(j) == "purchase") lastp = j
+          j += 1
+        }
+        if (lastp > s) Some((lastp - s + 1).toLong) else None
+      }
+      if (lens.nonEmpty) Some(key -> ((lens.size.toLong, lens.sum, lens.max)))
+      else None
+    }.toMap
+    assert(want.nonEmpty, "no matching session at this SF — fixture too small")
+    assert(got == want)
+  }
+
   test("ep02 agrees with an independent in-memory automaton on real events") {
     val events = graft.Tables.events(spark, sfSmoke)
     val got = EventAnalytics.variablePatterns(events).collect()
