@@ -628,11 +628,18 @@ object EventAnalytics {
           .over(Window.partitionBy($"user_id", $"day", $"block")))
     blocks
       .filter($"event_type" === "signup" && $"lastp".isNotNull && $"rn" < $"lastp")
-      .groupBy($"user_id", date_format($"day", "yyyy-MM-dd").as("day"))
+      // group on the RAW day and ISO-format after the agg: grouping on
+      // date_format(day) would re-shuffle (Catalyst can't prove the
+      // formatted key co-partitioned with the window's (user_id, day)
+      // exchange); on (user_id, day) the aggregate reuses it — verified
+      // one hash exchange in the plan
+      .groupBy($"user_id", $"day")
       .agg(
         count(lit(1)).as("n_matches"),
         sum($"lastp" - $"rn" + lit(1L)).as("total_len"),
         max($"lastp" - $"rn" + lit(1L)).as("max_len"))
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_matches", $"total_len", $"max_len")
       .orderBy($"user_id", $"day")
   }
 

@@ -298,10 +298,15 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     check(
       (1L to 6L).map(i => (i, 10L, lts(i.toInt))).toDF("id", "k", "t"),
       Seq((10L, rts1, 100L), (10L, rts2, 200L)).toDF("rk", "rt", "v"))
-    // generic path: STRING keys, same shape
+    // UTF8String path: STRING keys, same shape
     check(
       (1L to 6L).map(i => (i, "a", lts(i.toInt))).toDF("id", "k", "t"),
       Seq(("a", rts1, 100L), ("a", rts2, 200L)).toDF("rk", "rt", "v"))
+    // fully generic path: DECIMAL keys (neither long-backed nor string)
+    check(
+      (1L to 6L).map(i => (i, BigDecimal(10), lts(i.toInt))).toDF("id", "k", "t"),
+      Seq((BigDecimal(10), rts1, 100L), (BigDecimal(10), rts2, 200L))
+        .toDF("rk", "rt", "v"))
   }
 
   test("nearest direction: smaller |Δt| wins, ties go backward, tolerance on the chosen delta, both paths") {
@@ -332,9 +337,13 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     check( // primitive path: BIGINT keys
       (1L to 5L).map(i => (i, 10L, lts(i.toInt))).toDF("id", "k", "t"),
       Seq((10L, rts1, 100L), (10L, rts2, 200L)).toDF("rk", "rt", "v"))
-    check( // generic path: STRING keys
+    check( // UTF8String path: STRING keys
       (1L to 5L).map(i => (i, "a", lts(i.toInt))).toDF("id", "k", "t"),
       Seq(("a", rts1, 100L), ("a", rts2, 200L)).toDF("rk", "rt", "v"))
+    check( // fully generic path: DECIMAL keys
+      (1L to 5L).map(i => (i, BigDecimal(10), lts(i.toInt))).toDF("id", "k", "t"),
+      Seq((BigDecimal(10), rts1, 100L), (BigDecimal(10), rts2, 200L))
+        .toDF("rk", "rt", "v"))
   }
 
   test("nearest agrees with a brute-force reference across a randomized fixture") {
