@@ -129,6 +129,26 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     // width — strictly less bytes on the wire
     assert(native < composed,
       s"native shuffled $native bytes, composed $composed — expected native smaller")
+    // same assertion on STRING keys (the q70/q71 gated pair's shape): the
+    // UTF8String walk must keep the wire advantage, not just the wall win
+    val uidPurchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", concat(lit("u"), $"user_id").as("uid"), $"ts", $"value")
+    val composedStr = shuffledBytes(graft.ops.AsOf.asofJoin(
+      uidPurchases,
+      events.filter($"event_type" === "signup")
+        .select(concat(lit("u"), $"user_id").as("uid"),
+          $"ts".as("signup_ts"), $"event_id".as("signup_id")),
+      key = "uid", leftTs = "ts", rightTs = "signup_ts",
+      rightCols = Seq("signup_ts", "signup_id")))
+    val nativeStr = shuffledBytes(org.apache.spark.sql.graft.AsOfJoinPlan.asof(
+      uidPurchases,
+      events.filter($"event_type" === "signup")
+        .select(concat(lit("u"), $"user_id").as("s_uid"),
+          $"ts".as("signup_ts"), $"event_id".as("signup_id")),
+      leftKey = "uid", rightKey = "s_uid",
+      leftTs = "ts", rightTs = "signup_ts"))
+    assert(nativeStr > 0 && nativeStr < composedStr,
+      s"string keys: native shuffled $nativeStr bytes, composed $composedStr")
   }
 
   test("forward direction: native == composed on events; edge fixtures correct") {

@@ -372,6 +372,36 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("ep04/ep05 algebra on real events: same sessions, equal max, to-next-row dominates") {
+    // The two skip modes are provably related per session:
+    //  - SAME matching-session set: a past-last-row match's opener is a
+    //    signup before its block's last purchase, which fires in
+    //    to-next-row too; conversely any to-next-row match implies such a
+    //    signup exists, and the past-last-row scan must commit at least
+    //    one match in that block;
+    //  - EQUAL max_len: each block's longest match in BOTH modes runs
+    //    from the block's first armed signup to its last purchase;
+    //  - DOMINANCE: past-last-row matches are a subset of to-next-row's,
+    //    so n_matches and total_len can only grow.
+    // A violation of any of these means one side's semantics drifted.
+    val events = graft.Tables.events(spark, sfSmoke)
+    val past = EventAnalytics.skipPastLastRowPatterns(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val next = EventAnalytics.skipToNextRowPatterns(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(past.nonEmpty)
+    assert(past.keySet == next.keySet,
+      s"session sets differ: only-past=${past.keySet -- next.keySet} " +
+        s"only-next=${next.keySet -- past.keySet}")
+    past.foreach { case (key, (n4, tot4, max4)) =>
+      val (n5, tot5, max5) = next(key)
+      assert(max4 == max5, s"$key: max_len $max4 vs $max5")
+      assert(n4 <= n5 && tot4 <= tot5, s"$key: ($n4,$tot4) !<= ($n5,$tot5)")
+    }
+  }
+
   test("ep02 agrees with an independent in-memory automaton on real events") {
     val events = graft.Tables.events(spark, sfSmoke)
     val got = EventAnalytics.variablePatterns(events).collect()
