@@ -62,11 +62,18 @@ object Graph {
     // child's) so ten iterations aren't sixty near-empty-partition stages.
     val parent = edgesIn.sparkSession
     val ss = parent.newSession()
-    // width sized to the edge relation (floor 8 = the sf0.1-tuned constant,
-    // growing with data, capped at the parent's width) — see LoopWidth
+    // Materialize the edge list BEFORE sizing the loop: LoopWidth reads
+    // optimizer stats, and an uncached join plan reports the PRODUCT of its
+    // children's sizes (Catalyst's pessimistic default), which slammed the
+    // loop into the session cap — round-12 driver forensics put ¾ of pr01's
+    // width-32 CPU in per-round task overhead. The cached relation reports
+    // its real materialized bytes, so the ten iterations run at the width
+    // the data actually needs (floor 8 at the test SFs, growing with the
+    // edge bytes at scale, capped at the parent's width).
+    val cachedEdges = graft.util.Eager.cached(edgesIn.select("src", "dst"))
     ss.conf.set("spark.sql.shuffle.partitions",
-      graft.util.LoopWidth.forRelation(edgesIn).toString)
-    val homedIn = edgesIn.select("src", "dst")
+      graft.util.LoopWidth.forRelation(cachedEdges).toString)
+    val homedIn = cachedEdges
     val labels = pageRankLoop(
       ss.createDataFrame(homedIn.rdd, homedIn.schema), iters)
     parent.createDataFrame(labels.rdd, labels.schema)
@@ -223,12 +230,14 @@ object Graph {
     */
   def bfsHops(edgesIn: DataFrame, sourcesIn: DataFrame,
       maxHops: Int = MaxHops): DataFrame = {
-    // same child-session data-derived width as pageRank; both inputs re-home
+    // same child-session data-derived width as pageRank; both inputs re-home.
+    // Cache-then-size (the pageRank fix): sizing an uncached join plan reads
+    // Catalyst's multiplied join estimate and slams the loop into the cap.
     val parent = edgesIn.sparkSession
     val ss = parent.newSession()
+    val e = graft.util.Eager.cached(edgesIn.select("src", "dst"))
     ss.conf.set("spark.sql.shuffle.partitions",
-      graft.util.LoopWidth.forRelation(edgesIn).toString)
-    val e = edgesIn.select("src", "dst")
+      graft.util.LoopWidth.forRelation(e).toString)
     val src = sourcesIn.select("node")
     val visited = bfsLoop(
       ss.createDataFrame(e.rdd, e.schema),
