@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). A warmup action runs first so the
@@ -279,6 +279,11 @@ object Bench {
     val repStorm = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val repUsrTot = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repSysTot = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // valid samples recorded per rep: a rep whose budget expired before its
+    // first query (possible after up to 120 s of storm-wait sleeping) must
+    // not count toward clean_reps off its entry probe alone (round-12
+    // advice) — the stamp would claim a backing rep that measured nothing
+    val repSamples = scala.collection.mutable.ArrayBuffer.empty[Int]
     // mid-rep probes: the first clean-gated run (r9) showed the storm can
     // arrive BETWEEN rep-start probes (all three probes 1.5-3.4 GB/s, yet
     // d10's worst rep was 25x its best with sys 5x usr) — so the fault
@@ -297,32 +302,91 @@ object Bench {
     def stormStampOf(i: Int): Boolean =
       (repMinProbe(i) >= 0 && repMinProbe(i) < stormFloorMbps) ||
         (repUsrTot(i) > 0 && repSysTot(i) >= 0.5 * repUsrTot(i))
-    def cleanSoFar: Int = repStorm.count(s => !s)
-    var rep = 1
-    var outOfBudget = false
-    while (!outOfBudget && (rep <= reps ||
-        (rep <= reps + maxExtraReps && cleanSoFar < 2 &&
-          elapsedSec < budgetSec))) {
-      if (rep > reps)
-        System.err.println(
-          f"[bench] only $cleanSoFar clean rep(s) after ${rep - 1}; " +
-            f"acquiring extra rep $rep (max ${reps + maxExtraReps}, " +
-            f"elapsed $elapsedSec%.0f s of $budgetSec%.0f)")
+    // only reps that actually measured something count as clean backing
+    // (round-12 advice: a zero-sample rep's clean entry probe is not
+    // evidence the medians are storm-free)
+    def cleanSoFar: Int =
+      repStorm.indices.count(i => !repStorm(i) && repSamples(i) > 0)
+    // bounded storm-wait before a rep/pass: below the fault-rate floor,
+    // sleep for a clean window rather than publishing storm numbers
+    def acquireWindow(label: String): Double = {
       var probe = probeFaultMbps()
       val waitStart = System.nanoTime()
       while (probe >= 0 && probe < stormFloorMbps &&
         (System.nanoTime() - waitStart) / 1e9 < stormWaitSec &&
         elapsedSec < hardCapSec * 0.5) {
         System.err.println(f"[bench] fault-rate probe $probe%.0f MB/s < " +
-          f"$stormFloorMbps floor before rep $rep; waiting for a clean window")
+          f"$stormFloorMbps floor before $label; waiting for a clean window")
         Thread.sleep(15000)
         probe = probeFaultMbps()
       }
+      probe
+    }
+    // open a new entry in the per-rep bookkeeping arrays; returns its index
+    def openRep(label: String): Int = {
+      val probe = acquireWindow(label)
       repProbe += probe
       repMinProbe += probe
       repUsrTot += 0.0
       repSysTot += 0.0
+      repSamples += 0
       sinceProbe = 0
+      repProbe.size - 1
+    }
+    // one measured sample of one query, appended under rep index `ri`
+    def runOne(name: String, fn: (SparkSession, String) => DataFrame,
+        ri: Int): Unit = {
+      val c0 = cpuNow()
+      val (u0, s0) = procUserSys()
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          if (rddMode) df.queryExecution.toRdd.count() else df.count()
+          true
+        }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      // a failed rep records -1, never a plausible-looking duration
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val c = if (ok) (cpuNow() - c0) / 1e9 else -1.0
+      val (u1, s1) = if (ok) procUserSys() else (-1.0, -1.0)
+      times(name) = times.getOrElse(name, Vector.empty) :+ t
+      cpus_(name) = cpus_.getOrElse(name, Vector.empty) :+ c
+      val du = if (ok && u0 >= 0 && u1 >= 0) u1 - u0 else -1.0
+      val ds = if (ok && s0 >= 0 && s1 >= 0) s1 - s0 else -1.0
+      usrs(name) = usrs.getOrElse(name, Vector.empty) :+ du
+      syss(name) = syss.getOrElse(name, Vector.empty) :+ ds
+      repOf(name) = repOf.getOrElse(name, Vector.empty) :+ (ri + 1)
+      if (du >= 0) repUsrTot(ri) += du
+      if (ds >= 0) repSysTot(ri) += ds
+      if (ok) repSamples(ri) += 1
+      sinceProbe += 1
+      if (sinceProbe >= midProbeEvery) {
+        sinceProbe = 0
+        val p = probeFaultMbps(128)
+        if (p >= 0 && p < repMinProbe(ri)) repMinProbe(ri) = p
+      }
+      // outside the timed window: this query's Eager.cached relations
+      // must not ride into (or slow down) the next query's heap
+      spark.catalog.clearCache()
+    }
+    var rep = 1
+    var outOfBudget = false
+    // extra-rep acquisition only applies to multi-rep runs: an explicit
+    // SPARK_GRAFT_REPS=1 smoke run must stay one rep (round-12 advice)
+    while (!outOfBudget && (rep <= reps ||
+        (reps > 1 && rep <= reps + maxExtraReps && cleanSoFar < 2 &&
+          elapsedSec < budgetSec))) {
+      if (rep > reps)
+        System.err.println(
+          f"[bench] only $cleanSoFar clean rep(s) after ${rep - 1}; " +
+            f"acquiring extra rep $rep (max ${reps + maxExtraReps}, " +
+            f"elapsed $elapsedSec%.0f s of $budgetSec%.0f)")
+      val ri = openRep(s"rep $rep")
       names.foreach { case (name, fn) =>
         if (elapsedSec > hardCapSec) {
           if (!outOfBudget) {
@@ -339,42 +403,7 @@ object Bench {
             repOf(name) = repOf.getOrElse(name, Vector.empty) :+ rep
           }
         } else if (rep == 1 || elapsedSec < budgetSec) {
-          val c0 = cpuNow()
-          val (u0, s0) = procUserSys()
-          val t0 = System.nanoTime()
-          val ok =
-            try {
-              val df = fn(spark, sfDir)
-              if (rddMode) df.queryExecution.toRdd.count() else df.count()
-              true
-            }
-            catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                false
-            }
-          // a failed rep records -1, never a plausible-looking duration
-          val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-          val c = if (ok) (cpuNow() - c0) / 1e9 else -1.0
-          val (u1, s1) = if (ok) procUserSys() else (-1.0, -1.0)
-          times(name) = times.getOrElse(name, Vector.empty) :+ t
-          cpus_(name) = cpus_.getOrElse(name, Vector.empty) :+ c
-          val du = if (ok && u0 >= 0 && u1 >= 0) u1 - u0 else -1.0
-          val ds = if (ok && s0 >= 0 && s1 >= 0) s1 - s0 else -1.0
-          usrs(name) = usrs.getOrElse(name, Vector.empty) :+ du
-          syss(name) = syss.getOrElse(name, Vector.empty) :+ ds
-          repOf(name) = repOf.getOrElse(name, Vector.empty) :+ rep
-          if (du >= 0) repUsrTot(rep - 1) += du
-          if (ds >= 0) repSysTot(rep - 1) += ds
-          sinceProbe += 1
-          if (sinceProbe >= midProbeEvery) {
-            sinceProbe = 0
-            val p = probeFaultMbps(128)
-            if (p >= 0 && p < repMinProbe(rep - 1)) repMinProbe(rep - 1) = p
-          }
-          // outside the timed window: this query's Eager.cached relations
-          // must not ride into (or slow down) the next query's heap
-          spark.catalog.clearCache()
+          runOne(name, fn, ri)
         } else if (!outOfBudget) {
           outOfBudget = true
           System.err.println(
@@ -382,14 +411,9 @@ object Bench {
               s"in rep $rep; reporting medians over completed reps")
         }
       }
-      repStorm += stormStampOf(rep - 1)
+      repStorm += stormStampOf(ri)
       rep += 1
     }
-    val cleanReps = cleanSoFar
-    if (cleanReps < 2)
-      System.err.println(
-        s"[bench] WARNING: only $cleanReps clean rep(s) back this artifact " +
-          s"(storm-gating + budget exhausted); headline may carry cold-rep cost")
     // LOWER median: with an even rep count the plain upper-median reports
     // the WORSE of the two middle reps, so a single environmental stall
     // (host disk dip) masquerades as the query's time. Odd rep counts are
@@ -399,24 +423,101 @@ object Bench {
     // valid medians (the all-storm fallback keeps the artifact total
     // comparable and is visible via rep_storm).
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
-    def cleanFirst(name: String, m: scala.collection.Map[String, Vector[Double]]): Vector[Double] = {
-      val vs = m.getOrElse(name, Vector.empty)
+    // Per-QUERY storm taint (round-12 verdict #1): a rep-level stamp misses
+    // a storm that lands inside one query of an otherwise clean rep (the
+    // r12 driver run: pr01 at sys 44.9 s in a rep stamped clean). A sample
+    // is tainted when its own whole-process sys time rivals usr time — the
+    // same 0.5 regime cut as the rep stamp, floored at 0.2 s usr so the
+    // 10 ms USER_HZ resolution of /proc can't flag sub-second queries.
+    def sampleStorm(du: Double, ds: Double): Boolean =
+      du >= 0.2 && ds >= 0.5 * du
+    // Sample selection per query, one index set applied to every metric
+    // map: valid → prefer samples from clean reps → within those, prefer
+    // samples whose own sys/usr window is clean. Medians AND spreads are
+    // computed over the selected set, so one storm-hit outlier neither
+    // shifts the median nor inflates the published spread once a clean
+    // sample exists.
+    def selectedIdx(name: String): Vector[Int] = {
+      val ts = times.getOrElse(name, Vector.empty)
       val rs = repOf.getOrElse(name, Vector.empty)
-      val valid = vs.zip(rs).filter(_._1 >= 0)
-      val clean = valid.filter { case (_, r) => !repStorm(r - 1) }
-      (if (clean.nonEmpty) clean else valid).map(_._1)
+      val us = usrs.getOrElse(name, Vector.empty)
+      val ss = syss.getOrElse(name, Vector.empty)
+      val valid = ts.indices.filter(i => ts(i) >= 0).toVector
+      val repClean = valid.filter(i => !repStorm(rs(i) - 1))
+      val base = if (repClean.nonEmpty) repClean else valid
+      val clean = base.filterNot(i => sampleStorm(us(i), ss(i)))
+      if (clean.nonEmpty) clean else base
+    }
+    // true when the published median is still backed by tainted samples
+    // (no clean sample existed to prefer) — the per-query analogue of
+    // rep_storm, emitted as the query_storm map
+    def queryStorm(name: String): Boolean = {
+      val rs = repOf.getOrElse(name, Vector.empty)
+      val us = usrs.getOrElse(name, Vector.empty)
+      val ss = syss.getOrElse(name, Vector.empty)
+      val sel = selectedIdx(name)
+      sel.isEmpty ||
+        sel.exists(i => repStorm(rs(i) - 1) || sampleStorm(us(i), ss(i)))
     }
     def medOf(m: scala.collection.Map[String, Vector[Double]], name: String): Double = {
-      val ok = cleanFirst(name, m)
+      val vs = m.getOrElse(name, Vector.empty)
+      val ok = selectedIdx(name).map(vs).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else median(ok)
     }
+    // Targeted re-acquisition (round-12 verdict #1): queries whose median
+    // is still storm-backed, or whose selected samples spread past 75% of
+    // the median (the in-query storm signature: pr01's r12 driver spread
+    // was ~1× its median while clean censuses spread < 20%), get extra
+    // samples — budget-boxed mini-reps over just the flagged queries, the
+    // same machinery as full reps. Multi-rep runs only (a reps=1 smoke run
+    // stays one rep), and sub-0.3 s queries never flag (their spread is
+    // scheduler jitter, not storms).
+    def flaggedQueries(): Seq[(String, (SparkSession, String) => DataFrame)] =
+      names.filter { case (name, _) =>
+        val ts = times.getOrElse(name, Vector.empty)
+        val sel = selectedIdx(name).map(ts).filter(_ >= 0)
+        sel.nonEmpty && {
+          val med = median(sel)
+          queryStorm(name) ||
+            (med >= 0.3 && sel.max - sel.min > 0.75 * med)
+        }
+      }
+    val rerunPassesMax = sys.env.get("SPARK_GRAFT_RERUN_PASSES")
+      .flatMap(_.toIntOption).getOrElse(2)
+    var rerunPasses = 0
+    if (reps > 1 && !outOfBudget) {
+      var flagged = flaggedQueries()
+      while (rerunPasses < rerunPassesMax && flagged.nonEmpty &&
+          elapsedSec < budgetSec) {
+        System.err.println(
+          f"[bench] rerun pass ${rerunPasses + 1}: re-acquiring " +
+            f"${flagged.size} storm/spread-flagged quer(ies) " +
+            f"(${flagged.map(_._1).take(8).mkString(",")}${if (flagged.size > 8) ",…" else ""}) " +
+            f"at $elapsedSec%.0f s of $budgetSec%.0f")
+        val ri = openRep(s"rerun pass ${rerunPasses + 1}")
+        flagged.foreach { case (name, fn) =>
+          if (elapsedSec < budgetSec && elapsedSec < hardCapSec)
+            runOne(name, fn, ri)
+        }
+        repStorm += stormStampOf(ri)
+        rerunPasses += 1
+        flagged = flaggedQueries()
+      }
+    }
+    val cleanReps = cleanSoFar
+    if (cleanReps < 2)
+      System.err.println(
+        s"[bench] WARNING: only $cleanReps clean rep(s) back this artifact " +
+          s"(storm-gating + budget exhausted); headline may carry cold-rep cost")
     case class R(name: String, wall: Double, spread: Double,
-        cpu: Double, usr: Double, sysT: Double)
+        cpu: Double, usr: Double, sysT: Double, storm: Boolean)
     val results = names.map { case (name, _) =>
-      val ok = cleanFirst(name, times)
-      if (ok.isEmpty) R(name, -1.0, -1.0, -1.0, -1.0, -1.0)
+      val ts = times.getOrElse(name, Vector.empty)
+      val ok = selectedIdx(name).map(ts).filter(_ >= 0)
+      if (ok.isEmpty) R(name, -1.0, -1.0, -1.0, -1.0, -1.0, storm = true)
       else R(name, median(ok), ok.max - ok.min,
-        medOf(cpus_, name), medOf(usrs, name), medOf(syss, name))
+        medOf(cpus_, name), medOf(usrs, name), medOf(syss, name),
+        queryStorm(name))
     }
     def jmap(f: R => Double): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
@@ -442,20 +543,76 @@ object Bench {
     val repSysUsrJson = repProbe.indices.map(i =>
       if (repUsrTot(i) > 0) f"${repSysTot(i) / repUsrTot(i)}%.2f" else "-1")
       .mkString("[", ",", "]")
-    val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"clean_reps":$cleanReps,"timing_mode":"$timingMode","cpus":$cpusJson,"heap_gb":$heapGb%.1f,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_min_probe_mbps":$repMinProbeJson,"rep_sys_usr":$repSysUsrJson,"rep_storm":$repStormJson,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
+    val repSamplesJson = repSamples.mkString("[", ",", "]")
+    val queryStormJson = results
+      .map(r => "\"" + r.name + "\":" + r.storm).mkString("{", ",", "}")
+    // reps_run = actual entries in every rep_* array (configured reps +
+    // adaptive extras + rerun passes) — round-12 advice: a consumer
+    // indexing the arrays by the configured "reps" field would misread
+    // an adaptively-grown run
+    val repsRun = repStorm.size
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    def buildJson(rddQs: String, totalRdd: Double, rddStorm: String): String =
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_run":$repsRun,"rerun_passes":$rerunPasses,"clean_reps":$cleanReps,"timing_mode":"$timingMode","cpus":$cpusJson,"heap_gb":$heapGb%.1f,"pretouch_mbps":$pretouchMbps%.1f,"rep_probe_mbps":$repProbeJson,"rep_min_probe_mbps":$repMinProbeJson,"rep_sys_usr":$repSysUsrJson,"rep_storm":$repStormJson,"rep_samples":$repSamplesJson,"query_storm":$queryStormJson,"queries_rdd":$rddQs,"total_rdd_s":$totalRdd,"rdd_pass_storm":$rddStorm,"spread":$spreads,"cpu":$cpuMap,"usr":$usrMap,"sys":$sysMap}"""
     // Artifact durability (two rounds of perf evidence were lost to stdout
     // interleaving / DNF): write the full JSON to a well-known file FIRST,
     // then print a marker-prefixed copy (grep-recoverable even if the tail
     // is truncated), then the bare JSON line (the original driver contract).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    def writeArtifact(json: String): Unit =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      }
+    // count-mode artifact lands on disk BEFORE the rdd pass starts: a
+    // SIGTERM mid-pass leaves a valid (rdd-less) artifact, never nothing
+    writeArtifact(buildJson("{}", -1.0, "null"))
+    // Dual-mode artifact (round-12 verdict #7): one budget-boxed rdd-mode
+    // pass after the count reps, published as queries_rdd/total_rdd_s in
+    // the SAME artifact — count stays the contract headline, but a plan
+    // that collapses under count() (column pruning to a scan-count, as-of
+    // elimination) can no longer flatter the graded file unnoticed. In
+    // rdd timing mode the main loop already measured the materializing
+    // plans, so the rdd fields just mirror the headline maps.
+    val timesRdd = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var rddPassStorm = "null"
+    if (rddMode) {
+      results.foreach(r => timesRdd(r.name) = r.wall)
+      rddPassStorm = repStormJson
+    } else if (sys.env.getOrElse("SPARK_GRAFT_RDD_PASS", "1") != "0" &&
+        !outOfBudget && elapsedSec < budgetSec) {
+      System.err.println(
+        f"[bench] rdd-mode pass starting at $elapsedSec%.0f s of $budgetSec%.0f")
+      val probe = probeFaultMbps()
+      val (u0, s0) = procUserSys()
+      names.foreach { case (name, fn) =>
+        if (elapsedSec < budgetSec && elapsedSec < hardCapSec) {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] rdd $name FAILED: ${e.getMessage}")
+                false
+            }
+          timesRdd(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          spark.catalog.clearCache()
+        } else timesRdd(name) = -1.0
+      }
+      val (u1, s1) = procUserSys()
+      val stormy = (probe >= 0 && probe < stormFloorMbps) ||
+        (u1 - u0 > 0 && s1 - s0 >= 0.5 * (u1 - u0))
+      rddPassStorm = stormy.toString
     }
+    val rddQsJson =
+      timesRdd.map { case (n, t) => "\"" + n + "\":" + t }.mkString("{", ",", "}")
+    val totalRdd =
+      if (timesRdd.values.exists(_ >= 0)) timesRdd.values.filter(_ >= 0).sum
+      else -1.0
+    val json = buildJson(rddQsJson, totalRdd, rddPassStorm)
+    writeArtifact(json)
     // Terminal stdout lines (see terminalLines scaladoc). Round-10 forensics:
     // the driver's captured tail ended EXACTLY at the `GRAFT_BENCH_SUMMARY
     // {...}` line — the bare JSON printed after it was never seen, so the
@@ -466,10 +623,10 @@ object Bench {
     // GRAFT_BENCH_SUMMARY as a field value (any substring-based capture
     // stop still matches; json.loads of the whole line now succeeds).
     val failed = results.count(_.wall < 0)
-    val compact = compactLine(total, sfDir, reps, cleanReps, results.size,
-      failed, heapGb, repStormJson, outFile)
-    val summary = summaryLine(total, sfDir, reps, cleanReps, results.size,
-      failed, outFile)
+    val compact = compactLine(total, sfDir, reps, repsRun, cleanReps,
+      results.size, failed, heapGb, repStormJson, totalRdd, outFile)
+    val summary = summaryLine(total, sfDir, reps, repsRun, cleanReps,
+      results.size, failed, totalRdd, outFile)
     terminalLines(json, compact, summary).foreach(println)
     Console.out.flush()
     System.err.println(s"GRAFT_BENCH_JSON $json")
@@ -500,11 +657,14 @@ object Bench {
   /** Compact contract JSON (< 500 bytes): headline metric + run stamps;
     * per-query timings live in the durable artifact file. clean_reps says
     * how many non-storm reps back the medians (round-11 verdict #2: a
-    * graded headline must never be a single cold rep without saying so). */
-  def compactLine(total: Double, sfDir: String, reps: Int, cleanReps: Int,
-      n: Int, failed: Int, heapGb: Double, repStormJson: String,
-      outFile: String): String =
-    f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"clean_reps":$cleanReps,"n":$n,"failed":$failed,"heap_gb":$heapGb%.1f,"rep_storm":$repStormJson,"file":"$outFile"}"""
+    * graded headline must never be a single cold rep without saying so);
+    * reps_run says how many rep entries the artifact's arrays actually
+    * carry (configured + adaptive extras + rerun passes); total_rdd_s is
+    * the materializing-mode census total (-1 when the pass didn't run). */
+  def compactLine(total: Double, sfDir: String, reps: Int, repsRun: Int,
+      cleanReps: Int, n: Int, failed: Int, heapGb: Double,
+      repStormJson: String, totalRdd: Double, outFile: String): String =
+    f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"reps_run":$repsRun,"clean_reps":$cleanReps,"n":$n,"failed":$failed,"heap_gb":$heapGb%.1f,"rep_storm":$repStormJson,"total_rdd_s":$totalRdd,"file":"$outFile"}"""
 
   /** Summary marker line: PURE JSON (bare json.loads succeeds) whose
     * "marker" field carries the literal GRAFT_BENCH_SUMMARY string so a
@@ -512,7 +672,8 @@ object Bench {
     * metric/value/unit fields so a parse-the-last-line driver gets the
     * headline even when this is the only line it keeps.
     */
-  def summaryLine(total: Double, sfDir: String, reps: Int, cleanReps: Int,
-      n: Int, failed: Int, outFile: String): String =
-    f"""{"marker":"GRAFT_BENCH_SUMMARY","metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"total_s":$total%.1f,"sf":"$sfDir","reps":$reps,"clean_reps":$cleanReps,"file":"$outFile"}"""
+  def summaryLine(total: Double, sfDir: String, reps: Int, repsRun: Int,
+      cleanReps: Int, n: Int, failed: Int, totalRdd: Double,
+      outFile: String): String =
+    f"""{"marker":"GRAFT_BENCH_SUMMARY","metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"total_s":$total%.1f,"sf":"$sfDir","reps":$reps,"reps_run":$repsRun,"clean_reps":$cleanReps,"total_rdd_s":$totalRdd,"file":"$outFile"}"""
 }
