@@ -72,10 +72,19 @@ object Suffix {
     import s.implicits._
     require(target > 0 && (target & (target - 1)) == 0, s"target $target not a power of 2")
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    // one row per character position; gid is the stable class-canonical id
+    // one row per character position; gid is the stable class-canonical id.
+    // The document relation is repartitioned BEFORE the explode: a small
+    // corpus arrives as one parquet split, and without the spread the
+    // position explode (corpus-character fan-out) runs in a single task
+    // (measured: 1.7 s single-task stage at sf0.1). The hash layout also
+    // pre-satisfies every per-doc lead() window below.
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
     val positions = docs
       .select($"doc_id", $"t", length($"t").cast("long").as("n"))
       .filter($"n" >= 1)
+      // explicit width: without it AQE coalesces the tiny pre-explode doc
+      // relation back to one partition and the fan-out runs single-task
+      .repartition(width, $"doc_id")
       .select($"doc_id", $"n", explode(expr("sequence(1L, n)")).as("pos"), $"t")
       .withColumn("gid", $"doc_id" * lit(MaxDocLen) + $"pos")
       // the packing must be collision-free or two different suffixes could
@@ -83,13 +92,24 @@ object Suffix {
       .withColumn("gid",
         when($"n" < lit(MaxDocLen), $"gid")
           .otherwise(raise_error(concat(lit("doc too long for sa01: "), $"n"))))
-    // seed: class of the single character
+    // seed at length TWO with no shuffle at all: a pair of codepoints packs
+    // exactly into one long ((cp+1) < 2²¹ each; slot 0 = past-end), and two
+    // positions share the packed value iff they share the 2-char prefix —
+    // an exact class id straight from the text, skipping both the
+    // single-char seed round and the 1→2 doubling round. Label domains are
+    // per-round (each doubling re-canonicalizes through min(gid)), so
+    // packed ids and gid ids never mix, and both stay ≥ 0 (the −1
+    // short-suffix sentinel keeps its reserved meaning).
+    val seed =
+      if (target == 1) expr("ascii(substring(t, pos, 1))").cast("long")
+      else expr(
+        "(ascii(substring(t, pos, 1)) + 1L) * 2097152L + " +
+          "if(pos < n, ascii(substring(t, pos + 1, 1)) + 1L, 0L)")
     var cur = positions
-      .withColumn("lab", min($"gid").over(
-        Window.partitionBy(expr("substring(t, pos, 1)"))))
+      .withColumn("lab", seed)
       .drop("t")
       .localCheckpoint()
-    var len = 1
+    var len = math.min(target, 2)
     while (len < target) {
       // label(2·len)(p) ≔ min gid over the (label(len)(p), label(len)(p+len))
       // class; −1 sentinel for suffixes too short to have a right half
