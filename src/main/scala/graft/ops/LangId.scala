@@ -116,8 +116,14 @@ object LangId {
     val s = docs.sparkSession
     import s.implicits._
     val (counts, totals) = model(s)
+    // spread the per-doc gram fan-out + md5 hashing before it starts: a
+    // small corpus arrives as one parquet split and would otherwise score
+    // in a single task (explicit width — AQE would re-coalesce the tiny
+    // pre-explode relation)
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
     val dtoks = trigrams(
-      docs.select(col("id"), TextAnalysis.normalize(col("text")).as("t")),
+      docs.select(col("id"), TextAnalysis.normalize(col("text")).as("t"))
+        .repartition(width, col("id")),
       Seq("id"))
       .select($"id", bucket($"g"))
     val scored = dtoks
