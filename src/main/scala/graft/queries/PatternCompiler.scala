@@ -391,7 +391,23 @@ object PatternCompiler {
   def ep06(s: SparkSession, dir: String): DataFrame =
     compile(ep06Spec)(Tables.events(s, dir))
 
+  /** ep07 — a fresh disjoint-class pattern gated through the FOLD path:
+    * `PATTERN (view (click|error)+ purchase)` SKIP PAST LAST ROW — the
+    * "frustrated browse conversion" (a view, then at least one
+    * click-or-error, closed by a purchase). ep06 exercises the compiler's
+    * relational generator end-to-end; ep07 gates the aggregate-fold
+    * automaton AND the generated recursive-CTE oracle directly (the other
+    * compiled re-expressions are gated transitively through their bespoke
+    * twins).
+    */
+  val ep07Spec: PatternSpec =
+    PatternSpec(Some("view"), Set("click", "error"), 1, "purchase")
+
+  def ep07(s: SparkSession, dir: String): DataFrame =
+    compile(ep07Spec)(Tables.events(s, dir))
+
   val all: Seq[Q] = Seq(
     Q("ep06_compiled_pattern", ep06, Some(oracle(ep06Spec))),
+    Q("ep07_compiled_fold_pattern", ep07, Some(oracle(ep07Spec))),
   )
 }
