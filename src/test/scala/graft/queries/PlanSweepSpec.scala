@@ -84,6 +84,11 @@ class PlanSweepSpec extends AnyFunSuite with SparkSpec {
     // |domain|-sized dimension grid: |sources| × |langs| cells, both
     // sides bounded by the released dimensions (the gv04 shape)
     "gv06_dp_histogram",
+    // three 1-row crossJoins (bigram-type/vocab totals, doc count,
+    // tercile cut values) into the bigram stream / ≤3101-row score
+    // histogram — the corpus itself only flows through token-keyed hash
+    // joins and partial aggs (the t19/c11 shape)
+    "ppl01_kn_perplexity_buckets",
   )
 
   graft.SparkEntry.registry.sortBy(_.name).foreach { q =>
