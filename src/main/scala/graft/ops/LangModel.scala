@@ -129,14 +129,20 @@ object LangModel {
     val s = docs.sparkSession
     import s.implicits._
     val bg = bigrams(docs)
-    // model tables — all model-cardinality; cached once so uni/rgt/konst
-    // don't each re-run the training-side explode
-    val big = graft.util.Eager.cached(
-      bg.filter($"trained_on").groupBy($"w1", $"w2").agg(count(lit(1)).as("c12")))
+    // model tables — all model-cardinality, all broadcast-subtree leaves.
+    // Deliberately NOT Eager.cached: the three model relations evaluate as
+    // CONCURRENT broadcast futures, while a cache forces a sequential
+    // materialization job of the width-spread explode first (measured at
+    // sf0.1: cached 2.8 s / 21 s CPU vs uncached 1.9 s / 4.3 s CPU — the
+    // recomputed train explode is far cheaper than the lost concurrency
+    // plus the 32-task overhead of the extra materialization stage)
+    val big =
+      bg.filter($"trained_on").groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val uni = big.groupBy($"w1").agg(sum($"c12").as("c1"), count(lit(1)).as("n1l"))
     val rgt = big.groupBy($"w2").agg(count(lit(1)).as("n1r"))
-    val konst = big.agg(count(lit(1)).as("t_types"))
-      .crossJoin(rgt.agg(count(lit(1)).as("v_types"))) // 1-row × 1-row
+    // one aggregate subtree for both totals (countDistinct(w2) ≡ |rgt|)
+    val konst = big.agg(count(lit(1)).as("t_types"),
+      countDistinct($"w2").as("v_types"))
     bg
       .join(big, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
@@ -160,9 +166,12 @@ object LangModel {
     // single-partition window is over the AGGREGATED relation, never docs)
     val cumW = Window.orderBy($"avg_cb".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy($"avg_cb".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cuts = scored.groupBy($"avg_cb").agg(count(lit(1)).as("nv"))
       .withColumn("cum", sum($"nv").over(cumW))
-      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n")))) // 1-row
+      // N from the same bounded window pass — no doc-count crossJoin job
+      .withColumn("n", sum($"nv").over(allW))
       .agg(
         max(when(expr("cum >= (n + 2) div 3"), $"avg_cb")).as("h_cut"),
         max(when(expr("cum >= (2 * n + 2) div 3"), $"avg_cb")).as("m_cut"))
