@@ -58,6 +58,14 @@ import graft.queries.Q
   * training text) — the expected self-training signature, visible rather
   * than averaged away.
   *
+  * Relation to t19 ([[Tokenize.lmQualityBuckets]]): t19 is the simpler
+  * self-surprisal gate — an unsmoothed MLE bigram model trained on the
+  * WHOLE corpus scoring only bigrams it has seen. ppl01 is the actual
+  * CCNet deployment shape: a held-out training split, KN smoothing, an
+  * OOV floor (so out-of-domain text is scored, not dropped), and
+  * CCNet's head/middle/tail cut. Both use the same bin()-length
+  * integer-bits primitive.
+  *
   * Scale shape: the model is a token-keyed DISTRIBUTED relation, joined
   * by hash — deliberately NOT broadcast, because a petascale vocabulary
   * does not fit a broadcast (t21's broadcast NB model is seed-sized; this

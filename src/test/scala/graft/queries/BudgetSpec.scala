@@ -118,4 +118,8 @@ class BudgetSpec extends AnyFunSuite with SparkSpec {
   cpuBudget("c02_neardup_consolidation", 3.5)
   cpuBudget("st09_stream_outer_join", 3.0)
   cpuBudget("t10_winnowing_pairs", 3.0)
+  // round-13 addition: ppl01 at 4.3 s CPU sf0.1/width 32 after the
+  // concurrent-broadcast fix — the tripwire guards against the Eager
+  // cache (21 s CPU) or a lost broadcast sneaking back in
+  cpuBudget("ppl01_kn_perplexity_buckets", 3.0)
 }
