@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Q
+
+/** Density-based clustering over the embedding corpus — DBSCAN (Ester et
+  * al. 1996) re-expressed as the relational composition a distributed
+  * engine would actually run: an ε-neighbor GRAPH built by the d07
+  * sign-LSH prune-then-verify path, neighbor degrees, core/border/noise
+  * roles, and core-connectivity components through the same
+  * pointer-jumping CC loop the dedup family uses. In an LLM data
+  * pipeline this is the topic/outlier structure pass: dense semantic
+  * clusters (near-dup families, templated content) become cluster rows a
+  * curation policy can cap or drop, while `noise` is the long tail that
+  * embedding-diversity sampling wants to keep.
+  *
+  * Semantics (classic DBSCAN, cosine similarity as the metric):
+  *  - ε-neighbors: distinct vectors with cosine ≥ [[Eps]];
+  *  - core: |N_ε(p)| ≥ [[MinPts]] counting p itself (i.e. ≥ MinPts−1
+  *    neighbors);
+  *  - cluster: connected component of the core-core ε-graph, labeled by
+  *    its min vec_id (exactly what the min-label CC loop converges to);
+  *  - border: non-core with ≥ 1 core neighbor — assigned the MIN cluster
+  *    label among its core neighbors (the deterministic tie-break for the
+  *    classic "border reachable from two clusters" ambiguity);
+  *  - noise: everything else; cluster_id −1 (an explicit sentinel, not
+  *    NULL, so the cross-engine hash compare never meets a NULL ordering
+  *    edge).
+  *
+  * The corpus is the embeddings table augmented with DETERMINISTIC chain
+  * derivatives (the d07 planting idea, deepened): every 10th vector gains
+  * copies with its first 1, 2, 3 and 13 dimensions zeroed (no float
+  * arithmetic — both engines see bit-identical arrays). The {v, z1, z2,
+  * z3} members sit pairwise at cos ≈ 0.91–0.999 → near-cliques that are
+  * core at MinPts 4; z13 sits at cos ≈ 0.78–0.95 to its chain, straddling
+  * the 0.9 floor per-vector — so real data decides, per chain, whether
+  * z13 is a border, a noise point, or (rarely) core, and the gate output
+  * exercises every role without a hand-picked fixture.
+  *
+  * Scale shape: the ε-graph comes from the d07 candidate generator
+  * (16×8-bit sign-LSH bands, bucket-local pairs — the quadratic never
+  * leaves a bucket; the oracle's exact all-pairs form proves the
+  * prefilter lost nothing on this corpus at both gated SFs). Roles are
+  * one degree aggregation; components run on the CHILD-session CC loop
+  * whose width tracks the candidate graph, not the corpus
+  * ([[Dedup.connectedComponents]]); border assignment is one more
+  * edge-keyed join. Nothing corpus-quadratic exists outside the oracle.
+  */
+object Clustering {
+
+  /** Id stride for the planted chain derivatives (j·Stride + vec_id). */
+  val Stride = 1000000L
+
+  /** Dims zeroed per chain derivative j = 1..4. */
+  val ChainDims = Seq(1, 2, 3, 13)
+
+  /** Cosine floor defining ε-neighborhood. */
+  val Eps = 0.9
+
+  /** Minimum ε-neighborhood size (counting the point itself) for a core. */
+  val MinPts = 4
+
+  /** Embeddings + deterministic chain derivatives for every 10th vector. */
+  def chainPlant(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    ChainDims.zipWithIndex.foldLeft(base) { case (acc, (k, j)) =>
+      acc.unionByName(
+        e.filter(col("vec_id") % 10 === 0)
+          .select(
+            (col("vec_id") + (j + 1) * Stride).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < k, lit(0.0f)).otherwise(x)).as("embedding")))
+    }
+  }
+
+  /** DBSCAN roles + cluster labels over any (vec_id, embedding) relation:
+    * (vec_id, role, cluster_id, n_neighbors).
+    *
+    * `candidates` generates the ε-graph candidate pairs (a, b), a < b —
+    * the production default is the d07 sign-LSH prune; the spec's
+    * geometry fixtures swap in an exact all-pairs generator so DBSCAN
+    * semantics are pinned independently of prefilter recall (the gate
+    * then proves the LSH path lost nothing on the real corpus, where
+    * pairs don't sit adversarially ON the floor).
+    */
+  def dbscan(aug0: DataFrame,
+      candidates: DataFrame => DataFrame = Similarity.d07Candidates): DataFrame = {
+    val s = aug0.sparkSession
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    // cached: feeds the signature pass, both verify sides, and the final
+    // id frame
+    val aug = graft.util.Eager.cached(aug0)
+    val edges = graft.util.Eager.cached( // read by degree, core filter, CC, border
+      candidates(aug)
+        .join(aug.select($"vec_id".as("a"), $"embedding".as("ea")), Seq("a"))
+        .join(aug.select($"vec_id".as("b"), $"embedding".as("eb")), Seq("b"))
+        .filter(Similarity.cosine($"ea", $"eb") >= Eps)
+        .select($"a", $"b"))
+    val sym = edges.union(edges.select($"b".as("a"), $"a".as("b")))
+    val deg = sym.groupBy($"a".as("id")).agg(count(lit(1)).as("n_neighbors"))
+    val core = deg.filter($"n_neighbors" >= MinPts - 1).select($"id")
+    val coreEdges = edges
+      .join(core.select($"id".as("a")), Seq("a"), "left_semi")
+      .join(core.select($"id".as("b")), Seq("b"), "left_semi")
+    // CC covers cores WITH a core neighbor; isolated cores (all neighbors
+    // non-core) keep their own id as the label
+    val comps = Dedup.connectedComponents(coreEdges)
+    val coreLabel = core
+      .join(comps, Seq("id"), "left")
+      .select($"id", coalesce($"comp", $"id").as("cluster_id"))
+    val borderLabel = sym
+      .join(coreLabel.select($"id".as("a"), $"cluster_id"), Seq("a"))
+      .join(core.select($"id".as("b")), Seq("b"), "left_anti")
+      .groupBy($"b".as("id")).agg(min($"cluster_id").as("cluster_id"))
+    aug.select($"vec_id".as("id"))
+      .join(coreLabel.withColumnRenamed("cluster_id", "core_cl"), Seq("id"), "left")
+      .join(borderLabel.withColumnRenamed("cluster_id", "border_cl"), Seq("id"), "left")
+      .join(deg, Seq("id"), "left")
+      .select($"id".as("vec_id"),
+        when($"core_cl".isNotNull, lit("core"))
+          .when($"border_cl".isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce($"core_cl", $"border_cl", lit(-1L)).as("cluster_id"),
+        coalesce($"n_neighbors", lit(0L)).as("n_neighbors"))
+      .orderBy($"vec_id")
+  }
+
+  def cl01(s: SparkSession, dir: String): DataFrame =
+    dbscan(chainPlant(Tables.embeddings(s, dir)))
+
+  /** Exact all-pairs recompute: the same chain plant, every pairwise
+    * cosine (order-pinned double sums — the d05/d07 posture), degrees,
+    * roles, and a recursive-CTE closure seeded from ALL cores (so
+    * isolated cores label themselves), matching the engine's
+    * prune-then-verify + pointer-jumping path from first principles.
+    *
+    * Every non-recursive CTE after the unnest is AS MATERIALIZED:
+    * DuckDB re-expands plain CTEs per reference, and with the recursive
+    * `reach` plus the final four-way LEFT JOIN in the tree the optimizer
+    * re-inlines the quadratic `dots` subtree until even the restricted
+    * derivative exceeds an 80 GB limit — materialized, the whole oracle
+    * runs in ~20 s / well under 40 GB at the sf0.01 gate (measured while
+    * landing cl01).
+    */
+  val cl01Oracle: String = {
+    val derivs = ChainDims.zipWithIndex.map { case (k, j) =>
+      s"""      SELECT vec_id + ${(j + 1) * Stride} AS vec_id,
+         |             CASE WHEN i <= $k THEN CAST(0 AS FLOAT) ELSE e END AS e, i
+         |      FROM base WHERE vec_id % 10 = 0""".stripMargin
+    }.mkString("\n      UNION ALL\n")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding,1) AS i
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, e, i FROM base
+       |      UNION ALL
+       |$derivs),
+       |ids AS MATERIALIZED (SELECT DISTINCT vec_id AS id FROM v),
+       |norms AS MATERIALIZED (SELECT vec_id, SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE) ORDER BY i) AS n2
+       |          FROM v GROUP BY vec_id),
+       |dots AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+       |           SUM(CAST(x.e AS DOUBLE) * CAST(y.e AS DOUBLE) ORDER BY x.i) AS dot
+       |         FROM v x JOIN v y ON x.i = y.i AND x.vec_id < y.vec_id
+       |         GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT a, b FROM dots
+       |  JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id
+       |  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= $Eps),
+       |sym AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |deg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS n_neighbors FROM sym GROUP BY 1),
+       |core AS MATERIALIZED (SELECT id FROM deg WHERE n_neighbors >= ${MinPts - 1}),
+       |ce AS MATERIALIZED (SELECT s.a, s.b FROM sym s
+       |       JOIN core x ON s.a = x.id JOIN core y ON s.b = y.id),
+       |reach AS (
+       |  SELECT id, id AS comp FROM core
+       |  UNION
+       |  SELECT ce.b AS id, r.comp FROM reach r JOIN ce ON ce.a = r.id),
+       |comp AS MATERIALIZED (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+       |bord AS MATERIALIZED (
+       |  SELECT s.b AS id, MIN(c.cluster_id) AS cluster_id
+       |  FROM sym s JOIN comp c ON s.a = c.id
+       |  WHERE s.b NOT IN (SELECT id FROM core)
+       |  GROUP BY s.b)
+       |SELECT i.id AS vec_id,
+       |  CASE WHEN c.id IS NOT NULL THEN 'core'
+       |       WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+       |  CAST(COALESCE(c.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id,
+       |  CAST(COALESCE(d.n_neighbors, 0) AS BIGINT) AS n_neighbors
+       |FROM ids i
+       |LEFT JOIN comp c ON i.id = c.id
+       |LEFT JOIN bord b ON i.id = b.id
+       |LEFT JOIN deg d ON i.id = d.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("cl01_dbscan_embeddings", cl01, Some(cl01Oracle)),
+  )
+}
