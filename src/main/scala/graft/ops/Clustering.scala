@@ -92,7 +92,8 @@ object Clustering {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
     // cached: feeds the signature pass, both verify sides, and the final
-    // id frame
+    // id frame (a lazy .cache() was A/B'd here and measured no better —
+    // the fixed cost is the CC loop's per-round scheduling, not this job)
     val aug = graft.util.Eager.cached(aug0)
     val edges = graft.util.Eager.cached( // read by degree, core filter, CC, border
       candidates(aug)
