@@ -357,6 +357,57 @@ object Incremental {
       |FROM tf GROUP BY term
       |ORDER BY df DESC, term LIMIT 20""".stripMargin
 
+  /** i05 — incremental maintenance of the ppl01 LANGUAGE-MODEL state.
+    * The KN bigram LM's only corpus-cardinality artifact is the bigram
+    * count table (w1, w2, c12) — a purely ADDITIVE state, so a nightly
+    * corpus increment maintains it by merging the stored counts with the
+    * delta batch's counts in O(delta) text. The derived model relations
+    * the scorer actually joins (context totals c1, continuation-type
+    * counts n1l — the KN discount inputs) are NOT mergeable at their own
+    * granularity (n1l is a distinct-count over w2), and this query is the
+    * proof that it doesn't matter: they re-derive from the MERGED bigram
+    * state in model-cardinality time, never touching the base corpus.
+    *
+    * Engine path: base counts (doc_id % 7 ≠ 0) + delta counts (% 7 = 0)
+    * over the ppl01 train split, merged by sum, then the unigram stats.
+    * The oracle recomputes the same stats from the FULL train corpus in
+    * one pass and never mentions the split — a hash match proves
+    * merge ≡ rebuild exactly (the mv01 posture; exact because bigram
+    * counts are integers, so the merge is associative with no float
+    * caveat).
+    */
+  def i05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+    val isDelta = $"doc_id" % 7 === 0
+    def counts(d: DataFrame): DataFrame =
+      LangModel.bigrams(d).filter($"trained_on")
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val base = counts(docs.filter(!isDelta)) // yesterday's stored state
+    val delta = counts(docs.filter(isDelta)) // tonight's increment
+    base.unionByName(delta)
+      .groupBy($"w1", $"w2").agg(sum($"c12").as("c12")) // state merge
+      .groupBy($"w1") // model-cardinality re-derivation of the KN inputs
+      .agg(sum($"c12").cast(LongType).as("c1"), count(lit(1)).as("n1l"))
+      .orderBy($"w1")
+  }
+
+  /** Full single-pass rebuild — deliberately split-free. */
+  val i05Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents
+       |  WHERE ('0x' || substring(md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % ${LangModel.TrainMod} = 0),
+       |bg AS (
+       |  SELECT ws[i] AS w1, ws[i+1] AS w2
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM d WHERE len(ws) >= 2)),
+       |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2)
+       |SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1l
+       |FROM big GROUP BY 1 ORDER BY w1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("mv01_incremental_rollup", mv01, Some(mv01Oracle)),
     Q("dq03_snapshot_diff", dq03, Some(dq03Oracle)),
@@ -364,5 +415,6 @@ object Incremental {
     Q("i02_incremental_ann_index", i02, Some(i02Oracle)),
     Q("i03_tombstone_index_prune", i03, Some(i03Oracle)),
     Q("i04_incremental_postings", i04, Some(i04Oracle)),
+    Q("i05_incremental_lm_counts", i05, Some(i05Oracle)),
   )
 }

@@ -96,7 +96,7 @@ object LangModel {
     * would otherwise fan out single-task; at real scale the scan arrives
     * already split and this is one cheap doc_id exchange).
     */
-  private def bigrams(docs: DataFrame): DataFrame = {
+  private[ops] def bigrams(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val width = s.conf.get("spark.sql.shuffle.partitions").toInt

@@ -158,4 +158,28 @@ class IncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(graft.Tables.documents(spark, sfSmoke)
       .filter(col("doc_id") % 10 === 9).count() > 0)
   }
+
+  test("i05 LM-state merge survives bigram collisions across base and delta") {
+    import org.apache.spark.sql.functions._
+    // the merge path only differs from a concat when the SAME bigram has
+    // counts in BOTH halves — prove the gate corpus actually exercises
+    // that collision path, then prove merge == rebuild on it
+    val docs = graft.Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def trainBigrams(d: org.apache.spark.sql.DataFrame) =
+      LangModel.bigrams(d).filter(col("trained_on"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val base = trainBigrams(docs.filter(col("doc_id") % 7 =!= 0))
+    val delta = trainBigrams(docs.filter(col("doc_id") % 7 === 0))
+    val collisions = base.join(delta, Seq("w1", "w2"), "left_semi").count()
+    assert(collisions > 0, "split produced no shared bigrams — test corpus too small")
+    val maintained = Incremental.i05(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val scratch = trainBigrams(docs)
+      .groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"), count(lit(1)).as("n1l"))
+      .orderBy(col("w1"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(maintained == scratch)
+  }
 }
