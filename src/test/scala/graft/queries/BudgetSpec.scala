@@ -120,6 +120,10 @@ class BudgetSpec extends AnyFunSuite with SparkSpec {
   cpuBudget("t10_winnowing_pairs", 3.0)
   // round-13 addition: ppl01 at 4.3 s CPU sf0.1/width 32 after the
   // concurrent-broadcast fix — the tripwire guards against the Eager
-  // cache (21 s CPU) or a lost broadcast sneaking back in
-  cpuBudget("ppl01_kn_perplexity_buckets", 3.0)
+  // cache (21 s CPU) or a lost broadcast sneaking back in. Ceiling is set
+  // from the FULL-SUITE context (3.18 s min-of-2 at width 4 — ~3x the
+  // isolated-run 0.96 s; suite-order session state inflates the reading,
+  // measured both ways while landing), so isolated and suite runs both
+  // clear it while the 21 s cache regression still trips
+  cpuBudget("ppl01_kn_perplexity_buckets", 8.0)
 }
