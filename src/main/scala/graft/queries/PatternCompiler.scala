@@ -53,13 +53,28 @@ import graft.Tables
   */
 object PatternCompiler {
 
-  /** One MATCH_RECOGNIZE-style pattern over session event types. */
+  /** One MATCH_RECOGNIZE-style pattern over session event types.
+    *
+    * `maxRun` is the quantifier UPPER bound (`{m,n}`), supported for the
+    * opener-anchored disjoint class only — there, "disarm when the run
+    * exceeds n" is provably identical to MATCH_RECOGNIZE's
+    * backtracking-greedy leftmost semantics: with W ∌ closer and
+    * W ∌ opener there is never an alternative split of the run, so an
+    * attempt from an opener succeeds iff the tokens after it are exactly
+    * W^k·closer with m ≤ k ≤ n, and a failed attempt's next viable start
+    * row is the next opener (every W/closer-started attempt dies at its
+    * first token). An OPENERLESS bounded pattern (`W{m,n} P`) has
+    * genuinely different leftmost semantics (the start row slides, so a
+    * long run still matches its last ≤ n tokens) and is rejected rather
+    * than silently mis-compiled.
+    */
   final case class PatternSpec(
       opener: Option[String],
       run: Set[String],
       minRun: Int,
       closer: String,
-      skipToNextRow: Boolean = false) {
+      skipToNextRow: Boolean = false,
+      maxRun: Option[Int] = None) {
     require(minRun >= 0, "minRun must be ≥ 0")
     require(!opener.contains(closer), "opener == closer is unsupported")
     require(opener.isDefined || minRun >= 1,
@@ -72,6 +87,11 @@ object PatternCompiler {
     // with a disjoint alphabet the two skip modes coincide (see ep04 doc)
     require(!skipToNextRow || (run.contains(closer) && opener.exists(run.contains)),
       "SKIP TO NEXT ROW requires opener ∈ run and closer ∈ run")
+    require(maxRun.forall(_ >= math.max(minRun, 1)), "maxRun must be ≥ max(minRun, 1)")
+    require(maxRun.isEmpty ||
+      (opener.isDefined && !run.contains(closer) && !skipToNextRow),
+      "bounded quantifiers ({m,n}) compile for the opener-anchored " +
+        "disjoint class under SKIP PAST LAST ROW only (see scaladoc)")
 
     /** run tokens counted between matchStart and a position. */
     private[queries] def off: Int = if (opener.isDefined) 1 else 0
@@ -120,7 +140,11 @@ object PatternCompiler {
       val nm = acc.getField("nm")
       val tot = acc.getField("tot")
       val mx = acc.getField("mx")
-      val runOk = pos - armed - off >= minRun
+      val runOk = spec.maxRun match {
+        case Some(n) =>
+          pos - armed - off >= minRun && pos - armed - off <= lit(n.toLong)
+        case None => pos - armed - off >= minRun
+      }
       if (spec.overlapping) {
         // run may contain closer/opener: track the last valid closer,
         // commit at the break (or end of session — the finish lambda)
@@ -141,12 +165,20 @@ object PatternCompiler {
       } else {
         // disjoint class: the closer cannot extend the run, so a valid
         // closer commits immediately (and a short-run closer breaks);
-        // an opener token always (re)arms — ep02's restart rule
+        // an opener token always (re)arms — ep02's restart rule. With an
+        // upper bound, a run token that would push the count past maxRun
+        // DISARMS (the attempt is dead; the next viable start is the next
+        // opener — see the PatternSpec scaladoc for why this is exactly
+        // leftmost backtracking-greedy here)
         val commit = armed > 0L && tok === cl && runOk
         val len = pos - armed + 1L
+        val runKeeps = spec.maxRun match {
+          case Some(n) => isW(tok) && pos - armed + 1L - off <= lit(n.toLong)
+          case None    => isW(tok)
+        }
         val armedNext =
           when(commit, 0L)
-            .when(armed > 0L && isW(tok), armed)
+            .when(armed > 0L && runKeeps, armed)
             .otherwise(when(isOpener(tok), pos).otherwise(0L))
         struct(armedNext.as("armed"), lit(0L).as("lastc"),
           when(commit, nm + 1L).otherwise(nm).as("nm"),
@@ -238,15 +270,23 @@ object PatternCompiler {
   private def disjointOracle(spec: PatternSpec): String = {
     val wList = sqlList(spec.run)
     val lenExpr = s"w.b + ${1 + spec.off}"
+    // with an upper bound, a run token that would push b past maxRun
+    // disarms (falls to the ELSE 0 branches) — the automaton's overflow
+    // rule, generated from the same spec field
+    val wKeep = spec.maxRun match {
+      case Some(n) => s"w.s = 1 AND e.event_type IN ($wList) AND w.b + 1 <= $n"
+      case None    => s"w.s = 1 AND e.event_type IN ($wList)"
+    }
+    val bound = spec.maxRun.map(n => s" AND w.b <= $n").getOrElse("")
     val arm = spec.opener match {
       case Some(o) =>
         (s"""CASE WHEN e.event_type = '$o' THEN 1
-            |         WHEN w.s = 1 AND e.event_type IN ($wList) THEN 1
+            |         WHEN $wKeep THEN 1
             |         ELSE 0 END""".stripMargin,
           s"""CASE WHEN e.event_type = '$o' THEN 0
-             |         WHEN w.s = 1 AND e.event_type IN ($wList) THEN w.b + 1
+             |         WHEN $wKeep THEN w.b + 1
              |         ELSE 0 END""".stripMargin,
-          s"w.s = 1 AND w.b >= ${spec.minRun}")
+          s"w.s = 1 AND w.b >= ${spec.minRun}$bound")
       case None =>
         ("CASE WHEN e.event_type IN (" + wList + ") THEN 1 ELSE 0 END",
           s"CASE WHEN e.event_type IN ($wList) THEN w.b + 1 ELSE 0 END",
@@ -406,8 +446,26 @@ object PatternCompiler {
   def ep07(s: SparkSession, dir: String): DataFrame =
     compile(ep07Spec)(Tables.events(s, dir))
 
+  /** ep08 — the BOUNDED-RANGE quantifier, the last MATCH_RECOGNIZE
+    * quantifier form the family lacked (ep02 `+`, ep03 `{m,}`, ep04 `*`):
+    * `PATTERN (signup (view|click){1,3} purchase)` SKIP PAST LAST ROW —
+    * "quick conversions": a signup closed by a purchase after one to
+    * three browse events; longer browsing disqualifies the attempt and
+    * the automaton disarms until the next signup (provably the
+    * backtracking-greedy leftmost semantics for this class — see
+    * PatternSpec). Fold-automaton path + generated recursive-CTE oracle,
+    * both carrying the same maxRun transition.
+    */
+  val ep08Spec: PatternSpec =
+    PatternSpec(Some("signup"), Set("view", "click"), 1, "purchase",
+      maxRun = Some(3))
+
+  def ep08(s: SparkSession, dir: String): DataFrame =
+    compile(ep08Spec)(Tables.events(s, dir))
+
   val all: Seq[Q] = Seq(
     Q("ep06_compiled_pattern", ep06, Some(oracle(ep06Spec))),
     Q("ep07_compiled_fold_pattern", ep07, Some(oracle(ep07Spec))),
+    Q("ep08_bounded_quantifier", ep08, Some(oracle(ep08Spec))),
   )
 }

@@ -134,5 +134,47 @@ class PatternCompilerSpec extends AnyFunSuite with SparkSpec {
     assert(oracle(ep03Spec).contains("w.b >= 2"))
     assert(oracle(ep02Spec).contains("'signup'"))
     assert(oracle(ep04Spec).contains("'purchase'"))
+    assert(oracle(ep08Spec).contains("w.b <= 3"))
+    assert(oracle(ep08Spec).contains("w.b + 1 <= 3"))
+  }
+
+  test("ep08 bounded quantifier: overflow disarms until the next opener") {
+    // A W W W W P — four run tokens exceed {1,3}: the attempt dies at the
+    // 4th W (leftmost backtracking also fails: every split of the run
+    // leaves a W, not P, after the quantifier), so NO match. The session
+    // then re-arms at a later signup and matches {1,3} normally.
+    val dead = eventsOf(Seq(1L -> "signup", 1L -> "view", 1L -> "view",
+      1L -> "click", 1L -> "view", 1L -> "purchase"))
+    assert(rowsOf(compile(ep08Spec)(dead)).isEmpty)
+    // exactly at the bound: A W W W P matches, len = 5 matched rows
+    val atBound = eventsOf(Seq(2L -> "signup", 2L -> "view", 2L -> "click",
+      2L -> "view", 2L -> "purchase"))
+    assert(rowsOf(compile(ep08Spec)(atBound)) == Seq((2L, "2024-01-01", 1L, 5L, 5L)))
+    // overflow then a fresh opener recovers: A W W W W A W P → one match
+    // from the SECOND signup (len 3: signup view purchase... run len 1)
+    val recover = eventsOf(Seq(3L -> "signup", 3L -> "view", 3L -> "view",
+      3L -> "click", 3L -> "view", 3L -> "signup", 3L -> "view",
+      3L -> "purchase"))
+    assert(rowsOf(compile(ep08Spec)(recover)) == Seq((3L, "2024-01-01", 1L, 3L, 3L)))
+    // a mid-run opener restarts even under the bound (the ep02 rule)
+    val restart = eventsOf(Seq(4L -> "signup", 4L -> "view", 4L -> "signup",
+      4L -> "view", 4L -> "purchase"))
+    assert(rowsOf(compile(ep08Spec)(restart)) == Seq((4L, "2024-01-01", 1L, 3L, 3L)))
+    // a short run under minRun still breaks: A P alone is no match
+    val short = eventsOf(Seq(5L -> "signup", 5L -> "purchase"))
+    assert(rowsOf(compile(ep08Spec)(short)).isEmpty)
+  }
+
+  test("maxRun is rejected outside the opener-anchored disjoint class") {
+    intercept[IllegalArgumentException] {
+      PatternSpec(None, Set("error"), 2, "purchase", maxRun = Some(4))
+    }
+    intercept[IllegalArgumentException] {
+      PatternSpec(Some("signup"), Set("view", "click", "purchase", "signup"),
+        0, "purchase", maxRun = Some(4))
+    }
+    intercept[IllegalArgumentException] {
+      PatternSpec(Some("signup"), Set("view"), 3, "purchase", maxRun = Some(2))
+    }
   }
 }
