@@ -55,18 +55,22 @@ object PatternCompiler {
 
   /** One MATCH_RECOGNIZE-style pattern over session event types.
     *
-    * `maxRun` is the quantifier UPPER bound (`{m,n}`), supported for the
-    * opener-anchored disjoint class only — there, "disarm when the run
-    * exceeds n" is provably identical to MATCH_RECOGNIZE's
-    * backtracking-greedy leftmost semantics: with W ∌ closer and
-    * W ∌ opener there is never an alternative split of the run, so an
-    * attempt from an opener succeeds iff the tokens after it are exactly
-    * W^k·closer with m ≤ k ≤ n, and a failed attempt's next viable start
-    * row is the next opener (every W/closer-started attempt dies at its
-    * first token). An OPENERLESS bounded pattern (`W{m,n} P`) has
-    * genuinely different leftmost semantics (the start row slides, so a
-    * long run still matches its last ≤ n tokens) and is rejected rather
-    * than silently mis-compiled.
+    * `maxRun` is the quantifier UPPER bound (`{m,n}`), for the disjoint
+    * class under SKIP PAST LAST ROW. The two anchoring cases compile to
+    * DIFFERENT leftmost semantics, each provably MATCH_RECOGNIZE's:
+    *  - opener-anchored (`A W{m,n} P`): "disarm when the run exceeds n,
+    *    re-arm at the next opener" — with W ∌ closer and W ∌ opener there
+    *    is never an alternative split of the run, so an attempt from an
+    *    opener succeeds iff the tokens after it are exactly W^k·closer
+    *    with m ≤ k ≤ n, and a failed attempt's next viable start row is
+    *    the next opener (every W/closer-started attempt dies at its
+    *    first token);
+    *  - openerless (`W{m,n} P`): the start row SLIDES — attempts launch
+    *    from every run row, so a run of b ≥ m tokens before a closer
+    *    always matches, taking its LAST min(b, n) tokens (the attempt at
+    *    closerPos − min(b, n) is the first that fits). Compiled as a
+    *    saturating length: no overflow disarm, matched rows =
+    *    min(b, n) + 1.
     */
   final case class PatternSpec(
       opener: Option[String],
@@ -88,10 +92,9 @@ object PatternCompiler {
     require(!skipToNextRow || (run.contains(closer) && opener.exists(run.contains)),
       "SKIP TO NEXT ROW requires opener ∈ run and closer ∈ run")
     require(maxRun.forall(_ >= math.max(minRun, 1)), "maxRun must be ≥ max(minRun, 1)")
-    require(maxRun.isEmpty ||
-      (opener.isDefined && !run.contains(closer) && !skipToNextRow),
-      "bounded quantifiers ({m,n}) compile for the opener-anchored " +
-        "disjoint class under SKIP PAST LAST ROW only (see scaladoc)")
+    require(maxRun.isEmpty || (!run.contains(closer) && !skipToNextRow),
+      "bounded quantifiers ({m,n}) compile for the disjoint class " +
+        "under SKIP PAST LAST ROW only (see scaladoc)")
 
     /** run tokens counted between matchStart and a position. */
     private[queries] def off: Int = if (opener.isDefined) 1 else 0
@@ -140,10 +143,13 @@ object PatternCompiler {
       val nm = acc.getField("nm")
       val tot = acc.getField("tot")
       val mx = acc.getField("mx")
+      // the anchored bounded form enforces the upper bound at the closer;
+      // the openerless bounded form never fails on length (sliding start —
+      // it saturates the LENGTH instead, below)
       val runOk = spec.maxRun match {
-        case Some(n) =>
+        case Some(n) if spec.opener.isDefined =>
           pos - armed - off >= minRun && pos - armed - off <= lit(n.toLong)
-        case None => pos - armed - off >= minRun
+        case _ => pos - armed - off >= minRun
       }
       if (spec.overlapping) {
         // run may contain closer/opener: track the last valid closer,
@@ -171,10 +177,16 @@ object PatternCompiler {
         // opener — see the PatternSpec scaladoc for why this is exactly
         // leftmost backtracking-greedy here)
         val commit = armed > 0L && tok === cl && runOk
-        val len = pos - armed + 1L
+        val len = spec.maxRun match {
+          // openerless bounded: leftmost takes the run's LAST ≤ n tokens
+          case Some(n) if spec.opener.isEmpty =>
+            least(pos - armed, lit(n.toLong)) + 1L
+          case _ => pos - armed + 1L
+        }
         val runKeeps = spec.maxRun match {
-          case Some(n) => isW(tok) && pos - armed + 1L - off <= lit(n.toLong)
-          case None    => isW(tok)
+          case Some(n) if spec.opener.isDefined =>
+            isW(tok) && pos - armed + 1L - off <= lit(n.toLong)
+          case _ => isW(tok)
         }
         val armedNext =
           when(commit, 0L)
@@ -269,15 +281,22 @@ object PatternCompiler {
     */
   private def disjointOracle(spec: PatternSpec): String = {
     val wList = sqlList(spec.run)
-    val lenExpr = s"w.b + ${1 + spec.off}"
-    // with an upper bound, a run token that would push b past maxRun
-    // disarms (falls to the ELSE 0 branches) — the automaton's overflow
-    // rule, generated from the same spec field
-    val wKeep = spec.maxRun match {
-      case Some(n) => s"w.s = 1 AND e.event_type IN ($wList) AND w.b + 1 <= $n"
-      case None    => s"w.s = 1 AND e.event_type IN ($wList)"
+    // openerless bounded: saturating length (sliding start); anchored or
+    // unbounded: plain matched-rows length
+    val lenExpr = spec.maxRun match {
+      case Some(n) if spec.opener.isEmpty => s"least(w.b, $n) + 1"
+      case _ => s"w.b + ${1 + spec.off}"
     }
-    val bound = spec.maxRun.map(n => s" AND w.b <= $n").getOrElse("")
+    // with an ANCHORED upper bound, a run token that would push b past
+    // maxRun disarms (falls to the ELSE 0 branches) — the automaton's
+    // overflow rule, generated from the same spec field
+    val wKeep = spec.maxRun match {
+      case Some(n) if spec.opener.isDefined =>
+        s"w.s = 1 AND e.event_type IN ($wList) AND w.b + 1 <= $n"
+      case _ => s"w.s = 1 AND e.event_type IN ($wList)"
+    }
+    val bound = spec.maxRun.filter(_ => spec.opener.isDefined)
+      .map(n => s" AND w.b <= $n").getOrElse("")
     val arm = spec.opener match {
       case Some(o) =>
         (s"""CASE WHEN e.event_type = '$o' THEN 1
@@ -463,9 +482,24 @@ object PatternCompiler {
   def ep08(s: SparkSession, dir: String): DataFrame =
     compile(ep08Spec)(Tables.events(s, dir))
 
+  /** ep09 — the OPENERLESS bounded quantifier, the sliding-start twin of
+    * ep08: `PATTERN ((error){1,2} purchase)` SKIP PAST LAST ROW — "short
+    * error-burst conversions". Leftmost semantics differ structurally
+    * from ep08's anchored form: a long error run still matches (its last
+    * ≤ 2 tokens — the start row slides), so the automaton saturates the
+    * LENGTH instead of disarming on overflow; vs ep03's unbounded `{2,}`
+    * the match COUNT can coincide but the length measures cap.
+    */
+  val ep09Spec: PatternSpec =
+    PatternSpec(None, Set("error"), 1, "purchase", maxRun = Some(2))
+
+  def ep09(s: SparkSession, dir: String): DataFrame =
+    compile(ep09Spec)(Tables.events(s, dir))
+
   val all: Seq[Q] = Seq(
     Q("ep06_compiled_pattern", ep06, Some(oracle(ep06Spec))),
     Q("ep07_compiled_fold_pattern", ep07, Some(oracle(ep07Spec))),
     Q("ep08_bounded_quantifier", ep08, Some(oracle(ep08Spec))),
+    Q("ep09_sliding_bounded_quantifier", ep09, Some(oracle(ep09Spec))),
   )
 }

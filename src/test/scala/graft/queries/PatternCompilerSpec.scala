@@ -165,10 +165,7 @@ class PatternCompilerSpec extends AnyFunSuite with SparkSpec {
     assert(rowsOf(compile(ep08Spec)(short)).isEmpty)
   }
 
-  test("maxRun is rejected outside the opener-anchored disjoint class") {
-    intercept[IllegalArgumentException] {
-      PatternSpec(None, Set("error"), 2, "purchase", maxRun = Some(4))
-    }
+  test("maxRun is rejected outside the disjoint SKIP PAST LAST ROW class") {
     intercept[IllegalArgumentException] {
       PatternSpec(Some("signup"), Set("view", "click", "purchase", "signup"),
         0, "purchase", maxRun = Some(4))
@@ -176,5 +173,33 @@ class PatternCompilerSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       PatternSpec(Some("signup"), Set("view"), 3, "purchase", maxRun = Some(2))
     }
+    // the openerless bounded form is legal — it compiles to the
+    // sliding-start saturating semantics (ep09), not a rejection
+    PatternSpec(None, Set("error"), 2, "purchase", maxRun = Some(4))
+  }
+
+  test("ep09 sliding bound: a long run still matches its last <= n tokens") {
+    // E E E P under (error){1,2}: leftmost attempt that fits starts at
+    // the 3rd error — one match of len 3 (2 errors + closer), NOT a dead
+    // session (the anchored-overflow rule would wrongly kill it)
+    val long = eventsOf(Seq(1L -> "error", 1L -> "error", 1L -> "error",
+      1L -> "purchase"))
+    assert(rowsOf(compile(ep09Spec)(long)) == Seq((1L, "2024-01-01", 1L, 3L, 3L)))
+    // a minimal run matches at its real length
+    val short = eventsOf(Seq(2L -> "error", 2L -> "purchase"))
+    assert(rowsOf(compile(ep09Spec)(short)) == Seq((2L, "2024-01-01", 1L, 2L, 2L)))
+    // SKIP PAST LAST ROW: the committed match consumes its rows; a later
+    // burst re-matches independently
+    val twice = eventsOf(Seq(3L -> "error", 3L -> "error", 3L -> "error",
+      3L -> "purchase", 3L -> "error", 3L -> "purchase"))
+    assert(rowsOf(compile(ep09Spec)(twice)) == Seq((3L, "2024-01-01", 2L, 5L, 3L)))
+    // a closer with no preceding run does not match
+    val bare = eventsOf(Seq(4L -> "purchase", 4L -> "error"))
+    assert(rowsOf(compile(ep09Spec)(bare)).isEmpty)
+    // under minRun 2 with cap 4: E E E E E P matches len 5 (last 4 + P)
+    val m2 = PatternSpec(None, Set("error"), 2, "purchase", maxRun = Some(4))
+    val five = eventsOf(Seq(5L -> "error", 5L -> "error", 5L -> "error",
+      5L -> "error", 5L -> "error", 5L -> "purchase"))
+    assert(rowsOf(compile(m2)(five)) == Seq((5L, "2024-01-01", 1L, 5L, 5L)))
   }
 }
