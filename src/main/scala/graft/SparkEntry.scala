@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.WhoStarQueries
 import graft.ml.Forecast
-import graft.ops.{AsOf, Blocklist, Clustering, Dedup, EntityResolution, Graph, HeavyHitters, Incremental, LangId, LangModel, Mixing, Multimodal, Profile, RangeJoin, Retrieval, Sampling, Similarity, Sketch, Skew, Suffix, TextAnalysis, Tokenize, ZOrder}
+import graft.ops.{AsOf, Blocklist, Clustering, Dedup, EntityResolution, Graph, HeavyHitters, Incremental, LangId, LangModel, Mixing, Multimodal, Profile, Projection, RangeJoin, Retrieval, Sampling, Similarity, Sketch, Skew, Suffix, TextAnalysis, Tokenize, ZOrder}
 import graft.queries.{Aggregates, EventAnalytics, Joins, PatternCompiler, Q, Relational, Shaping, TimeSeries, Windows}
 import graft.streaming.Streams
 
@@ -25,7 +25,7 @@ object SparkEntry {
       EntityResolution.all ++ EventAnalytics.all ++ Graph.all ++ Sketch.all ++
       TimeSeries.all ++ WhoStarQueries.all ++ Tokenize.all ++ Retrieval.all ++
       Mixing.all ++ Suffix.all ++ PatternCompiler.all ++ LangId.all ++ LangModel.all ++
-      Clustering.all ++ Blocklist.all
+      Clustering.all ++ Blocklist.all ++ Projection.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * scan → join → agg → join → top-k (SURVEY.md §7 build order step 1).
