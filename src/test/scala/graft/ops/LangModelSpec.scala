@@ -149,6 +149,43 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assert(buckets("tail") === 2L)
   }
 
+  test("fixed-point KN is a (sub-)probability: per-context mass stays under Nano") {
+    // For every seen context w1, the true KN distribution sums to exactly 1
+    // over an infinite vocabulary; our fixed-point form only ever rounds
+    // DOWN (integer div) and adds the +1-smoothed continuation floor, so
+    // over the SEEN vocabulary the mass must stay ≤ Nano plus the floor
+    // mass the unseen tail would claim. A regression that double-counts
+    // the discount or drops a div shows up as mass far past Nano.
+    val docs = Seq(
+      "the cat sat on the mat", "the dog sat on the log",
+      "a cat and a dog and a bird", "the bird sat on the cat",
+      "the the the the", "one two three four five six seven",
+    )
+    // scalar model over ALL docs as train (ids chosen all-train not needed:
+    // reuse scalarScore's internals by building the model directly)
+    def toks(t: String) = t.split(" ")
+    val big = docs.flatMap { t => val w = toks(t); (1 until w.length).map(i => (w(i - 1), w(i))) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val uni = big.toSeq.groupBy(_._1._1).map { case (w1, xs) =>
+      w1 -> (xs.map(_._2).sum, xs.size.toLong)
+    }
+    val rgt = big.toSeq.groupBy(_._1._2).map { case (w2, xs) => w2 -> xs.size.toLong }
+    val t = big.size.toLong
+    val v = rgt.size.toLong
+    val vocab = (uni.keySet ++ rgt.keySet).toSeq
+    for ((w1, (c1, n1l)) <- uni) {
+      val mass = vocab.map { w2 =>
+        val pcont = ((rgt.getOrElse(w2, 0L) + 1) * Nano) / (t + v + 1)
+        val term1 = big.get((w1, w2)).map(c => (c * Nano - D) / c1).getOrElse(0L)
+        term1 + ((D * n1l / c1) * pcont) / Nano
+      }.sum
+      // the +1 smoothing adds ≤ |vocab|·Nano/(t+v+1) of floor mass
+      val slack = vocab.size.toLong * Nano / (t + v + 1)
+      assert(mass <= Nano + slack, s"context '$w1' mass $mass > ${Nano + slack}")
+      assert(mass >= Nano / 2, s"context '$w1' mass $mass suspiciously low")
+    }
+  }
+
   test("self-training signature on sf0.001: train docs concentrate in the head") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("ppl01_kn_perplexity_buckets")(spark, sfSmoke)
