@@ -17,8 +17,10 @@ object DbgStages {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$dir/lineitem.parquet").count()
-    // warm rep
+    // warm rep; cache cleared afterwards so the measured run pays for its
+    // own Eager.cached builds exactly like a Bench rep does
     SparkEntry.queries(name)(spark, dir).count()
+    spark.catalog.clearCache()
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Int, Long, Long)]()
     val taskCpu = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val taskDetail = new java.util.concurrent.ConcurrentHashMap[Int, String]()

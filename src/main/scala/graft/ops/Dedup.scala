@@ -78,8 +78,11 @@ object Dedup {
     import session.implicits._
     val n = NumPerms
     val sz = ShingleSize
-    docs
-      .select(col("doc_id").cast("long"), col("text"))
+    // spread before the narrow pass: mapPartitions inherits the scan's
+    // split count, and a single-split corpus would run the whole signature
+    // matrix in one task (scale-adaptive — identity at real split counts)
+    graft.util.Spread.toWidth(
+      docs.select(col("doc_id").cast("long"), col("text")), col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -858,10 +861,25 @@ object Dedup {
           .as("text"))
     val aug = docs.unionByName(halves)
     // shingle SETS (distinct by construction) — read by the token explode
-    // and both verify branches
+    // and both verify branches. Spread first: the shingling is the query's
+    // single most expensive per-row segment (measured 4.6 s CPU on the
+    // 2-task single-split layout ≈ 4.5 s wall; ~0.2 s at width 32), and the
+    // 32-partition cached layout also carries the verify joins below at
+    // full width instead of AQE's 4-task byte-coalesced guess.
     val sets = graft.util.Eager.cached(
-      aug.select($"doc_id", shingleArray($"text").as("sh")))
-    val cand = containmentCandidates(sets)
+      graft.util.Spread.toWidth(aug, $"doc_id")
+        .select($"doc_id", shingleArray($"text").as("sh")))
+    // user-specified width for the verify pass: the exact-intersection
+    // projection fuses into the join stage that STREAMS cand, and AQE's
+    // byte-based coalescing shrank that stage to 4 tasks (3.7 s CPU ≈
+    // 1.2 s wall) — bytes can't see per-row array-intersect cost. The
+    // explicit repartition is AQE-exempt and moves only (a, b) pairs,
+    // 16 bytes/row at any scale.
+    // (keyed on `a` alone: a repartition keyed (a, b) is elided as redundant
+    // with the groupBy(a, b) exchange below it, whose ENSURE_REQUIREMENTS
+    // read is exactly the one AQE coalesces)
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val cand = containmentCandidates(sets).repartition(width, $"a")
     cand
       .join(sets.select($"doc_id".as("a"), $"sh".as("sh_a")), Seq("a"))
       .join(sets.select($"doc_id".as("b"), $"sh".as("sh_b")), Seq("b"))
