@@ -30,6 +30,8 @@ object Timing {
         val df = SparkEntry.queries(q)(spark, dir)
         val n = if (rddMode) df.queryExecution.toRdd.count() else df.count()
         println(f"[timing] $q rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        // bench posture: each sample pays for its own Eager.cached builds
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

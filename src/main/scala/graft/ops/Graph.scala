@@ -54,6 +54,17 @@ object Graph {
     * every node must have out-degree ≥ 1 — build edges undirected, as pr01
     * does, to guarantee it). Returns (node, score) with Σscore ≤ [[Scale]].
     */
+  /** NOTE (sizing contract): callers must pass an edge relation whose
+    * optimizer stats are trustworthy — a projection/union over CACHED
+    * relations (pr01/sp01 pass a union over the cached trade-pair
+    * relation) or a raw scan. An uncached join plan reports the PRODUCT of
+    * its children's sizes (Catalyst's pessimistic default), which slammed
+    * the loop into the session cap in round 12 — ¾ of pr01's width-32 CPU
+    * was per-round task overhead. The previous fix materialized a private
+    * copy here; sizing from the caller's cached stats instead saves one
+    * whole materialization of the edge list per query (the loop builds its
+    * own src-partitioned cache below anyway).
+    */
   def pageRank(edgesIn: DataFrame, iters: Int = Iters): DataFrame = {
     // score vectors are node-cardinality — orders of magnitude below the
     // session's batch width. Pin the loop's shuffle width on a CHILD
@@ -62,20 +73,10 @@ object Graph {
     // child's) so ten iterations aren't sixty near-empty-partition stages.
     val parent = edgesIn.sparkSession
     val ss = parent.newSession()
-    // Materialize the edge list BEFORE sizing the loop: LoopWidth reads
-    // optimizer stats, and an uncached join plan reports the PRODUCT of its
-    // children's sizes (Catalyst's pessimistic default), which slammed the
-    // loop into the session cap — round-12 driver forensics put ¾ of pr01's
-    // width-32 CPU in per-round task overhead. The cached relation reports
-    // its real materialized bytes, so the ten iterations run at the width
-    // the data actually needs (floor 8 at the test SFs, growing with the
-    // edge bytes at scale, capped at the parent's width).
-    val cachedEdges = graft.util.Eager.cached(edgesIn.select("src", "dst"))
+    val e = edgesIn.select("src", "dst")
     ss.conf.set("spark.sql.shuffle.partitions",
-      graft.util.LoopWidth.forRelation(cachedEdges).toString)
-    val homedIn = cachedEdges
-    val labels = pageRankLoop(
-      ss.createDataFrame(homedIn.rdd, homedIn.schema), iters)
+      graft.util.LoopWidth.forRelation(e).toString)
+    val labels = pageRankLoop(ss.createDataFrame(e.rdd, e.schema), iters)
     parent.createDataFrame(labels.rdd, labels.schema)
   }
 
@@ -161,15 +162,28 @@ object Graph {
     */
   @volatile private[ops] var lastExecutedRounds: Int = -1
 
-  def pr01(s: SparkSession, dir: String): DataFrame = {
+  /** The undirected trade edge list shared by pr01/sp01 — distinct
+    * (customer, supplier) pairs CACHED once, both union branches scanning
+    * the cache: the lineitem ⋈ orders join and its distinct run one time
+    * instead of once per branch, and the union-over-cached stats are
+    * accurate for the loops' LoopWidth sizing without a second
+    * materialization.
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
     val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
-    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sn"))
-      .distinct()
-    val edges = pairs.select($"c".as("src"), $"sn".as("dst"))
+    val pairs = graft.util.Eager.cached(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sn"))
+        .distinct())
+    pairs.select($"c".as("src"), $"sn".as("dst"))
       .unionByName(pairs.select($"sn".as("src"), $"c".as("dst")))
+  }
+
+  def pr01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
     pageRank(edges).select(
       when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
       expr("node div 2").as("node_key"),
@@ -230,12 +244,13 @@ object Graph {
     */
   def bfsHops(edgesIn: DataFrame, sourcesIn: DataFrame,
       maxHops: Int = MaxHops): DataFrame = {
-    // same child-session data-derived width as pageRank; both inputs re-home.
-    // Cache-then-size (the pageRank fix): sizing an uncached join plan reads
-    // Catalyst's multiplied join estimate and slams the loop into the cap.
+    // same child-session data-derived width as pageRank; both inputs
+    // re-home. Same sizing contract as pageRank: the caller passes a
+    // stats-accurate edge relation (sp01: union over cached pairs), so no
+    // private materialization is needed here.
     val parent = edgesIn.sparkSession
     val ss = parent.newSession()
-    val e = graft.util.Eager.cached(edgesIn.select("src", "dst"))
+    val e = edgesIn.select("src", "dst")
     ss.conf.set("spark.sql.shuffle.partitions",
       graft.util.LoopWidth.forRelation(e).toString)
     val src = sourcesIn.select("node")
@@ -249,17 +264,40 @@ object Graph {
       maxHops: Int): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    val edges = graft.util.Eager.cached(edgesIn.select($"src", $"dst"))
+    // cached pre-partitioned by src at the loop's width: every round joins
+    // on src, and the narrow layout also makes the per-round scan
+    // LoopWidth tasks instead of inheriting the parent-width union's
+    // partition count (measured 64 scan tasks per round at sf0.1 — pure
+    // task-launch overhead on a loop this small)
+    val edges = graft.util.Eager.cached(
+      edgesIn.select($"src", $"dst").repartition($"src"))
     var visited = sources.select($"node", lit(0).as("hops")).localCheckpoint()
     var frontier = visited
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var saturated = false
+    while (h <= maxHops && !saturated) {
       val next = edges.join(frontier, edges("src") === frontier("node"))
         .select($"dst".as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select($"node", lit(h).as("hops"))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next
+      // SATURATION early exit (the kc01 fixpoint argument): an empty
+      // frontier makes every later round a provable no-op (the anti join
+      // would re-derive the empty set), so the output is bit-identical to
+      // running the full hop budget. The probe is a take(1) over the
+      // just-materialized checkpoint — round cost drops to zero once the
+      // graph's true eccentricity is reached, instead of paying the
+      // worst-case budget (the dense trade graph saturates in 3-4 hops).
+      if (next.isEmpty) saturated = true
+      else {
+        // no per-round checkpoint for the visited union: both inputs are
+        // already materialized checkpoints, the union is pure lineage
+        // (depth ≤ maxHops), and the dropped checkpoint was one whole
+        // extra job per round
+        visited = visited.unionByName(next)
+        frontier = next
+      }
+      h += 1
     }
     visited
   }
@@ -271,13 +309,7 @@ object Graph {
     */
   def sp01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
-    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
-    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sn"))
-      .distinct()
-    val edges = pairs.select($"c".as("src"), $"sn".as("dst"))
-      .unionByName(pairs.select($"sn".as("src"), $"c".as("dst")))
+    val edges = tradeEdges(s, dir)
     val sources = Tables.supplier(s, dir)
       .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
       .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
@@ -508,7 +540,12 @@ object Graph {
   private def kCoreLoop(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    val edges = graft.util.Eager.cached(edgesIn)
+    // src-partitioned at the loop width (the bfsLoop/lpaLoop layout): the
+    // per-round degree count keys on src and both semi-join probes are
+    // broadcast-shaped, so the cache's partition count IS the per-round
+    // scan task count — inheriting the parent-width union's 2× layout just
+    // multiplies task-launch overhead across the peel rounds
+    val edges = graft.util.Eager.cached(edgesIn.repartition($"src"))
     def aliveEdges(alive: DataFrame): DataFrame = edges
       .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
       .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
