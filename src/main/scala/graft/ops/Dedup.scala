@@ -145,9 +145,15 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    val estEq = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    // unrolled 64-term comparison sum instead of zip_with + aggregate: the
+    // HOF pair evaluates INTERPRETED lambdas per element (no whole-stage
+    // codegen), while element_at on a fixed index codegens to an array
+    // access — guide §1.2 step 2, eliminate non-codegen expressions in the
+    // hot path (every candidate pair pays this once)
+    val estEq = (0 until NumPerms).map { i =>
+      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+        .otherwise(0)
+    }.reduce(_ + _)
     pairs
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
@@ -449,11 +455,15 @@ object Dedup {
     var changed = true
     var rounds = 0
     while (changed && rounds < 20) {
-      // 1) take the min label over the neighborhood
+      // 1) take the min label over the neighborhood. The round's STARTING
+      //    label rides along as `old` so the convergence probe below is a
+      //    filter over the just-materialized checkpoint instead of a
+      //    jumped ⋈ labels join + count job per round (guide §2.4 — the
+      //    join's two sorted exchanges bought nothing: `old` is free here)
       val nmin = sym.join(labels, sym("a") === labels("id"))
         .groupBy(sym("b").as("nid")).agg(min(col("comp")).as("ncomp"))
       val afterN = labels.join(nmin, labels("id") === col("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // 2) pointer jump: also adopt the label of the current label-holder —
       //    label distance doubles per round, so rounds are O(log diameter)
@@ -461,12 +471,13 @@ object Dedup {
       val byId = afterN.select(col("id").as("jid"), col("comp").as("jcomp"))
       val jumped = afterN.join(byId, afterN("comp") === byId("jid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
+          col("old"))
         .localCheckpoint() // eager: truncates lineage so plans stay O(1) per round
-      changed = jumped
-        .join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") < col("old")).limit(1).count() > 0
-      labels = jumped
+      // labels only ever decrease, so "no label improved" is exactly the
+      // old fixpoint condition; isEmpty take(1)-scans the checkpoint
+      changed = !jumped.filter(col("comp") < col("old")).isEmpty
+      labels = jumped.select(col("id"), col("comp"))
       rounds += 1
     }
     labels

@@ -131,7 +131,10 @@ object Graph {
         // unrolls (a true fixpoint is the period-1 case). Probing only
         // materialized checkpoints costs node-cardinality joins and zero
         // edge-join recomputation.
-        if (i < iters) {
+        // probe only when success skips ≥ one full 3-round cycle: at
+        // i = iters − 1 a successful probe still runs (iters−i) % 3 = 1
+        // step — the probe's joins would cost more than they can save
+        if (i + 3 <= iters) {
           // full-outer so the probe proves SET equality too: a node present
           // in only one checkpoint (score sets can shrink/grow while mass
           // rebalances) surfaces as a null side and vetoes the exit —
@@ -394,11 +397,24 @@ object Graph {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir)
-    val x = li.select($"l_orderkey".as("ok"), $"l_suppkey".as("s1"))
-    val y = li.select($"l_orderkey".as("ok2"), $"l_suppkey".as("s2"))
+    // (order, supplier) multiplicity counts FIRST, then a weighted
+    // self-join: Σ c1·c2 over the count relation is provably the lineitem
+    // pair count (every (itemA, itemB) pair with s1 < s2 is one term of
+    // the product), so the result is bit-identical while lineitem is
+    // scanned ONCE instead of twice and the join input shrinks to the
+    // per-order supplier multiset (guide §2.3 aggregate-before-shuffle,
+    // §2.4 shared exchange: the cache is partitioned by ok, which both
+    // the aggregation and the self-join below reuse — one exchange total
+    // where the join form paid three).
+    val os = graft.util.Eager.cached(
+      li.select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+        .repartition($"ok")
+        .groupBy($"ok", $"sk").agg(count(lit(1)).as("c")))
+    val x = os.select($"ok", $"sk".as("s1"), $"c".as("c1"))
+    val y = os.select($"ok".as("ok2"), $"sk".as("s2"), $"c".as("c2"))
     val co = graft.util.Eager.cached(
       x.join(y, $"ok" === $"ok2" && $"s1" < $"s2")
-        .groupBy($"s1", $"s2").agg(count(lit(1)).as("n")))
+        .groupBy($"s1", $"s2").agg(sum($"c1" * $"c2").as("n")))
     // decile threshold over the count HISTOGRAM (tiny), not the pairs
     val histW = Window.orderBy($"n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
@@ -675,13 +691,29 @@ object Graph {
     val edges = graft.util.Eager.cached(edgesIn.repartition($"src"))
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("lbl")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      labels = edges.join(labels, edges("src") === labels("node"))
+    var r = 1
+    var fixed = false
+    while (r <= rounds && !fixed) {
+      val next = edges.join(labels, edges("src") === labels("node"))
         .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
         .groupBy($"dst")
         .agg(max(struct($"cnt".as("c"), (-$"lbl").as("nl"))).as("m"))
         .select($"dst".as("node"), (-$"m.nl").as("lbl"))
         .localCheckpoint()
+      // FIXPOINT early exit (the kc01/bfs argument): the round function is
+      // a deterministic pure function of the label vector, so next == labels
+      // makes every later round a provable no-op and the round-`rounds`
+      // state the oracle unrolls IS this vector. Both relations cover the
+      // same node set (every node has in- and out-edges in the both-ways
+      // list), so the inner join is total and the probe is one
+      // node-cardinality join + take(1) — far below one edge-scale round.
+      if (r < rounds) {
+        fixed = next
+          .join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
+          .filter($"lbl" =!= $"old").isEmpty
+      }
+      labels = next
+      r += 1
     }
     labels
   }

@@ -46,8 +46,14 @@ object Sketch {
     * branch exists for the AUDIT (the oracle needs ground truth); a
     * production deployment ships only the sketch branch.
     */
-  /** The document token stream: normalized words, empties dropped. */
-  def tokens(docs: DataFrame): DataFrame = docs
+  /** The document token stream: normalized words, empties dropped. Spread
+    * to session width before the explode (guide §2.5 input skew — the
+    * single-split corpus would otherwise run the whole token fan-out and
+    * its map-side partial aggregation in one task; identity at real split
+    * counts).
+    */
+  def tokens(docs: DataFrame): DataFrame = graft.util.Spread
+    .toWidth(docs.select(col("doc_id"), col("text")), col("doc_id"))
     .select(explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
     .filter(col("token") =!= "")
 
@@ -55,20 +61,40 @@ object Sketch {
     conv(substring(md5(concat(seed.cast("string"), lit(":"), col("token"))), 1, 8), 16, 10)
       .cast("long") % Width
 
+  /** Per-token exact counts — the compressed proxy the sketch is built
+    * from: Depth md5 bucketings per DISTINCT token instead of per token
+    * OCCURRENCE (guide §2.3 "aggregate before you shuffle"; the cell sums
+    * are identical because hashing is a pure function of the token, so
+    * grouping occurrences first just reassociates the addition).
+    */
+  def tokenCounts(toks: DataFrame): DataFrame =
+    toks.groupBy(col("token")).agg(count(lit(1)).as("tc"))
+
+  /** The sketch from per-token counts: one (seed, bucket, cnt) row per
+    * non-empty cell.
+    */
+  def countersFromCounts(tcounts: DataFrame): DataFrame = tcounts
+    .select(explode(array((0 until Depth).map(lit): _*)).as("seed"),
+      col("token"), col("tc"))
+    .select(col("seed"), bucket(col("seed")).as("bucket"), col("tc"))
+    .groupBy(col("seed"), col("bucket")).agg(sum(col("tc")).as("cnt"))
+
   /** The sketch itself: one (seed, bucket, cnt) row per non-empty cell.
     * Cells are SUMs, so sketches over disjoint inputs merge by cell-wise
     * addition into exactly the whole-input sketch (SketchSpec pins this).
     */
-  def counters(toks: DataFrame): DataFrame = toks
-    .select(explode(array((0 until Depth).map(lit): _*)).as("seed"), col("token"))
-    .select(col("seed"), bucket(col("seed")).as("bucket"))
-    .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  def counters(toks: DataFrame): DataFrame =
+    countersFromCounts(tokenCounts(toks))
 
   def sk01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = graft.util.Eager.cached(tokens(Tables.documents(s, dir)))
-    val cm = counters(toks)
-    val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+    // cache the per-token counts (vocabulary-sized), not the raw token
+    // stream (corpus-sized): both the sketch and the top-20 audit derive
+    // from the counts alone
+    val tcounts = graft.util.Eager.cached(
+      tokenCounts(tokens(Tables.documents(s, dir))))
+    val cm = countersFromCounts(tcounts)
+    val top = tcounts.select($"token", $"tc".as("exact_n"))
       .orderBy($"exact_n".desc, $"token").limit(20)
     top
       .select($"token", $"exact_n",

@@ -79,43 +79,47 @@ object Suffix {
     // (measured: 1.7 s single-task stage at sf0.1). The hash layout also
     // pre-satisfies every per-doc lead() window below.
     val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // gid (the class-canonical id) is NOT carried as a column: it is a pure
+    // function of (doc_id, pos), so each canonicalization recomputes it
+    // inline instead of shuffling/checkpointing 8 extra bytes per position
+    // through every round (guide §2.3 — narrower rows through the exchange)
+    val gid = $"doc_id" * lit(MaxDocLen) + $"pos"
     val positions = docs
       .select($"doc_id", $"t", length($"t").cast("long").as("n"))
       .filter($"n" >= 1)
+      // the packing must be collision-free or two different suffixes could
+      // canonicalize to one id; cheap to assert inline, free to codegen
+      .withColumn("n",
+        when($"n" < lit(MaxDocLen), $"n")
+          .otherwise(raise_error(concat(lit("doc too long for sa01: "), $"n"))))
       // explicit width: without it AQE coalesces the tiny pre-explode doc
       // relation back to one partition and the fan-out runs single-task
       .repartition(width, $"doc_id")
       .select($"doc_id", $"n", explode(expr("sequence(1L, n)")).as("pos"), $"t")
-      .withColumn("gid", $"doc_id" * lit(MaxDocLen) + $"pos")
-      // the packing must be collision-free or two different suffixes could
-      // canonicalize to one id; cheap to assert inline, free to codegen
-      .withColumn("gid",
-        when($"n" < lit(MaxDocLen), $"gid")
-          .otherwise(raise_error(concat(lit("doc too long for sa01: "), $"n"))))
-    // seed at length TWO with no shuffle at all: a pair of codepoints packs
-    // exactly into one long ((cp+1) < 2²¹ each; slot 0 = past-end), and two
-    // positions share the packed value iff they share the 2-char prefix —
-    // an exact class id straight from the text, skipping both the
-    // single-char seed round and the 1→2 doubling round. Label domains are
-    // per-round (each doubling re-canonicalizes through min(gid)), so
-    // packed ids and gid ids never mix, and both stay ≥ 0 (the −1
-    // short-suffix sentinel keeps its reserved meaning).
-    val seed =
-      if (target == 1) expr("ascii(substring(t, pos, 1))").cast("long")
-      else expr(
-        "(ascii(substring(t, pos, 1)) + 1L) * 2097152L + " +
-          "if(pos < n, ascii(substring(t, pos + 1, 1)) + 1L, 0L)")
+    // SEED DIRECTLY AT LENGTH min(target, 8) by grouping on the raw prefix
+    // substring: label(L) only needs any equality-preserving key for the
+    // first L characters, and substring equality (including its natural
+    // length for suffixes shorter than L — the honest-class terminator
+    // argument verbatim) IS that key. One min-gid canonicalization over
+    // substring(t, pos, 8) costs the same exchange as one doubling round
+    // while replacing TWO of them (2→4→8), so label(32) takes 2 rounds
+    // after the seed instead of 4 (guide §1.2 step 1 — fewer passes; the
+    // bytes per row crossing the seed exchange are ~the (lab, labR) pair a
+    // doubling round ships). target < 8 (spec fixtures) seeds at
+    // min(target, 8) and runs zero rounds.
+    val seedLen = math.min(target, 8)
     var cur = positions
-      .withColumn("lab", seed)
+      .withColumn("lab",
+        min(gid).over(Window.partitionBy(expr(s"substring(t, pos, $seedLen)"))))
       .drop("t")
       .localCheckpoint()
-    var len = math.min(target, 2)
+    var len = seedLen
     while (len < target) {
       // label(2·len)(p) ≔ min gid over the (label(len)(p), label(len)(p+len))
       // class; −1 sentinel for suffixes too short to have a right half
       cur = cur
         .withColumn("labR", lead($"lab", len, -1L).over(byDoc))
-        .withColumn("lab", min($"gid").over(Window.partitionBy($"lab", $"labR")))
+        .withColumn("lab", min(gid).over(Window.partitionBy($"lab", $"labR")))
         .drop("labR")
         .localCheckpoint()
       len *= 2

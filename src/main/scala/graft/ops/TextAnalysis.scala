@@ -744,7 +744,14 @@ object TextAnalysis {
     val n = ContamGramWords
     val ws = split(normalize(col("text")), " ")
     val span = size(ws) - (n - 1)
-    docs
+    // spread before the gram explode (the minhashSignatures lesson, guide
+    // §2.5 input skew): the corpus arrives as ONE parquet split and the
+    // probe side of t13/c06 feeds a BROADCAST join — no exchange exists
+    // between the scan and the per-doc groupBy, so the whole 5-gram
+    // fan-out ran in a single task (measured: 1.3 s single-task stage in
+    // c06 at sf0.1). Scale-adaptive: identity once the scan has ≥ width
+    // splits.
+    graft.util.Spread.toWidth(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .filter(size(ws) >= n)
       .select(col("doc_id"), explode(arrays_zip(
         (1 to n).map(k => slice(ws, lit(k), span)): _*)).as("p"))
