@@ -120,8 +120,11 @@ object Blocklist {
   def t22(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ac = new Automaton(entries) // built once on the driver, task-broadcast
-    Tables.documents(s, dir)
-      .select($"doc_id".cast("long"), $"text")
+    // spread before the automaton pass (guide §2.5: single-split corpus ⇒
+    // the whole scan ran one-task; identity at real split counts)
+    graft.util.Spread.toWidth(
+      Tables.documents(s, dir).select($"doc_id".cast("long"), $"text"),
+      $"doc_id")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val (total, distinct, first) = ac.scan(TextAnalysis.normalizeJvm(text))

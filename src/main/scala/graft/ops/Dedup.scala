@@ -246,7 +246,11 @@ object Dedup {
     val assembled = (0 until 64).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
-    docs
+    // spread before the word explode (guide §2.5): the md5 voting and its
+    // map-side partial aggregation otherwise run one-task on the
+    // single-split corpus (identity at real split counts)
+    graft.util.Spread.toWidth(
+      docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(split(normalize(col("text")), " "))).as("word"))
       .select(col("doc_id"),

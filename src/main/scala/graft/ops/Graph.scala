@@ -93,11 +93,12 @@ object Graph {
       edgesIn.select($"src", $"dst").repartition($"src")
         .withColumn("deg", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy($"src"))))
-    val deg = graft.util.Eager.cached(
-      edges.groupBy($"src").agg(first($"deg").as("deg")))
-    // two driver-side scalars (node count → init/teleport constants) — the
-    // same "build once, then iterate" sequencing as the s04 quantizer fit
-    val n = deg.count()
+    // node list straight off the cached edges — the init score is a
+    // CONSTANT, so the old deg-valued cache (a second Eager materialization
+    // + count job) carried a column nobody read; one distinct + checkpoint
+    // is the whole setup (guide §1.2 — don't compute things you throw away)
+    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
     val init = Scale / n
     val teleport = init * 3 / 20 // (1 − d)·init with d = 17/20, floored
     def step(cur: DataFrame): DataFrame =
@@ -106,8 +107,7 @@ object Graph {
         .groupBy($"dst")
         .agg((lit(teleport) + sum($"contrib")).as("score"))
         .select($"dst".as("node"), $"score")
-    var scores = deg.select($"src".as("node"), lit(init).as("score"))
-      .localCheckpoint()
+    var scores = nodes.select($"node", lit(init).as("score"))
     // checkpoint from three rounds earlier, for the fixed-point probe below
     var prevCp = scores
     var executed = 0

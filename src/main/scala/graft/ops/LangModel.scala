@@ -143,7 +143,13 @@ object LangModel {
     // materialization job of the width-spread explode first (measured at
     // sf0.1: cached 2.8 s / 21 s CPU vs uncached 1.9 s / 4.3 s CPU — the
     // recomputed train explode is far cheaper than the lost concurrency
-    // plus the 32-task overhead of the extra materialization stage)
+    // plus the 32-task overhead of the extra materialization stage).
+    // Round-13 re-measured caching ONLY this shared parent: the accurate
+    // cache stats flip the three scoring joins from broadcast to
+    // sort-merge (bg then shuffles+sorts by (w1,w2)/w1/w2), 3.4× the
+    // executor CPU at sf0.01 (BudgetSpec tripwire caught it) — reverted;
+    // the repeated explode is the cheaper side of that trade at every
+    // tested scale.
     val big =
       bg.filter($"trained_on").groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val uni = big.groupBy($"w1").agg(sum($"c12").as("c1"), count(lit(1)).as("n1l"))

@@ -68,7 +68,11 @@ object Mixing {
     */
   def mx01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
+    // spread before the bigram fan-out + md5 hashing (guide §2.5): the
+    // Eager cache below otherwise materializes single-task on the
+    // single-split corpus (identity at real split counts)
+    val toks = graft.util.Spread.toWidth(
+      Tables.documents(s, dir).select($"doc_id", $"lang", $"text"), $"doc_id")
       .select($"doc_id", $"lang",
         filter(split(TextAnalysis.normalize($"text"), " "), x => x =!= "").as("sy"))
       .filter(size($"sy") >= 2)
@@ -366,7 +370,8 @@ object Mixing {
   def c11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val curated = CuratedSources.map(lit(_))
-    val words = Eager.cached(Tables.documents(s, dir)
+    val words = Eager.cached(graft.util.Spread.toWidth( // single-split spread
+      Tables.documents(s, dir).select($"doc_id", $"source", $"text"), $"doc_id")
       .select($"doc_id", $"source".isin(curated: _*).as("is_curated"),
         explode(filter(split(TextAnalysis.normalize($"text"), " "),
           x => x =!= "")).as("word")))

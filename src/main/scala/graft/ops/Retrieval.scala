@@ -51,7 +51,11 @@ object Retrieval {
   /** doc_id → term posting rows (one corpus scan, same normalize as t07). */
   private def words(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    // spread before the posting explode (guide §2.5): single-split corpus
+    // ⇒ tokenization + map-side partial aggs ran one-task (identity at
+    // real split counts)
+    graft.util.Spread.toWidth(
+      Tables.documents(s, dir).select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id",
         explode(split(TextAnalysis.normalize($"text"), " ")).as("term"))
       .filter($"term" =!= "")

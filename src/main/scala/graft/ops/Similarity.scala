@@ -111,25 +111,40 @@ object Similarity {
     val bits = planes / bands
     e.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, emb) =>
-        val keys = new Array[Int](bands)
-        var p = 0
-        var key = 0
-        while (p < planes) {
-          var dot = 0.0
-          var d = 0
-          while (d < emb.length) {
-            // Rademacher entry from the sign bit of a mixed (plane, dim) key
-            if (graft.util.Hashing.mix64(p.toLong * 8192 + d) < 0) dot -= emb(d)
-            else dot += emb(d)
-            d += 1
+      .mapPartitions { it =>
+        // the Rademacher sign matrix is a pure function of (plane, dim) —
+        // hoist it out of the per-vector loop (guide §4.5: build heavy
+        // state once per task). Before, mix64 ran planes × dims times PER
+        // VECTOR (128×128 = 16k hash calls/row — measured as the dominant
+        // CPU of the d07/cl01 signature stage); now it runs once per task
+        // and the inner loop is a branch on a boolean array. Values are
+        // identical — same mix64, same keys — so every downstream bucket
+        // and the recall gates are unchanged. Rebuilt only if a later row
+        // is wider (dims are corpus-constant in practice).
+        var signs: Array[Array[Boolean]] = null
+        it.map { case (id, emb) =>
+          if (signs == null || signs(0).length < emb.length) {
+            signs = Array.tabulate(planes, emb.length)(
+              (p, d) => graft.util.Hashing.mix64(p.toLong * 8192 + d) < 0)
           }
-          key = (key << 1) | (if (dot >= 0) 1 else 0)
-          p += 1
-          if (p % bits == 0) { keys(p / bits - 1) = key; key = 0 }
+          val keys = new Array[Int](bands)
+          var p = 0
+          var key = 0
+          while (p < planes) {
+            var dot = 0.0
+            var d = 0
+            val neg = signs(p)
+            while (d < emb.length) {
+              if (neg(d)) dot -= emb(d) else dot += emb(d)
+              d += 1
+            }
+            key = (key << 1) | (if (dot >= 0) 1 else 0)
+            p += 1
+            if (p % bits == 0) { keys(p / bits - 1) = key; key = 0 }
+          }
+          (id, keys)
         }
-        (id, keys)
-      })
+      }
       .toDF("vec_id", "band_keys")
   }
 

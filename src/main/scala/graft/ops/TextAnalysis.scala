@@ -293,7 +293,8 @@ object TextAnalysis {
     // lambda: higher-order-function lambdas run interpreted (measured 5×
     // slower here); zip/slice/explode/concat_ws all stay inside whole-stage
     // codegen
-    Tables.documents(s, dir)
+    graft.util.Spread.toWidth( // single-split spread (guide §2.5)
+      Tables.documents(s, dir).select($"text"), $"text")
       .filter(size(ws) >= 2)
       .select(explode(arrays_zip(
         slice(ws, lit(1), size(ws) - 1),
@@ -323,8 +324,9 @@ object TextAnalysis {
   def t08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val words = docs.select($"doc_id",
-      explode(split(normalize($"text"), " ")).as("term"))
+    val words = graft.util.Spread.toWidth( // single-split spread (guide §2.5)
+      docs.select($"doc_id", $"text"), $"doc_id")
+      .select($"doc_id", explode(split(normalize($"text"), " ")).as("term"))
     val stats = words.groupBy($"term")
       .agg(count(lit(1)).as("tf_total"), countDistinct($"doc_id").as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -458,6 +460,12 @@ object TextAnalysis {
 
   def t09(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NO Spread here (measured, round 13): the rolling-hash pass is cheap
+    // relative to the text exchange + 32-wide downstream stages the spread
+    // costs — the paired ONLY-bench put the spread form of t10 at +1.95 s
+    // (5.13 vs 3.17) and t09 flat, so the winnow family keeps the
+    // single-split layout; the expensive-pass sites (t14/minhash/simhash)
+    // keep their spread.
     Tables.documents(s, dir)
       .select($"doc_id".cast("long"), $"text")
       .as[(Long, String)]
@@ -500,6 +508,7 @@ object TextAnalysis {
     */
   def winnowSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NO Spread (measured — see t09's note: +1.95 s on t10 with it)
     Tables.documents(s, dir)
       .select($"doc_id".cast("long"), $"text")
       .as[(Long, String)]
@@ -942,7 +951,10 @@ object TextAnalysis {
     // bytes of the gram's UTF-8, lower-hex — exactly
     // substring(md5(gram), 1, 16).
     val grams = graft.util.Eager.cached(
-      docs.select($"doc_id", $"text").as[(Long, String)]
+      // spread first (guide §2.5): single-split corpus ⇒ the gram pass and
+      // the cache it materializes were one-task (identity at real splits)
+      graft.util.Spread.toWidth(
+        docs.select($"doc_id", $"text"), $"doc_id").as[(Long, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
           val hex = "0123456789abcdef".toCharArray
@@ -1089,6 +1101,9 @@ object TextAnalysis {
 
   def bpeMerges(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
     import s.implicits._
+    // NO Spread on the vocab build (measured, round 13: t16 +0.50 s /
+    // t18 +1.27 s with it — the word explode is cheap next to the text
+    // exchange + 32-wide vocab cache it buys)
     var vocab = graft.util.Eager.cached(
       docs
         .select(explode(split(normalize($"text"), " ")).as("word"))

@@ -62,7 +62,7 @@ object Tokenize {
     // ≤ `rounds` learned rules — the only driver touch, bounded by design
     val merges = bpeMerges(s, docs, rounds).collect()
 
-    val dw = docs
+    val dw = docs // NO Spread (measured: t18 +1.27 s with it — see bpeMerges)
       .select($"doc_id", explode(split(normalize($"text"), " ")).as("word"))
       .filter($"word" =!= "" && !$"word".contains(BpeSep))
 
@@ -181,6 +181,9 @@ object Tokenize {
   def lmQualityBuckets(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // NO Spread on the bigram build (measured, round 13: t19 +0.72 s with
+    // it — the explode is cheap next to the text exchange + the 32-wide
+    // cache it buys; the md5-heavy passes keep theirs)
     val toks = docs
       .select($"doc_id",
         filter(split(normalize($"text"), " "), x => x =!= "").as("sy"))
