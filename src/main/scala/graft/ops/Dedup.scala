@@ -456,19 +456,24 @@ object Dedup {
       .localCheckpoint()
     val nodes = sym.select(col("a").as("id")).distinct()
     var labels = nodes.withColumn("comp", col("id")).localCheckpoint()
+    // self-loop rows (one per node, read off the already-materialized label
+    // checkpoint — no extra job) make the neighborhood min below include
+    // the node's own label, so the old per-round `labels ⋈ nmin` left join
+    // that merged "own comp" back in disappears outright (guide §2.4 —
+    // remove shuffles: one join with its exchanges per round, gone). The
+    // same self row doubles as the carrier of the round's STARTING label
+    // (`old`, for the convergence probe): a === b exactly on self rows, so
+    // the conditional min picks out precisely the node's own comp.
+    val symSelf = sym
+      .unionByName(labels.select(col("id").as("a"), col("id").as("b")))
     var changed = true
     var rounds = 0
     while (changed && rounds < 20) {
-      // 1) take the min label over the neighborhood. The round's STARTING
-      //    label rides along as `old` so the convergence probe below is a
-      //    filter over the just-materialized checkpoint instead of a
-      //    jumped ⋈ labels join + count job per round (guide §2.4 — the
-      //    join's two sorted exchanges bought nothing: `old` is free here)
-      val nmin = sym.join(labels, sym("a") === labels("id"))
-        .groupBy(sym("b").as("nid")).agg(min(col("comp")).as("ncomp"))
-      val afterN = labels.join(nmin, labels("id") === col("nid"), "left")
-        .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // 1) min label over the neighborhood INCLUDING self (see symSelf)
+      val afterN = symSelf.join(labels, symSelf("a") === labels("id"))
+        .groupBy(symSelf("b").as("id"))
+        .agg(min(col("comp")).as("comp"),
+          min(when(col("a") === col("b"), col("comp"))).as("old"))
       // 2) pointer jump: also adopt the label of the current label-holder —
       //    label distance doubles per round, so rounds are O(log diameter)
       //    instead of O(diameter) (a chain otherwise forces one round per hop)

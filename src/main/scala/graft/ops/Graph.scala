@@ -172,21 +172,26 @@ object Graph {
     * accurate for the loops' LoopWidth sizing without a second
     * materialization.
     */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  private def tradePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
     val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
-    val pairs = graft.util.Eager.cached(
+    graft.util.Eager.cached(
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("sn"))
         .distinct())
+  }
+
+  private def tradeEdges(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
     pairs.select($"c".as("src"), $"sn".as("dst"))
       .unionByName(pairs.select($"sn".as("src"), $"c".as("dst")))
   }
 
   def pr01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = tradeEdges(s, dir)
+    val edges = tradeEdges(tradePairs(s, dir))
     pageRank(edges).select(
       when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
       expr("node div 2").as("node_key"),
@@ -312,14 +317,22 @@ object Graph {
     */
   def sp01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = tradeEdges(s, dir)
+    val pairs = tradePairs(s, dir)
+    val edges = tradeEdges(pairs)
     val sources = Tables.supplier(s, dir)
       .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
       .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
       .filter($"r_name" === "EUROPE")
       .select(($"s_suppkey" * 2 + 1).as("node"))
-      // sources outside the trade graph would mint phantom nodes
-      .join(edges.select($"src".as("node")).distinct(), Seq("node"), "left_semi")
+      // sources outside the trade graph would mint phantom nodes. Sources
+      // are odd-encoded (2·suppkey + 1) and src(edges) = {c} ∪ {sn} with
+      // every c even, so membership in src(edges) ≡ membership in the
+      // supplier side of the cached pairs — probing that (distinct over
+      // ~|suppliers| values after map-side partial agg on the 1-column
+      // cache scan) replaces a second full scan + distinct of the
+      // both-ways union (guide §2.3: the probe needs supplier keys, not
+      // the whole node set)
+      .join(pairs.select($"sn".as("node")).distinct(), Seq("node"), "left_semi")
     bfsHops(edges, sources).select(
       when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
       expr("node div 2").as("node_key"),
@@ -397,24 +410,25 @@ object Graph {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir)
-    // (order, supplier) multiplicity counts FIRST, then a weighted
-    // self-join: Σ c1·c2 over the count relation is provably the lineitem
-    // pair count (every (itemA, itemB) pair with s1 < s2 is one term of
-    // the product), so the result is bit-identical while lineitem is
-    // scanned ONCE instead of twice and the join input shrinks to the
-    // per-order supplier multiset (guide §2.3 aggregate-before-shuffle,
-    // §2.4 shared exchange: the cache is partitioned by ok, which both
-    // the aggregation and the self-join below reuse — one exchange total
-    // where the join form paid three).
-    val os = graft.util.Eager.cached(
-      li.select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
-        .repartition($"ok")
-        .groupBy($"ok", $"sk").agg(count(lit(1)).as("c")))
-    val x = os.select($"ok", $"sk".as("s1"), $"c".as("c1"))
-    val y = os.select($"ok".as("ok2"), $"sk".as("s2"), $"c".as("c2"))
+    // per-order SORTED supplier array FIRST, then a local pair explode:
+    // for index pairs i < j of the sorted multiset, every (ss[i], ss[j])
+    // with ss[i] < ss[j] is exactly one lineitem pair with s1 < s2, so the
+    // (s1, s2) counts are bit-identical to the co-occurrence join — while
+    // lineitem is scanned once, NOTHING is joined, and the whole build is
+    // two exchanges (groupBy ok, groupBy (s1, s2)) with no intermediate
+    // cache/count job (round 13: replaced the cached (ok, sk, c)
+    // multiplicity relation + weighted self-join form — guide §2.3
+    // aggregate-before-shuffle taken one step further: the quadratic
+    // expansion is per-order-local and orders are bounded-size, so it
+    // never touches a shuffle). posexplode + slice stay whole-stage
+    // codegen; sort_array makes collect_list order-deterministic.
     val co = graft.util.Eager.cached(
-      x.join(y, $"ok" === $"ok2" && $"s1" < $"s2")
-        .groupBy($"s1", $"s2").agg(sum($"c1" * $"c2").as("n")))
+      li.select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+        .groupBy($"ok").agg(sort_array(collect_list($"sk")).as("ss"))
+        .select(posexplode($"ss").as(Seq("i", "s1")), $"ss")
+        .select($"s1", explode(slice($"ss", $"i" + 2, size($"ss"))).as("s2"))
+        .filter($"s1" < $"s2") // sorted ⇒ drops only equal-supplier pairs
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("n")))
     // decile threshold over the count HISTOGRAM (tiny), not the pairs
     val histW = Window.orderBy($"n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)

@@ -16,8 +16,11 @@ import graft.queries.Q
   * Mechanism — prefix doubling over shuffles: label(len) assigns every
   * (doc, pos) the equality class of the first `len` characters of its
   * suffix; label(2·len) is derived from the pair
-  * (label(len)(pos), label(len)(pos+len)) in one round, so label(32) takes
-  * log₂ 32 = 5 rounds after the single-character seed. This is the
+  * (label(len)(pos), label(len)(pos+len)) in one round. The recurrence is
+  * seeded directly at length min(target, 32) by grouping on the raw prefix
+  * substring (see the seedLen note in [[suffixLabels]] for the byte math),
+  * so the sa01 production target of 32 is the seed window alone and
+  * label(64·2ᵏ) takes 1+k rounds. This is the
   * suffix-ARRAY construction recurrence (Manber–Myers prefix doubling)
   * with one deliberate Spark-first deviation: classes are canonicalized by
   * the MIN global position id of the class instead of a dense sorted rank.
@@ -96,18 +99,23 @@ object Suffix {
       // relation back to one partition and the fan-out runs single-task
       .repartition(width, $"doc_id")
       .select($"doc_id", $"n", explode(expr("sequence(1L, n)")).as("pos"), $"t")
-    // SEED DIRECTLY AT LENGTH min(target, 8) by grouping on the raw prefix
+    // SEED DIRECTLY AT LENGTH min(target, 32) by grouping on the raw prefix
     // substring: label(L) only needs any equality-preserving key for the
     // first L characters, and substring equality (including its natural
     // length for suffixes shorter than L — the honest-class terminator
-    // argument verbatim) IS that key. One min-gid canonicalization over
-    // substring(t, pos, 8) costs the same exchange as one doubling round
-    // while replacing TWO of them (2→4→8), so label(32) takes 2 rounds
-    // after the seed instead of 4 (guide §1.2 step 1 — fewer passes; the
-    // bytes per row crossing the seed exchange are ~the (lab, labR) pair a
-    // doubling round ships). target < 8 (spec fixtures) seeds at
-    // min(target, 8) and runs zero rounds.
-    val seedLen = math.min(target, 8)
+    // argument verbatim) IS that key. Seed-vs-doubling byte math (guide
+    // §2.3/§1.2): the seed is ONE exchange shipping seedLen chars/row,
+    // while each doubling round is TWO window exchanges (a lead() by doc
+    // at ~32 B/row and a min() by (lab, labR) at ~40 B/row) plus a
+    // checkpoint job — so seeding is strictly cheaper up to seedLen 32
+    // (32 B once vs 72 B + a job per round replaced). Round 13 moved the
+    // seed from 8 to 32: label(32) = the sa01 production path is now the
+    // seed window alone (zero doubling rounds, 4 fewer exchanges over the
+    // corpus-character position relation), label(64) takes 1 round, and
+    // targets < 32 (spec fixtures) seed at min(target, 32) exactly as
+    // before. Beyond 32 chars/row the doubling rounds win, which is why
+    // the seed is capped there rather than at `target`.
+    val seedLen = math.min(target, 32)
     var cur = positions
       .withColumn("lab",
         min(gid).over(Window.partitionBy(expr(s"substring(t, pos, $seedLen)"))))

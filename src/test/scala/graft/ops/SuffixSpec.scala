@@ -43,6 +43,30 @@ class SuffixSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("doubling rounds past the seed: label(64) == 64-prefix equality") {
+    // the seed covers lengths <= 32, so target 64 forces exactly one
+    // doubling round (32 -> 64) — this pins the lead/min recurrence itself,
+    // which sa01's production target of 32 no longer executes
+    val block = "abcdefgh" * 6 // 48 chars, repeated in both docs
+    val texts = Seq(
+      1L -> (block + "11" + block),     // 98 chars: the two block copies'
+      2L -> (block + "22" + block))     // suffixes agree for 48 < 64 chars
+    val target = 64
+    val lab = labelsOf(texts, target)
+    def pref(doc: Long, pos: Int): String = {
+      val t = texts.find(_._1 == doc).get._2
+      t.substring(pos - 1, math.min(t.length, pos - 1 + target))
+    }
+    val keys = lab.keys.toSeq
+    for (a <- keys; b <- keys) {
+      val want = pref(a._1, a._2.toInt) == pref(b._1, b._2.toInt)
+      val got = lab(a) == lab(b)
+      assert(got == want,
+        s"$a(${pref(a._1, a._2.toInt)}) vs " +
+          s"$b(${pref(b._1, b._2.toInt)}): labels ${lab(a)}/${lab(b)}")
+    }
+  }
+
   test("short suffixes classify by their truncated string, never by accident") {
     // doc 1 ends in "ab"; doc 2 ends in "ab" too; doc 3 contains "ab" with
     // a full window behind it — at target 4 the two 2-char tails must share
