@@ -113,10 +113,20 @@ object Dedup {
                 ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
               val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
                 ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+              // (h1 + p·h2) mod M computed INCREMENTALLY: v_{p+1} = v_p +
+              // (h2 mod M), single conditional subtract (both terms < M).
+              // Bit-identical to the closed form — modular addition is
+              // exact — at an add+compare per permutation instead of a
+              // 64-bit multiply + divide (guide §1.2 step 2: this loop is
+              // permutations × shingles × corpus, the hottest arithmetic
+              // in the whole dedup family)
+              val h2m = h2 % 2147483647L
+              var v = h1 % 2147483647L
               var p = 0
               while (p < n) {
-                val v = (h1 + p * h2) % 2147483647L
                 if (v < sig(p)) sig(p) = v
+                v += h2m
+                if (v >= 2147483647L) v -= 2147483647L
                 p += 1
               }
             }

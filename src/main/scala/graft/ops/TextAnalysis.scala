@@ -1138,10 +1138,16 @@ object TextAnalysis {
         case Some(b) =>
           val (l, r, cnt) = (b.getString(0), b.getString(1), b.getLong(2))
           merges += ((round.toLong, l, r, l + r, cnt))
-          vocab = graft.util.Eager.cached(
-            vocab.select(
-              replace($"w", lit(l + BpeSep + r + BpeSep), lit(l + r + BpeSep)).as("w"),
-              $"freq"))
+          // lineage, not a fresh Eager cache: the vocab is vocabulary-TYPE
+          // cardinality and each round's argmax already scans it once, so
+          // round k paying k chained replaces over the ONE cached base
+          // relation is far cheaper than a cache materialization + count
+          // job per round (round 13: 2 jobs/round → 1; Catalyst collapses
+          // the projections into nested codegen'd replace calls, and with
+          // the fixed round budget the chain depth is bounded)
+          vocab = vocab.select(
+            replace($"w", lit(l + BpeSep + r + BpeSep), lit(l + r + BpeSep)).as("w"),
+            $"freq")
           round += 1
       }
     }
